@@ -1,0 +1,94 @@
+"""Partitioned-parquet storage for the incoming and aggregate relations.
+
+The reference stores both relations as SQLite B-tree tables with a
+``(path, timestamp)`` composite index (tsdb.py:288-298).  The Spark-native
+equivalent is day-partitioned parquet:
+
+- partition column ``pday = floor(timestamp / 86400)`` gives partition
+  pruning for time-range predicates (the index's range-scan role) and
+  O(1) partition-drop retention;
+- parquet column min/max statistics give row-group skipping on ``path``
+  and ``timestamp`` within a partition (the index's seek role);
+- readers never block writers (snapshot isolation), which makes the
+  reference's two-database locking workaround (tsdb.py:273-275,423-454)
+  architecturally unnecessary.
+
+Upserts (``insert or replace``, tsdb.py:390) use dynamic partition
+overwrite: only the day-partitions present in the written DataFrame are
+replaced, which is the plain-parquet MERGE equivalent (Delta is not on the
+classpath in this environment; the call sites are shaped so a Delta MERGE
+drop-in is a one-line swap).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smalltsdb_spark.schemas import PARTITION_COLUMN, SECONDS_PER_DAY
+
+
+def _has_data(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def with_pday(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        PARTITION_COLUMN,
+        F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+    )
+
+
+def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Read a partitioned table, returning an empty DataFrame if absent."""
+    if not _has_data(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path).select(*[f.name for f in schema.fields])
+
+
+def append(df: DataFrame, path: str) -> None:
+    with_pday(df).write.partitionBy(PARTITION_COLUMN).mode("append").parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str) -> None:
+    """Dynamic partition overwrite: replace only pdays present in ``df``.
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    (set by session.get_spark).
+    """
+    with_pday(df).write.partitionBy(PARTITION_COLUMN).mode("overwrite").parquet(path)
+
+
+def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:
+    """Retention fast path: remove whole day-partitions strictly below the
+    cutoff's day.  Returns the removed partition directory names.
+
+    This is the partition-drop retention the reference only TODOs
+    (per-period retention, IDEAS.md:6; delete at tsdb.py:412-420).
+    Rows in the cutoff's own (boundary) day are handled by the caller via
+    a partition rewrite.
+    """
+    if not os.path.isdir(path):
+        return []
+    cutoff_day = int(cutoff_ts // SECONDS_PER_DAY)
+    removed = []
+    for name in os.listdir(path):
+        if not name.startswith(f"{PARTITION_COLUMN}="):
+            continue
+        try:
+            day = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if day < cutoff_day:
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(name)
+    return removed

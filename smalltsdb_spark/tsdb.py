@@ -1,0 +1,276 @@
+"""The TSDB API facade — the engine's public query surface.
+
+Mirrors the reference's three backends (tsdb.py:201-454) with the same
+logical model and method signatures, re-expressed over DataFrames:
+
+- ``ViewTSDB``     — aggregates are lazy DataFrames over raw data; every
+                     read recomputes (reference temp views, tsdb.py:216-227).
+                     Unlike SQLite+Python-UDAF views, Catalyst pushes the
+                     path equality filter *below* the aggregation (path is a
+                     grouping key), so a one-metric read does not scan every
+                     metric's values.
+- ``TablesTSDB``   — aggregates materialized as day-partitioned parquet,
+                     advanced incrementally by ``sync()`` (tsdb.py:271-420).
+- ``TwoDatabasesTSDB`` — incoming stored under a separate location
+                     (tsdb.py:423-454); with snapshot-isolated parquet
+                     readers this is pure API parity, not a locking fix.
+
+``sync()`` replaces the reference's per-path Python loop (tsdb.py:371-410)
+with one set-based plan per period: a broadcast join of incoming against
+the per-path high-water marks, a single windowed aggregation, and a
+dynamic-partition-overwrite upsert.  Same finality semantics (the
+``intervals()`` kernel), executed as 6 independent distributed jobs instead
+of ``paths × periods`` serial SQLite queries.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smalltsdb_spark import storage
+from smalltsdb_spark.config import (
+    DEFAULT_TAIL,
+    PERIODS,
+    validate_period,
+    validate_stat,
+)
+from smalltsdb_spark.intervals import final_end
+from smalltsdb_spark.operators.aggregate import aggregate
+from smalltsdb_spark.schemas import AGG_SCHEMA, INCOMING_SCHEMA, SECONDS_PER_DAY
+from smalltsdb_spark.utils import coerce_epoch
+
+Datapoint = tuple[str, float, float]
+
+
+class BaseTSDB:
+    """Shared storage plumbing + read API (reference tsdb.py:69-152)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        periods: list[tuple[str, int]] = PERIODS,
+        tail: float = DEFAULT_TAIL,
+        with_incoming: bool = True,
+        with_aggregate: bool = True,
+        incoming_path: str | None = None,
+        now: callable = time.time,
+    ):
+        self.spark = spark
+        self.path = path
+        self.periods = list(periods)
+        self.period_seconds = dict(self.periods)
+        self.tail = tail
+        self.with_incoming = with_incoming
+        self.with_aggregate = with_aggregate
+        self.incoming_path = incoming_path or os.path.join(path, "incoming")
+        self._now = now
+
+    # -- write path ---------------------------------------------------------
+
+    def insert(self, datapoints) -> None:
+        """Append datapoints (reference tsdb.py:111-114).
+
+        Accepts an iterable of ``(path, timestamp, value)`` tuples
+        (timestamp may be a number or datetime) or a DataFrame with the
+        incoming schema.
+        """
+        if not self.with_incoming:
+            raise ValueError("this handle was opened without incoming access")
+        if isinstance(datapoints, DataFrame):
+            df = datapoints.select(
+                F.col("path").cast("string"),
+                F.col("timestamp").cast("double"),
+                F.col("value").cast("double"),
+            )
+        else:
+            rows = [(str(p), coerce_epoch(t), float(v)) for p, t, v in datapoints]
+            if not rows:
+                return
+            df = self.spark.createDataFrame(rows, INCOMING_SCHEMA)
+        storage.append(df, self.incoming_path)
+
+    def incoming(self) -> DataFrame:
+        return storage.read_table(self.spark, self.incoming_path, INCOMING_SCHEMA)
+
+    # -- read path ----------------------------------------------------------
+
+    def period_table(self, period: str) -> DataFrame:
+        raise NotImplementedError
+
+    def _period_path(self, period: str) -> str:
+        return os.path.join(self.path, period)
+
+    def get_metric_df(self, path, period, stat, interval) -> DataFrame:
+        """One stat of one metric over a closed interval, ordered by time.
+
+        Reference read query (tsdb.py:130-137): inclusive ``between`` on
+        both ends — kept for parity (sync planning itself is half-open,
+        see intervals.py).
+        """
+        validate_period(period, self.period_seconds)
+        validate_stat(stat)
+        start, end = (coerce_epoch(x) for x in interval)
+        return (
+            self.period_table(period)
+            .filter(F.col("path") == path)
+            .filter(F.col("timestamp").between(start, end))
+            .select("timestamp", stat)
+            .orderBy("timestamp")
+        )
+
+    def get_metric(self, path, period, stat, interval) -> list[tuple[float, float]]:
+        return [tuple(r) for r in self.get_metric_df(path, period, stat, interval).collect()]
+
+    def list_metrics_df(self) -> DataFrame:
+        """Distinct paths across all period tables (reference tsdb.py:142-152).
+
+        SQL ``UNION`` has set semantics; Spark ``union`` is UNION ALL, so an
+        explicit ``.distinct()`` closes the gap (SURVEY.md §2.6 E2).
+        """
+        dfs = [self.period_table(name).select("path") for name, _ in self.periods]
+        return reduce(DataFrame.union, dfs).distinct()
+
+    def list_metrics(self) -> list[str]:
+        return sorted(r.path for r in self.list_metrics_df().collect())
+
+    def sync(self) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        """Lifecycle parity (reference tsdb.py:96-104); the SparkSession is
+        shared and not owned by the handle, so nothing to release."""
+
+
+class ViewTSDB(BaseTSDB):
+    """Aggregates recomputed from raw data on every read (tsdb.py:201-231)."""
+
+    def period_table(self, period: str) -> DataFrame:
+        seconds = validate_period(period, self.period_seconds)
+        return aggregate(self.incoming(), seconds)
+
+    def sync(self) -> None:
+        """No-op (reference tsdb.py:230-231)."""
+
+
+class TablesTSDB(BaseTSDB):
+    """Materialized aggregates advanced incrementally (tsdb.py:271-420)."""
+
+    def period_table(self, period: str) -> DataFrame:
+        validate_period(period, self.period_seconds)
+        return storage.read_table(self.spark, self._period_path(period), AGG_SCHEMA)
+
+    # -- incremental sync ---------------------------------------------------
+
+    def _eligible(self, incoming: DataFrame, seconds: int, now: float) -> DataFrame:
+        """Rows in each path's final interval: half-open
+        ``[last_final + period, floor((now - tail)/period)*period)``.
+
+        Set-based replacement of the reference's per-path loop
+        (tsdb.py:371-410): per-path high-water marks are tiny (one row per
+        metric), so the join is broadcast — no shuffle of the raw data
+        beyond the aggregation's own.
+
+        ``coalesce(last_final + s, 0)`` encodes ``last_final=None ⇒
+        -period`` (intervals.py): never-synced paths start at bucket 0.
+        """
+        fe = float(final_end(seconds, self.tail, now))
+        hwm = (
+            self.period_table_name_df(seconds)
+            .groupBy("path")
+            .agg(F.max("timestamp").alias("_last_final"))
+        )
+        return (
+            incoming.join(F.broadcast(hwm), "path", "left")
+            .filter(
+                F.col("timestamp")
+                >= F.coalesce(F.col("_last_final") + F.lit(float(seconds)), F.lit(0.0))
+            )
+            .filter(F.col("timestamp") < F.lit(fe))
+            .drop("_last_final")
+        )
+
+    def period_table_name_df(self, seconds: int) -> DataFrame:
+        name = next(n for n, s in self.periods if s == seconds)
+        return self.period_table(name)
+
+    def _upsert(self, new_rows: DataFrame, period: str) -> None:
+        """``insert or replace`` keyed on (path, timestamp) (tsdb.py:388-410)
+        via dynamic partition overwrite of the affected day-partitions."""
+        path = self._period_path(period)
+        new_rows = new_rows.cache()
+        affected = [
+            r.d
+            for r in new_rows.select(
+                F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            new_rows.unpersist()
+            return
+        existing = self.period_table(period)
+        kept = (
+            existing.filter(
+                F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long").isin(affected)
+            )
+            .join(new_rows, ["path", "timestamp"], "left_anti")
+        )
+        storage.overwrite_partitions(kept.unionByName(new_rows), path)
+        new_rows.unpersist()
+
+    def sync(self) -> None:
+        """Advance finalized aggregates for every period, then apply
+        retention to incoming (reference tsdb.py:305-420)."""
+        now = self._now()
+        incoming = self.incoming()
+        for name, seconds in self.periods:
+            new_rows = aggregate(self._eligible(incoming, seconds, now), seconds)
+            self._upsert(new_rows, name)
+        self._retention(now)
+
+    def _retention(self, now: float) -> None:
+        """``delete from incoming where timestamp < now - tail - max_period``
+        (tsdb.py:412-420): whole-day partition drops below the cutoff day,
+        plus a rewrite of the boundary day-partition."""
+        max_period = max(s for _, s in self.periods)
+        cutoff = now - self.tail - max_period
+        storage.drop_partitions_below(self.incoming_path, cutoff)
+        boundary_day = int(cutoff // SECONDS_PER_DAY)
+        boundary = self.incoming().filter(
+            F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long") == boundary_day
+        )
+        doomed = boundary.filter(F.col("timestamp") < cutoff)
+        if doomed.limit(1).count():
+            survivors = boundary.filter(F.col("timestamp") >= cutoff)
+            if survivors.limit(1).count():
+                storage.overwrite_partitions(survivors, self.incoming_path)
+            else:
+                storage.drop_partitions_below(
+                    self.incoming_path, (boundary_day + 1) * SECONDS_PER_DAY
+                )
+
+
+class TwoDatabasesTSDB(TablesTSDB):
+    """Incoming under a separate location (reference tsdb.py:423-454).
+
+    The reference needs this for SQLite table-level-locking isolation
+    between the writer daemon and readers (tsdb.py:273-275); parquet
+    readers are snapshot-isolated so this is API parity only.
+    """
+
+    def __init__(self, spark, path, *, incoming_path=None, **kwargs):
+        incoming_path = incoming_path or path.rstrip("/") + ".incoming"
+        super().__init__(spark, path, incoming_path=incoming_path, **kwargs)
+
+
+#: Default backend, as in the reference (tsdb.py:457).
+TSDB = TablesTSDB
