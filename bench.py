@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+and prints ONE JSON line.
+
+Two parts:
+
+1. every registered query from smalltsdb_spark.queries (the correctness
+   surface), executed to a no-op sink so the full plan runs without
+   driver-side collection cost;
+2. the BASELINE.md-equivalent workload: the full 6-period, 8-stat
+   aggregation over >= 1M datapoints (the reference's prototype benchmark,
+   prototypes/views.py — 1M rows in ~65-75 s single-core ≈ 13-15 k rows/s).
+   We replicate the events-derived incoming relation up to 1M rows and
+   report datapoints/sec across all 6 periods.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.config import PERIODS
+from smalltsdb_spark.operators.aggregate import aggregate
+from smalltsdb_spark.queries import QUERIES, events_as_incoming
+from smalltsdb_spark.session import get_spark
+
+
+def noop_sink(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        app_name="smalltsdb-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warm the JVM + file listing so per-query numbers measure the queries
+    events_as_incoming(spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        noop_sink(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # BASELINE-equivalent: 6-period aggregation of >= 1M datapoints.
+    inc = events_as_incoming(spark, sf_dir)
+    n = inc.count()
+    reps = max(1, math.ceil(1_000_000 / max(n, 1)))
+    if reps > 1:
+        big = (
+            inc.crossJoin(F.broadcast(spark.range(reps)))
+            .select(
+                "path",
+                (F.col("timestamp") + F.col("id") * 0.001).alias("timestamp"),
+                "value",
+            )
+        )
+    else:
+        big = inc
+    total_rows = n * reps
+    t0 = time.perf_counter()
+    for _, seconds in PERIODS:
+        noop_sink(aggregate(big, seconds))
+    agg6_sec = time.perf_counter() - t0
+    timings["baseline_6period_agg"] = round(agg6_sec, 3)
+
+    result = {
+        "metric": "suite_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "baseline_6period_datapoints": total_rows,
+        "baseline_6period_sec": round(agg6_sec, 3),
+        "baseline_6period_rows_per_sec": round(total_rows / agg6_sec, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,394 @@
+"""Driver-facing query registry: one entry per implemented operator.
+
+Each ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``; the
+matching ``ORACLE[name]`` is ANSI SQL DuckDB runs over the same parquet
+tables.  The driver (and ``tests/test_oracle_parity.py``) compares
+row-count, schema, and order-insensitive value hashes, with columns sorted
+by name — so every computed column is aliased identically on both sides.
+
+Floating-point note: double aggregates are wrapped in ``round(x, 6)`` on
+BOTH sides so summation-order fp noise (Spark's parallel sum vs DuckDB's
+serial sum) cannot flip the hash; 6 decimals is far above the ~1e-11
+relative error of either engine at this scale.
+
+The reference's data model is exercised by mapping the driver's ``events``
+table onto ``incoming``: path := event_type, timestamp := epoch(ts) as
+double, value := value (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.operators.aggregate import aggregate, bucket
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_sec`` (double epoch seconds) added.
+
+    The events parquet uses TIMESTAMP(NANOS), which Spark 4 refuses by
+    default; the runtime conf maps it to a nanosecond LongType.  The epoch
+    derivation truncates to microseconds first (``div 1000``) so it is
+    bit-identical to DuckDB's ``epoch(ts)`` (DuckDB timestamps are µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts_sec", F.expr("ts div 1000").cast("double") / F.lit(1e6)
+    )
+
+
+def events_as_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the reference's incoming relation (FIXTURES.md §6)."""
+    return read_events(spark, sf_dir).select(
+        F.col("event_type").alias("path"),
+        F.col("ts_sec").alias("timestamp"),
+        F.col("value"),
+    )
+
+
+def _round_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.round(F.col(c), 6).alias(c) for c in cols],
+    )
+
+
+_STATS = ("n", "min", "max", "avg", "sum", "p50", "p90", "p99")
+
+# SQL fragment: the reference aggregation in DuckDB dialect
+# (quantile_cont = same linear interpolation as Spark percentile / numpy).
+def _oracle_agg(seconds: int) -> str:
+    return f"""
+    SELECT event_type AS path,
+           floor(epoch(ts) / {seconds}) * {seconds} AS "timestamp",
+           round(CAST(count(value) AS DOUBLE), 6) AS n,
+           round(min(value), 6) AS "min",
+           round(max(value), 6) AS "max",
+           round(avg(value), 6) AS "avg",
+           round(sum(value), 6) AS "sum",
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def _agg_query(seconds: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_stats(aggregate(events_as_incoming(spark, sf_dir), seconds), _STATS)
+
+    return fn
+
+
+# A1-A5, F1-F2: the reference's one aggregation (tsdb.py:183-198) at three
+# granularities — tumbling bucket key, hash agg, exact multi-quantile.
+for _name, _seconds in [("tensecond", 10), ("oneminute", 60), ("onehour", 3600)]:
+    QUERIES[f"tsdb_agg_{_name}"] = _agg_query(_seconds)
+    ORACLE[f"tsdb_agg_{_name}"] = _oracle_agg(_seconds)
+
+
+@query(
+    "tsdb_get_metric",
+    """
+    SELECT "timestamp", p90 FROM (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 3600) * 3600 AS "timestamp",
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY 1, 2
+    ) WHERE path = 'click'
+      AND "timestamp" BETWEEN 1704067200 AND 1704499200
+    ORDER BY "timestamp"
+    """,
+)
+def tsdb_get_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 + W1: the read path (reference tsdb.py:130-137) — projection,
+    path equality, inclusive time range, ordered by timestamp.
+
+    Catalyst pushes the path filter below the aggregation (grouping key),
+    which the reference's SQLite view + Python UDAF could not do.
+    """
+    agg = aggregate(events_as_incoming(spark, sf_dir), 3600)
+    return (
+        agg.filter(F.col("path") == "click")
+        .filter(F.col("timestamp").between(1704067200, 1704499200))
+        .select("timestamp", F.round("p90", 6).alias("p90"))
+        .orderBy("timestamp")
+    )
+
+
+@query(
+    "tsdb_list_metrics",
+    """
+    SELECT DISTINCT event_type AS path FROM events
+    """,
+)
+def tsdb_list_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E2: list_metrics (reference tsdb.py:142-152) — per-period DISTINCT
+    paths combined with set-semantics UNION (Spark union + distinct)."""
+    inc = events_as_incoming(spark, sf_dir)
+    a = aggregate(inc, 3600).select("path")
+    b = aggregate(inc, 86400).select("path")
+    return a.union(b).distinct()
+
+
+@query(
+    "tsdb_last_finals",
+    """
+    WITH paths AS (SELECT DISTINCT event_type AS path FROM events),
+    agg AS (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 3600) * 3600 AS "timestamp"
+        FROM events WHERE value > 400 GROUP BY 1, 2
+    )
+    SELECT paths.path, max(agg."timestamp") AS last_final
+    FROM paths LEFT JOIN agg ON paths.path = agg.path
+    GROUP BY paths.path
+    """,
+)
+def tsdb_last_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + J1: per-path high-water mark (reference tsdb.py:352-369) — CTE
+    of distinct paths LEFT JOINed to an aggregate table; paths never
+    aggregated yield NULL.  The agg side is restricted (value > 400) so the
+    left join actually produces NULLs on this dataset.
+
+    The distinct-paths side is tiny → Catalyst broadcasts it."""
+    inc = events_as_incoming(spark, sf_dir)
+    paths = inc.select("path").distinct()
+    agg = (
+        inc.filter(F.col("value") > 400)
+        .groupBy("path", bucket("timestamp", 3600).alias("timestamp"))
+        .count()
+        .select("path", "timestamp")
+    )
+    return (
+        paths.join(agg, "path", "left")
+        .groupBy("path")
+        .agg(F.max("timestamp").alias("last_final"))
+    )
+
+
+@query(
+    "tsdb_retention",
+    """
+    SELECT count(*) AS kept, round(sum(value), 6) AS kept_sum
+    FROM events WHERE epoch(ts) >= 1705276800
+    """,
+)
+def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + S8: retention predicate (reference tsdb.py:412-420) — open
+    range delete expressed as its complement (the surviving rows)."""
+    inc = events_as_incoming(spark, sf_dir)
+    return inc.filter(F.col("timestamp") >= 1705276800).agg(
+        F.count("*").alias("kept"), F.round(F.sum("value"), 6).alias("kept_sum")
+    )
+
+
+@query(
+    "tsdb_parse_lines",
+    """
+    WITH lines AS (
+        SELECT printf('%s %.4f %.4f', event_type, value, epoch(ts)) AS line
+        FROM events
+        UNION ALL SELECT 'garbage'
+        UNION ALL SELECT 'too many fields here 1 2'
+    ),
+    parsed AS (
+        SELECT string_split(line, ' ') AS f FROM lines
+    )
+    SELECT f[1] AS path,
+           count(*) AS n,
+           round(sum(CAST(f[2] AS DOUBLE)), 4) AS value_sum
+    FROM parsed WHERE len(f) = 3
+    GROUP BY 1
+    """,
+)
+def tsdb_parse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + F5: the Graphite wire-format parser (reference daemon.py:16-30)
+    as a pure DataFrame transform — serialize events to plaintext
+    ``"<path> <value> <timestamp>"`` lines (fixed %.4f so both engines
+    format identically), parse back with split + cast, reject lines that
+    don't have exactly 3 fields, and aggregate the parsed values."""
+    ev = read_events(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s %.4f %.4f", F.col("event_type"), F.col("value"), F.col("ts_sec")
+        ).alias("line")
+    )
+    bad = spark.createDataFrame(
+        [("garbage",), ("too many fields here 1 2",)], "line string"
+    )
+    parsed = (
+        lines.union(bad)
+        .select(F.split("line", " ").alias("f"))
+        .filter(F.size("f") == 3)
+        .select(
+            F.col("f")[0].alias("path"),
+            F.col("f")[2].cast("double").alias("timestamp"),
+            F.col("f")[1].cast("double").alias("value"),
+        )
+    )
+    return parsed.groupBy("path").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum")
+    )
+
+
+@query(
+    "tsdb_self_metrics",
+    """
+    SELECT count(CASE WHEN event_type NOT LIKE 's%' THEN 1 END) AS n_outside,
+           count(*) AS n_total
+    FROM events
+    """,
+)
+def tsdb_self_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + A7: prefix predicate + conditional count (reference
+    daemon.py:178-180) — count datapoints outside a metric-name prefix."""
+    ev = read_events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.when(~F.col("event_type").startswith("s"), 1)).alias("n_outside"),
+        F.count("*").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth beyond the reference (SURVEY.md §2 "ABSENT" rows the
+# Spark engine provides natively): multi-way joins, semi/anti joins,
+# ranking windows, top-k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter pushdown + grouped
+    aggregation with arithmetic expressions, all whole-stage-codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "rel_revenue_by_nation",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact joined to dims with explicit broadcast of
+    the small sides (customer/nation at this scale; on a cluster the AQE
+    threshold makes the same choice automatically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "rel_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "rel_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def rel_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (SURVEY.md §2.5, absent in the reference): top-2
+    orders per customer by price; orderkey tiebreak keeps it
+    deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )

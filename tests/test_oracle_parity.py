@@ -1,0 +1,78 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.001 and compares it with the DuckDB
+``oracle_sql()`` result: row count, column names, and order-insensitive
+values (floats to 6 significant decimals).  The real driver runs the same
+comparison at sf0.01 — ``SMALLTSDB_PARITY_SF`` overrides the scale here.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SMALLTSDB_PARITY_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, columns):
+    """Sort columns by name and rows by value, coarsen floats."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, 6)
+        return v
+
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert "path" in df.columns
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, ddb):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip(f"{name}: rows-only check (no oracle SQL)")
+    res = ddb.execute(oracle)
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count differs"
+    left = normalize(spark_rows, spark_cols)
+    right = normalize(ddb_rows, ddb_cols)
+    mismatches = [(a, b) for a, b in zip(left, right) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
