@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from smalltsdb_spark.queries import ORACLE, QUERIES  # noqa: E402
+from smalltsdb_spark import queries_ext  # noqa: E402,F401  (registers extensions)
 from smalltsdb_spark.operators.aggregate import aggregate  # noqa: E402
 from smalltsdb_spark.queries import events_as_incoming  # noqa: E402
 

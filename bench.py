@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from smalltsdb_spark.config import PERIODS
 from smalltsdb_spark.operators.aggregate import aggregate
 from smalltsdb_spark.queries import QUERIES, events_as_incoming
+from smalltsdb_spark import queries_ext  # noqa: F401  (registers extensions)
 from smalltsdb_spark.session import get_spark
 
 

@@ -1,0 +1,82 @@
+"""Scalar helper functions shared by the extension operators.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` so it stays
+inside whole-stage codegen — no Python UDFs on these hot paths.
+
+Cross-engine determinism: the correctness oracle is DuckDB, whose built-in
+``hash()`` differs from Spark's murmur3/xxhash64.  ``md5_long`` is a 60-bit
+hash both engines compute identically (md5 hex prefix → integer), used
+everywhere a hash value is part of a checked result (minhash, simhash,
+fingerprints).  Engine-internal hashes (joins, shuffles) still use Spark's
+native functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus / multiplier for rolling fingerprints (fits comfortably in int64)
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+def md5_long(col: Column | str, salt: int | str | None = None) -> Column:
+    """Deterministic 60-bit hash: first 15 hex digits of md5 as a long.
+
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(c, F.lit(f"|{salt}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: int | str | None = None) -> str:
+    """The DuckDB SQL rendering of :func:`md5_long` (oracle generation)."""
+    if salt is not None:
+        expr = f"({expr} || '|{salt}')"
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (documents fixture is space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token array.
+
+    ``n=1`` is the token array itself; for ``n>1`` builds
+    ``tokens[i] .. tokens[i+n-1]`` for each valid start (1-based
+    ``element_at`` so the same expression renders in DuckDB with
+    ``list_transform(range(...))``).  Documents shorter than ``n`` tokens
+    yield an empty array.
+    """
+    if n == 1:
+        return tok
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in float64.
+
+    Element-wise product via ``zip_with`` + sequential ``aggregate`` —
+    all JVM-side; matches DuckDB's
+    ``list_cosine_similarity(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))``.
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

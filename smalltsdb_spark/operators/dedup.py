@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as shuffled-once DataFrame plans (no Python in
+the hot path) and designed so the candidate-generation step — never the
+all-pairs cross product — dominates cost:
+
+- **exact**: md5 content hash → groupBy.  One shuffle on the hash; at
+  100 TB the hash groupBy is the only viable exact method (no sort of raw
+  text).
+- **n-gram Jaccard**: inverted-index join on shared n-grams (only pairs
+  sharing at least one gram are ever materialized), then exact Jaccard
+  from gram-set sizes.  Skew note: stop-gram-like shingles fan out
+  quadratically; ``max_gram_freq`` drops grams appearing in more than N
+  docs (standard df-cut), bounding the join fan-out.
+- **MinHash + LSH**: k minhashes per doc computed with ONE explode +
+  groupBy (k min-aggregates, map-side combined), banded into b bands →
+  candidates join only within equal band keys.  Error vs exact Jaccard is
+  the standard 1/sqrt(k).
+- **SimHash**: 60-bit signature via per-bit weighted sums (60 conditional
+  sums in one groupBy), near-dup = equal 15-bit chunk (banding) +
+  Hamming-distance verify via xor/bit_count.
+- **embedding cosine**: see operators/similarity.py; near-dup threshold
+  join via the same candidate machinery.
+
+All hash values that reach checked results use functions.md5_long so the
+DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.functions import md5_long, tokens, word_ngrams
+
+SIMHASH_BITS = 60
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Per-row exact-duplicate labeling by content hash.
+
+    Returns (id, content_hash, dup_rank, is_dup): dup_rank=1 marks the
+    canonical row to keep (lowest id); is_dup marks rows to drop.
+    """
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), F.md5(F.col(content_col)).alias("content_hash"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_dup", F.col("dup_rank") > 1)
+    )
+
+
+def doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) exploded distinct word n-grams per document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.15,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 gram.
+
+    Inverted-index candidate generation: explode grams, self-equi-join on
+    gram (this is the only join; Catalyst shuffles both sides on gram once),
+    count shared grams per pair, then Jaccard = inter / (|A| + |B| - inter).
+    """
+    grams = doc_grams(df, id_col, text_col, n)
+    if max_gram_freq is not None:
+        freq = grams.groupBy("gram").count().filter(F.col("count") <= max_gram_freq)
+        grams = grams.join(freq.select("gram"), "gram")
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("sz"))
+    g = grams.join(F.broadcast(sizes), "doc")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 2
+) -> DataFrame:
+    """k-minhash signature per document as columns h0..h{k-1}.
+
+    One explode + one groupBy with k min-aggregates — the k hash functions
+    are salted md5_long values, so the map-side partial min keeps shuffle
+    volume at k longs per doc regardless of document size.
+    """
+    grams = doc_grams(df, id_col, text_col, n)
+    aggs = [F.min(md5_long(F.col("gram"), i)).alias(f"h{i}") for i in range(k)]
+    return grams.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded minhash, scored by signature agreement.
+
+    Two docs are candidates iff at least one band (k/bands consecutive
+    minhashes) matches exactly; est_jaccard = fraction of the k minhashes
+    that agree.  Returns (id_a, id_b, est_jaccard >= threshold).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+
+    # stack band keys: (doc, band_idx, band_key)
+    stacked = reduce(
+        DataFrame.unionByName,
+        [
+            sig.select(
+                "doc",
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ],
+    )
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sa, cand.id_a == F.col("sa.doc"))
+        .join(sb, cand.id_b == F.col("sb.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document from token-frequency-weighted bit votes.
+
+    explode tokens (keeping multiplicity as the weight) → one groupBy with
+    60 conditional sums (bit i of the token hash votes +1/-1) → assemble
+    the signature long.  Ties (vote sum 0) resolve to bit 0.
+    """
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+    h = md5_long(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    g = ex.groupBy("doc").agg(*votes)
+    sig: Column = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return g.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 15-bit quarters (a pair within
+    Hamming distance <= 3 of 60 bits must agree on >= 1 quarter; wider
+    distances trade recall), verify with exact xor/bit_count."""
+    sig = simhash(df, id_col, text_col).cache()
+    chunks = reduce(
+        DataFrame.unionByName,
+        [
+            sig.select(
+                "doc",
+                "simhash",
+                F.lit(q).alias("q"),
+                F.shiftright("simhash", q * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("chunk"),
+            )
+            for q in range(4)
+        ],
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k.  The query set is
+  broadcast; every executor scores its partition of the corpus and the
+  global top-k per query falls out of a ranking window.  At 100 TB this
+  is the correct *baseline* (one corpus scan, no shuffle of the corpus —
+  only (n_queries × corpus_partitions × k) candidate rows move).
+- :func:`lsh_topk` — random-hyperplane LSH: both sides are bucketed by
+  sign-bit signatures; only same-bucket pairs are scored.  Recall < 1 by
+  construction, bounded by the usual hyperplane-LSH analysis; increase
+  ``tables`` for recall, ``nbits`` for precision.  The hyperplanes are
+  seeded driver-side so results are deterministic.
+
+The scale path for a real IVF index (k-means centroids + inverted lists)
+composes from these pieces: centroids become the bucket function; this
+module keeps the bucket function data-independent so the oracle can check
+the plumbing deterministically.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.functions import cosine_similarity
+
+
+def _scored_pairs(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str):
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6)
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    Deterministic ranking: similarity is rounded before ranking and ties
+    break on neighbor_id, so the result is stable across engines and
+    partitionings.
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        _scored_pairs(corpus, queries, id_col, vec_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, nbits: int, tables: int = 1, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes: tables × nbits × dim floats."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+        for _ in range(tables)
+    ]
+
+
+def _bucket_of(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector under one table's hyperplanes."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(vec_col, lambda x: x.cast("double")),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    return reduce(lambda a, b: a + b, bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nbits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    Output schema matches :func:`cosine_topk`; rank is within retrieved
+    candidates, so missing neighbors (recall misses) shift ranks — that is
+    the documented approximation contract.
+    """
+    planes = hyperplanes(dim, nbits, tables, seed)
+
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.col(idc),
+                F.col(vec_col).alias("_v"),
+                F.lit(t).alias("_table"),
+                _bucket_of(F.col(vec_col), planes[t]).alias("_bucket"),
+            )
+            for t in range(tables)
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    qb = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id"
+    )
+    cb = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    )
+    cand = (
+        cb.join(
+            F.broadcast(qb.withColumnRenamed("_v", "_qv")),
+            ["_table", "_bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("_v"), F.col("_qv")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, pair join on id order).
+
+    At corpus scale this would go through lsh buckets first; the exact
+    variant is the oracle-checkable baseline.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,111 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring (length / ratio
+features), token counting (whitespace + regex), and document
+fingerprinting (rolling hash) — all pure JVM-side column expressions
+(whole-stage codegen; no Python UDFs), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.functions import FP_MOD, FP_MUL, md5_long, tokens
+
+# Tiny stopword lists — enough signal for the heuristic; deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "est", "un", "une", "les"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char statistics + quality ratios.
+
+    quality_score is a simple bounded composite (mean token length in a
+    sane range, vowel ratio, stopword presence) of the kind used for
+    corpus filtering; every term is an exact SQL expression.
+    """
+    t = tokens(text_col)
+    text = F.col(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(text)
+    # regex token count: alphabetic runs (a BPE-ish pre-tokenizer subset)
+    n_alpha_tokens = F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0))
+    avg_token_len = F.round(
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 6
+    )
+    vowel_ratio = F.round(
+        F.size(F.regexp_extract_all(text, F.lit("[aeiou]"), 0)).cast("double")
+        / n_chars,
+        6,
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stopword_ratio = F.round(
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double")
+        / n_tokens,
+        6,
+    )
+    quality = F.round(
+        F.when((avg_token_len >= 2) & (avg_token_len <= 12), 0.4).otherwise(0.0)
+        + F.least(vowel_ratio * F.lit(2.0), F.lit(0.3))
+        + F.least(stopword_ratio * F.lit(3.0), F.lit(0.3)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_alpha_tokens.alias("n_alpha_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        vowel_ratio.alias("vowel_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic argmax.
+
+    Scores are DISTINCT stopword hits (set intersection) per language;
+    ties resolve in en > de > fr order; all-zero → 'und' (undetermined).
+    """
+    t = tokens(text_col)
+    scores: dict[str, Column] = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    lang = (
+        F.when((en == 0) & (de == 0) & (fr == 0), "und")
+        .when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        lang.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    Token stream → 60-bit token hashes → left fold
+    ``acc = (acc * 31 + h) % 1_000_000_007`` seeded with the first hash
+    (matching DuckDB's seedless ``list_reduce``).  Order-sensitive, unlike
+    the set-based dedup hashes: re-ordered content changes the fingerprint.
+    """
+    # token hashes pre-reduced mod FP_MOD so acc*31+h never overflows int64
+    hashed = F.transform(tokens(text_col), lambda tok: md5_long(tok) % F.lit(FP_MOD))
+    fp = F.aggregate(
+        F.slice(hashed, 2, F.greatest(F.size(hashed) - 1, F.lit(0))),
+        F.element_at(hashed, 1),
+        lambda acc, h: (acc * FP_MUL + h) % F.lit(FP_MOD),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,341 @@
+"""Extension queries: dedup / similarity / text-analysis / multimodal.
+
+Registered into the same ``QUERIES``/``ORACLE`` registry the driver reads.
+Where the algorithm involves hashes, the oracle SQL is *generated* with the
+same constants (functions.md5_long_sql) so DuckDB reproduces Spark's values
+bit-for-bit; queries that are genuinely non-SQL-expressible (LSH ANN with
+driver-seeded hyperplanes, mapInPandas entropy) are registered without an
+oracle → the driver records the weaker rows-only check, as designed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.functions import md5_long_sql
+from smalltsdb_spark.operators import dedup, multimodal, similarity, textstats
+from smalltsdb_spark.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, md5(text) AS content_hash,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (the only exact method that
+    scales: one shuffle on the hash, no raw-text sort)."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_jaccard_bigram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1]))) AS gram
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) sz FROM grams GROUP BY doc_id),
+    g AS (SELECT grams.doc_id, gram, sz FROM grams JOIN sizes USING (doc_id)),
+    pairs AS (
+        SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+               any_value(a.sz) sz_a, any_value(b.sz) sz_b
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+        FROM pairs
+    ) WHERE jaccard >= 0.15
+    """,
+)
+def dedup_jaccard_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs via inverted-index join —
+    only pairs sharing a gram are materialized, never the cross product."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.15
+    )
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    r = k // bands
+    hash_aggs = ",\n               ".join(
+        f"min({md5_long_sql('gram', i)}) AS h{i}" for i in range(k)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, ({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1]))) AS gram
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               {hash_aggs}
+        FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+        SELECT id_a, id_b, round(({agree}) / {float(k)}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON cand.id_a = sa.doc_id
+        JOIN sig sb ON cand.id_b = sb.doc_id
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands): candidates only where a band matches;
+    scored by signature agreement.  Shuffle volume is 16 longs per doc."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+
+
+def _simhash_oracle() -> str:
+    nbits = dedup.SIMHASH_BITS
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+    WITH ex AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) t FROM documents),
+    h AS (SELECT doc, {md5_long_sql('t')} AS hv FROM ex),
+    votes AS (
+        SELECT doc,
+               {votes}
+        FROM h GROUP BY doc
+    )
+    SELECT doc, CAST({assemble} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures (frequency-weighted bit votes, one
+    groupBy with 60 conditional sums)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("dedup_simhash_pairs")  # rows-only: composition of the checked simhash
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (15-bit-chunk banding + Hamming verify).
+    The signature itself is oracle-checked by dedup_simhash; the pair
+    generation is banded so no cross product exists at any scale."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=16
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id id_a, b.vec_id id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4), exact baseline; the scale
+    path replaces the pair join with LSH buckets (similarity.lsh_topk)."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id query_id, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id neighbor_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(cv, qv), 6) AS sim
+        FROM c, q WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 5:
+    broadcast queries, one corpus scan, ranking window with deterministic
+    tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    )
+
+
+@query("sim_lsh_ann")  # rows-only: hyperplanes are driver-seeded, not SQL
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (4 tables × 8 bits):
+    only same-bucket pairs are scored — the 100 TB path where the corpus
+    scan of brute force is too slow."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, nbits=8, tables=4, dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id, n_tokens, n_chars, n_alpha_tokens, avg_token_len,
+           vowel_ratio, stopword_ratio,
+           round(
+             (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12
+                   THEN 0.4 ELSE 0.0 END)
+             + least(vowel_ratio * 2.0, 0.3)
+             + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+               round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(len(regexp_extract_all(text, '[aeiou]'))::DOUBLE
+                     / length(text), 6) AS vowel_ratio,
+               round(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio
+        FROM documents
+    )
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: whitespace and regex token
+    counts, length/vowel/stopword ratios, bounded composite score — all
+    codegen'd column expressions."""
+    return textstats.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_lang_id",
+    """
+    SELECT doc_id, score_en, score_de, score_fr,
+           CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM (
+        SELECT doc_id,
+               len(list_intersect(string_split(text,' '),
+                   ['the','a','of','and','to','in','is','it'])) AS score_en,
+               len(list_intersect(string_split(text,' '),
+                   ['der','die','das','und','ist','ein','nicht'])) AS score_de,
+               len(list_intersect(string_split(text,' '),
+                   ['le','la','et','est','un','une','les'])) AS score_fr
+        FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic argmax/tiebreak."""
+    return textstats.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              tok -> {md5_long_sql('tok')} % 1000000007) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(hs, (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (token-hash fold)."""
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           length(text)::BIGINT AS n_bytes,
+           md5(substr(text, 1, 64)) AS head_hash
+    FROM documents
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: documents →
+    binary media column (+ typed metadata struct) → Arrow-batched
+    mapInPandas feature extraction.  The byte-level features (size, head
+    hash) are reproducible in SQL because the synthesized payload is the
+    utf-8 text; entropy (not SQL-expressible) is covered by unit tests."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "head_hash"
+    )

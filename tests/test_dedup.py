@@ -1,0 +1,62 @@
+"""Unit tests for dedup operators on tiny crafted inputs."""
+
+import pytest
+
+from smalltsdb_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different words appear in this one"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = {r.doc_id: r for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    assert not rows[1].is_dup and rows[2].is_dup
+    assert rows[1].content_hash == rows[2].content_hash
+    assert not rows[3].is_dup and not rows[4].is_dup
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    # docs 1,3 differ in one word -> share 6 of 10 distinct bigrams: j = 6/10
+    assert pairs[(1, 3)] == pytest.approx(0.6)
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_identical_docs_agree_fully(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=16, bands=4, threshold=0.0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near-dups share >= one band often; if present, estimate is < 1
+    if (1, 3) in pairs:
+        assert 0.0 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_properties(docs):
+    sig = {r.doc: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]  # identical text, identical signature
+    assert sig[1] != sig[4]
+    assert all(0 <= s < (1 << 60) for s in sig.values())
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=20).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0
