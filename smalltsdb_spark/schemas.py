@@ -23,6 +23,8 @@ INCOMING_SCHEMA = T.StructType(
     ]
 )
 
+INCOMING_COLUMNS = [f.name for f in INCOMING_SCHEMA.fields]
+
 # Per-period aggregate relation (reference tsdb.py:165-180).
 AGG_COLUMNS = ["path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"]
 
