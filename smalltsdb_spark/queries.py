@@ -271,6 +271,37 @@ def tsdb_self_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_agg_tensecond", _oracle_agg(10))
+def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T5: the Structured Streaming rollup (streaming/pipeline.py)
+    driven to completion over the full dataset with an availableNow
+    trigger, update mode exposing every bucket.  With all data in hand the
+    result equals the batch aggregation — so the same SQL oracle applies,
+    giving the streaming path full value-level correctness coverage."""
+    import tempfile
+    import uuid
+
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import streaming_aggregate
+
+    staging = tempfile.mkdtemp(prefix="stream_agg_src_")
+    # one staged file ⇒ availableNow runs one micro-batch ⇒ update mode
+    # emits each bucket exactly once (no per-batch re-emission dups)
+    events_as_incoming(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(staging)
+    inc = spark.readStream.schema(INCOMING_SCHEMA).parquet(staging)
+    sink = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_aggregate(inc, 10)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return _round_stats(spark.table(sink), _STATS)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth beyond the reference (SURVEY.md §2 "ABSENT" rows the
 # Spark engine provides natively): multi-way joins, semi/anti joins,

@@ -1,0 +1,170 @@
+"""The always-on flavor of the engine: ingest + rollup as streaming queries.
+
+The reference is a lambda architecture in miniature (SURVEY.md §2.8): a
+daemon appends raw datapoints, and a periodic ``sync()`` batch advances
+finalized per-period aggregates behind a 60-second finality tail.  In
+Structured Streaming both halves become standing queries and the finality
+bookkeeping disappears into the engine:
+
+- **ingest** (reference daemon.py:149-216): tail the daemon's spool
+  directory (sources/daemon.SpoolSink) with a file source, parse wire
+  lines JVM-side, append to the incoming parquet table on a 10 s trigger
+  (the daemon's flush cadence, daemon.py:157).  Checkpointing upgrades the
+  reference's acknowledged-lossy in-memory queue to at-least-once.
+
+- **rollup** (reference sync(), tsdb.py:305-420): windowed aggregation
+  with ``withWatermark(ts, tail)`` in *append* mode.  Append emission ==
+  the reference's finality rule: a bucket is written exactly once, when
+  the watermark (max event time − tail) passes its end — the same
+  ``intervals()`` arithmetic, enforced by the state store instead of a
+  high-water-mark table.  Late rows inside the tail merge into their
+  open bucket; rows later than the tail are dropped, exactly the
+  reference's semantics (T4, tsdb.py:263-268).  The *partial* interval the
+  reference computes but never materializes (tsdb.py:372-374) is exposed
+  for free by running the same aggregation in *update* mode.
+
+Scale notes (100 TB/day): the per-period rollups are independent queries
+sharing one source — each shuffles once on (path, window); state size is
+bounded by (active paths × open windows); exact percentile state buffers
+each open group's values, which is the correctness mode — pass
+``exact=False`` for the t-digest sketch when per-bucket cardinality is
+unbounded.  Path-skew (hot metrics) is handled by AQE skew-join settings
+for the batch flavor; for streaming, pre-salt paths at the daemon if one
+metric dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from smalltsdb_spark.config import DEFAULT_TAIL, QUANTILES
+from smalltsdb_spark.schemas import PARTITION_COLUMN, SECONDS_PER_DAY
+from smalltsdb_spark.sources.graphite import parse_lines_df
+
+
+def read_spool_stream(
+    spark: SparkSession, spool_dir: str, use_datasource: bool = False
+) -> DataFrame:
+    """Streaming incoming relation from a daemon spool directory.
+
+    Default path is the JVM file source + codegen parser (fastest); pass
+    ``use_datasource=True`` for the pure-Python ``graphite`` DataSource
+    (sources/datasource.py) — same rows, useful where the spool naming
+    contract (offset = filename order) matters more than throughput.
+    """
+    if use_datasource:
+        from smalltsdb_spark.sources.datasource import GraphiteDataSource
+
+        spark.dataSource.register(GraphiteDataSource)
+        return spark.readStream.format("graphite").load(spool_dir)
+    lines = spark.readStream.text(spool_dir + "/*.graphite")
+    return parse_lines_df(lines)
+
+
+def start_ingest(
+    incoming_stream: DataFrame,
+    incoming_path: str,
+    checkpoint: str,
+    *,
+    interval: str | None = "10 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Append the parsed stream to the incoming parquet table,
+    day-partitioned like the batch writer (storage.append)."""
+    writer = (
+        incoming_stream.withColumn(
+            PARTITION_COLUMN,
+            F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", incoming_path)
+        .partitionBy(PARTITION_COLUMN)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
+def streaming_aggregate(
+    incoming: DataFrame,
+    seconds: int,
+    tail: float = DEFAULT_TAIL,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """The engine's one aggregation (operators/aggregate.py) in streaming
+    form: tumbling ``window()`` on event time with a ``tail``-second
+    watermark.  Output schema == AGG_SCHEMA, bucket labeled by window
+    start as a double epoch, so streaming and batch results are
+    row-compatible (tested against the batch goldens).
+    """
+    if exact:
+        pcts = F.percentile("value", F.array(*[F.lit(q) for q in QUANTILES]))
+    else:
+        pcts = F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in QUANTILES]), F.lit(approx_accuracy)
+        )
+    return (
+        incoming.withColumn("_ts", F.timestamp_seconds(F.col("timestamp")))
+        .withWatermark("_ts", f"{int(tail)} seconds")
+        .groupBy("path", F.window("_ts", f"{seconds} seconds").alias("_w"))
+        .agg(
+            F.count("value").cast("double").alias("n"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.avg("value").alias("avg"),
+            F.sum("value").alias("sum"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "path",
+            F.unix_timestamp("_w.start").cast("double").alias("timestamp"),
+            "n",
+            "min",
+            "max",
+            "avg",
+            "sum",
+            F.col("_pcts")[0].cast("double").alias("p50"),
+            F.col("_pcts")[1].cast("double").alias("p90"),
+            F.col("_pcts")[2].cast("double").alias("p99"),
+        )
+    )
+
+
+def start_rollup(
+    incoming_stream: DataFrame,
+    period_path: str,
+    checkpoint: str,
+    seconds: int,
+    *,
+    tail: float = DEFAULT_TAIL,
+    interval: str | None = "10 seconds",
+    available_now: bool = False,
+    exact: bool = True,
+) -> StreamingQuery:
+    """One period's always-on rollup: finalized buckets append to the
+    period's parquet table exactly once (watermark finality == the
+    reference's ``intervals()`` rule).  Run one per configured period —
+    they are independent queries and scale independently."""
+    agg = streaming_aggregate(incoming_stream, seconds, tail=tail, exact=exact)
+    writer = (
+        agg.withColumn(
+            PARTITION_COLUMN,
+            F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", period_path)
+        .partitionBy(PARTITION_COLUMN)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()

@@ -1,0 +1,118 @@
+"""Streaming flavor: spool → ingest → rollup, tested against the same
+goldens as the batch path (FIXTURES.md §2).
+
+Watermark mechanics under test (reference finality semantics, T2/T4):
+- append mode emits a bucket exactly once, when watermark passes its end;
+- rows later than the tail are silently dropped (reference
+  tsdb.py:263-268 — the bucket's high-water mark has moved past).
+"""
+
+import os
+
+import pytest
+
+from smalltsdb_spark.sources.daemon import SpoolSink
+from smalltsdb_spark.streaming import (
+    read_spool_stream,
+    start_ingest,
+    start_rollup,
+    streaming_aggregate,
+)
+from smalltsdb_spark.tsdb import TablesTSDB
+from tests.test_golden import GOLDEN_A_INPUT, GOLDEN_A_TENSECOND
+
+
+@pytest.fixture()
+def spool(tmp_path):
+    sink = SpoolSink(str(tmp_path / "spool"))
+    return sink
+
+
+def _run_rollup(spark, spool, tmp_path, **kwargs):
+    q = start_rollup(
+        read_spool_stream(spark, spool.spool_dir),
+        str(tmp_path / "tensecond"),
+        str(tmp_path / "ckpt_rollup"),
+        10,
+        available_now=True,
+        **kwargs,
+    )
+    q.awaitTermination(120)
+
+
+def _table(spark, tmp_path, name="tensecond"):
+    from smalltsdb_spark.storage import _has_data
+
+    p = str(tmp_path / name)
+    if not _has_data(p):
+        return []
+    df = spark.read.parquet(p).select(
+        "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+    )
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ingest_then_batch_sync_golden(spark, spool, tmp_path, tsdb_dir):
+    """spool files → streaming ingest → incoming parquet → batch sync()."""
+    spool([(p, t, v) for p, t, v in GOLDEN_A_INPUT])
+    incoming_path = str(tmp_path / "incoming")
+    q = start_ingest(
+        read_spool_stream(spark, spool.spool_dir),
+        incoming_path,
+        str(tmp_path / "ckpt_ingest"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    db = TablesTSDB(spark, tsdb_dir, incoming_path=incoming_path, now=lambda: 100.0)
+    assert sorted(map(tuple, db.incoming().collect())) == sorted(GOLDEN_A_INPUT)
+    db.sync()
+    rows = [
+        tuple(r)
+        for r in db.period_table("tensecond").orderBy("path", "timestamp").collect()
+    ]
+    assert rows == pytest.approx(GOLDEN_A_TENSECOND)
+
+
+def test_rollup_watermark_finality_golden(spark, spool, tmp_path):
+    # run 1: all golden rows arrive; max event time 12 → watermark 0 →
+    # nothing final yet (reference: now=12+ε, tail=60 ⇒ no final buckets)
+    spool([(p, t, v) for p, t, v in GOLDEN_A_INPUT])
+    _run_rollup(spark, spool, tmp_path)
+    assert _table(spark, tmp_path) == []
+
+    # run 2: a clock-advancing datapoint (ts=200) moves the watermark to
+    # 140 → buckets [0,10) and [10,20) finalize and append exactly once
+    spool([("clock", 200.0, 0.0)])
+    _run_rollup(spark, spool, tmp_path)
+    assert _table(spark, tmp_path) == pytest.approx(sorted(GOLDEN_A_TENSECOND))
+
+    # run 3 (T4): a row later than the tail targets finalized bucket 0 —
+    # dropped, no duplicate bucket row, no recompute
+    spool([("one", 3.0, 99.0)])
+    _run_rollup(spark, spool, tmp_path)
+    assert _table(spark, tmp_path) == pytest.approx(sorted(GOLDEN_A_TENSECOND))
+
+
+def test_rollup_partials_update_mode(spark, spool, tmp_path):
+    """The reference computes but never materializes partial buckets
+    (tsdb.py:372-374); update mode exposes them — a capability upgrade."""
+    spool([(p, t, v) for p, t, v in GOLDEN_A_INPUT])
+    agg = streaming_aggregate(read_spool_stream(spark, spool.spool_dir), 10)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("partials")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        tuple(r)
+        for r in spark.table("partials")
+        .select("path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99")
+        .collect()
+    )
+    # same values as the final buckets — they just became visible before
+    # the watermark passed (ViewTSDB shows the same thing, tsdb.py:216-227)
+    assert rows == pytest.approx(sorted(GOLDEN_A_TENSECOND))
