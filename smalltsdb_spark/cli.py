@@ -1,0 +1,122 @@
+"""Command-line interface (reference cli.py:35-68): ``daemon`` and ``sync``.
+
+    python -m smalltsdb_spark daemon --db /data/tsdb [--address host:port]
+        [--interval 10] [--spool DIR] [--self-metrics]
+    python -m smalltsdb_spark sync --db /data/tsdb [--lock-file PATH]
+        [--emit-metrics] [--repeat SECONDS]
+
+``sync --lock-file`` takes an OS-level ``flock`` so only one sync runs at
+a time (the reference uses an inter-process lock for the same reason —
+its SQLite writes would corrupt; ours would waste work and race the
+dynamic-partition overwrite).  ``daemon`` runs the socket listener with a
+direct-insert sink by default, or a durable spool (--spool) for the
+streaming pipeline to pick up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import fcntl
+import signal
+import sys
+import threading
+import time
+
+
+def _parse_address(text: str) -> tuple[str, int]:
+    host, _, port = text.rpartition(":")
+    return host or "localhost", int(port)
+
+
+@contextlib.contextmanager
+def exclusive_lock(lock_file: str | None):
+    if lock_file is None:
+        yield
+        return
+    with open(lock_file, "a") as f:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            raise SystemExit(f"another sync holds {lock_file}; exiting")
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
+def cmd_daemon(args) -> None:
+    from smalltsdb_spark.session import get_spark
+    from smalltsdb_spark.sources.daemon import Daemon, SpoolSink
+    from smalltsdb_spark.tsdb import TSDB
+
+    if args.spool:
+        sink = SpoolSink(args.spool)
+    else:
+        spark = get_spark()
+        # write-only handle, like the reference daemon (daemon.py:245)
+        sink = TSDB(spark, args.db, with_aggregate=False).insert
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+
+    daemon = Daemon(
+        sink,
+        _parse_address(args.address),
+        interval=args.interval,
+        self_metric_prefix="smalltsdb.daemon" if args.self_metrics else None,
+    )
+    with daemon:
+        print(f"listening on {daemon.address} (udp+tcp), flushing every {args.interval}s")
+        stop.wait()
+    print("drained and flushed; bye")
+
+
+def cmd_sync(args) -> None:
+    from smalltsdb_spark.session import get_spark
+    from smalltsdb_spark.timer import Timer
+    from smalltsdb_spark.tsdb import TSDB
+
+    spark = get_spark()
+    # self-metric names carry the reference's dotted prefix (cli.py:59-60)
+    db = TSDB(
+        spark,
+        args.db,
+        emit_metrics=args.emit_metrics,
+        timer=Timer(prefix="smalltsdb") if args.emit_metrics else None,
+    )
+    with exclusive_lock(args.lock_file):
+        while True:
+            started = time.monotonic()
+            db.sync()
+            if not args.repeat:
+                return
+            time.sleep(max(0.0, args.repeat - (time.monotonic() - started)))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="smalltsdb_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("daemon", help="Graphite-line ingest daemon (UDP+TCP)")
+    p.add_argument("--db", required=True, help="TSDB storage directory")
+    p.add_argument("--address", default="localhost:1111")
+    p.add_argument("--interval", type=float, default=10.0, help="flush seconds")
+    p.add_argument("--spool", help="land wire lines in this spool dir instead of inserting")
+    p.add_argument("--self-metrics", action="store_true")
+    p.set_defaults(func=cmd_daemon)
+
+    p = sub.add_parser("sync", help="advance finalized aggregates once (or --repeat)")
+    p.add_argument("--db", required=True)
+    p.add_argument("--lock-file", help="flock here so only one sync runs")
+    p.add_argument("--emit-metrics", action="store_true")
+    p.add_argument("--repeat", type=float, default=0.0, help="re-sync every N seconds")
+    p.set_defaults(func=cmd_sync)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main(sys.argv[1:])

@@ -43,6 +43,7 @@ from smalltsdb_spark.config import (
 from smalltsdb_spark.intervals import final_end
 from smalltsdb_spark.operators.aggregate import aggregate
 from smalltsdb_spark.schemas import AGG_SCHEMA, INCOMING_SCHEMA, SECONDS_PER_DAY
+from smalltsdb_spark.timer import Timer
 from smalltsdb_spark.utils import coerce_epoch
 
 Datapoint = tuple[str, float, float]
@@ -62,6 +63,8 @@ class BaseTSDB:
         with_aggregate: bool = True,
         incoming_path: str | None = None,
         now: callable = time.time,
+        emit_metrics: bool = False,
+        timer: Timer | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -72,6 +75,10 @@ class BaseTSDB:
         self.with_aggregate = with_aggregate
         self.incoming_path = incoming_path or os.path.join(path, "incoming")
         self._now = now
+        # self-instrumentation (reference tsdb.py:82-85): timings are
+        # datapoints; emit_metrics re-ingests them (T6)
+        self.emit_metrics = emit_metrics
+        self.timer = timer if timer is not None else Timer()
 
     # -- write path ---------------------------------------------------------
 
@@ -108,26 +115,40 @@ class BaseTSDB:
     def _period_path(self, period: str) -> str:
         return os.path.join(self.path, period)
 
-    def get_metric_df(self, path, period, stat, interval) -> DataFrame:
+    def get_metric_df(
+        self, path, period, stat, interval, *, limit: int | None = None, offset: int = 0
+    ) -> DataFrame:
         """One stat of one metric over a closed interval, ordered by time.
 
         Reference read query (tsdb.py:130-137): inclusive ``between`` on
         both ends — kept for parity (sync planning itself is half-open,
-        see intervals.py).
+        see intervals.py).  ``limit``/``offset`` add the pagination the
+        reference only TODOs ("can exhaust memory, paginate",
+        tsdb.py:150) — Catalyst turns sort+limit into
+        TakeOrderedAndProject (no full sort materialization).
         """
         validate_period(period, self.period_seconds)
         validate_stat(stat)
         start, end = (coerce_epoch(x) for x in interval)
-        return (
+        df = (
             self.period_table(period)
             .filter(F.col("path") == path)
             .filter(F.col("timestamp").between(start, end))
             .select("timestamp", stat)
             .orderBy("timestamp")
         )
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
 
-    def get_metric(self, path, period, stat, interval) -> list[tuple[float, float]]:
-        return [tuple(r) for r in self.get_metric_df(path, period, stat, interval).collect()]
+    def get_metric(
+        self, path, period, stat, interval, *, limit: int | None = None, offset: int = 0
+    ) -> list[tuple[float, float]]:
+        with self.timer("get_metric"):
+            df = self.get_metric_df(path, period, stat, interval, limit=limit, offset=offset)
+            return [tuple(r) for r in df.collect()]
 
     def list_metrics_df(self) -> DataFrame:
         """Distinct paths across all period tables (reference tsdb.py:142-152).
@@ -138,8 +159,14 @@ class BaseTSDB:
         dfs = [self.period_table(name).select("path") for name, _ in self.periods]
         return reduce(DataFrame.union, dfs).distinct()
 
-    def list_metrics(self) -> list[str]:
-        return sorted(r.path for r in self.list_metrics_df().collect())
+    def list_metrics(self, *, limit: int | None = None, offset: int = 0) -> list[str]:
+        with self.timer("list_metrics"):
+            df = self.list_metrics_df().orderBy("path")
+            if offset:
+                df = df.offset(offset)
+            if limit is not None:
+                df = df.limit(limit)
+            return [r.path for r in df.collect()]
 
     def sync(self) -> None:
         raise NotImplementedError
@@ -229,13 +256,24 @@ class TablesTSDB(BaseTSDB):
 
     def sync(self) -> None:
         """Advance finalized aggregates for every period, then apply
-        retention to incoming (reference tsdb.py:305-420)."""
+        retention to incoming (reference tsdb.py:305-420).
+
+        Every phase is timed; with ``emit_metrics=True`` the timings are
+        re-ingested as ordinary datapoints (T6, reference tsdb.py:310-337)
+        under ``[<prefix>.]sync.<period>.<phase>.<clock>`` names.
+        """
         now = self._now()
         incoming = self.incoming()
-        for name, seconds in self.periods:
-            new_rows = aggregate(self._eligible(incoming, seconds, now), seconds)
-            self._upsert(new_rows, name)
-        self._retention(now)
+        with self.timer("sync", "all") as timings:
+            for name, seconds in self.periods:
+                with self.timer(name, "all"):
+                    new_rows = aggregate(self._eligible(incoming, seconds, now), seconds)
+                    with self.timer("upsert_query"):
+                        self._upsert(new_rows, name)
+            with self.timer("delete_incoming_query"):
+                self._retention(now)
+        if self.emit_metrics:
+            self.insert(timings)
 
     def _retention(self, now: float) -> None:
         """``delete from incoming where timestamp < now - tail - max_period``

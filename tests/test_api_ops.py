@@ -1,0 +1,65 @@
+"""M5 API surface: pagination, sync self-metrics, CLI sync command."""
+
+import fcntl
+
+import pytest
+
+from smalltsdb_spark import cli
+from smalltsdb_spark.timer import Timer
+from smalltsdb_spark.tsdb import TablesTSDB, ViewTSDB
+from tests.test_golden import GOLDEN_B_INPUT
+
+
+def test_get_metric_pagination(spark, tsdb_dir):
+    db = ViewTSDB(spark, tsdb_dir)
+    db.insert(GOLDEN_B_INPUT)
+    full = db.get_metric("one", "tensecond", "n", (0, 100))
+    assert len(full) == 5
+    assert db.get_metric("one", "tensecond", "n", (0, 100), limit=2) == full[:2]
+    assert db.get_metric("one", "tensecond", "n", (0, 100), limit=2, offset=2) == full[2:4]
+    assert db.get_metric("one", "tensecond", "n", (0, 100), offset=4) == full[4:]
+
+
+def test_list_metrics_pagination(spark, tsdb_dir):
+    db = ViewTSDB(spark, tsdb_dir)
+    db.insert(GOLDEN_B_INPUT)
+    assert db.list_metrics(limit=1) == ["one"]
+    assert db.list_metrics(limit=1, offset=1) == ["two"]
+
+
+def test_sync_emit_metrics(spark, tsdb_dir):
+    """T6: sync timings re-ingested as datapoints with the reference's
+    dotted naming (tsdb.py:310-337, cli.py:59-60)."""
+    db = TablesTSDB(
+        spark,
+        tsdb_dir,
+        now=lambda: 100.0,
+        emit_metrics=True,
+        timer=Timer(prefix="smalltsdb"),
+    )
+    db.insert([("one", 1.0, 1.0)])
+    db.sync()
+    incoming = {r.path for r in db.incoming().collect()}
+    assert "smalltsdb.sync.all.time" in incoming
+    assert "smalltsdb.sync.tensecond.all.time" in incoming
+    assert "smalltsdb.sync.tensecond.upsert_query.time" in incoming
+    assert "smalltsdb.sync.delete_incoming_query.time" in incoming
+    # 6 periods × 2 + sync.all + delete = 14 timing datapoints + 1 data row
+    assert len(incoming) == 15
+
+
+def test_cli_sync_and_lock(spark, tsdb_dir, tmp_path):
+    db = TablesTSDB(spark, tsdb_dir)
+    db.insert([("cli.metric", 1.0, 5.0)])  # ts=1 → final long ago
+
+    cli.main(["sync", "--db", tsdb_dir])
+    assert db.get_metric("cli.metric", "tensecond", "sum", (0, 10)) == [(0.0, 5.0)]
+
+    lock_file = str(tmp_path / "sync.lock")
+    holder = open(lock_file, "a")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    with pytest.raises(SystemExit):
+        cli.main(["sync", "--db", tsdb_dir, "--lock-file", lock_file])
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    cli.main(["sync", "--db", tsdb_dir, "--lock-file", lock_file])
