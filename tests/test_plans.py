@@ -1,0 +1,124 @@
+"""Plan-shape regression tests — the 100 TB properties (SURVEY.md §4).
+
+Correctness tests pin values; these pin the *physical plans*: filter
+pushdown to the parquet scan, column pruning, broadcast of small join
+sides, map-side partial aggregation, and bounded shuffle counts.  A
+regression here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.operators.aggregate import aggregate
+from smalltsdb_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)
+from smalltsdb_spark import queries_ext  # noqa: F401  (registers extensions)
+from smalltsdb_spark.queries import QUERIES, events_as_incoming
+from smalltsdb_spark.tsdb import TablesTSDB
+from tests.test_golden import GOLDEN_A_INPUT
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_read_path_pushes_filters_to_scan(spark, tsdb_dir):
+    """get_metric on a materialized table = the reference's index range
+    scan: both predicates must reach the parquet reader."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    df = db.get_metric_df("one", "tensecond", "p90", (0, 50))
+    filters = " ".join(pushed_filters(df))
+    assert "EqualTo(path,one)" in filters
+    assert "GreaterThanOrEqual(timestamp,0" in filters
+    assert "LessThanOrEqual(timestamp,50" in filters
+
+
+def test_read_path_prunes_columns(spark, tsdb_dir):
+    """2-column projection must not scan the 10-column aggregate row."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    df = db.get_metric_df("one", "tensecond", "p90", (0, 50))
+    for cols in scan_columns(df):
+        assert cols <= {"path", "timestamp", "p90"}, cols
+
+
+def test_view_mode_pushes_grouping_key_filter_below_agg(spark, tsdb_dir):
+    """ViewTSDB: the path filter must push through the aggregation to the
+    scan (path is a grouping key) — the optimization SQLite + a Python
+    UDAF could not do (SURVEY.md §3.1)."""
+    from smalltsdb_spark.tsdb import ViewTSDB
+
+    db = ViewTSDB(spark, tsdb_dir)
+    db.insert(GOLDEN_A_INPUT)
+    df = db.get_metric_df("one", "tensecond", "p90", (0, 50))
+    assert any("EqualTo(path,one)" in f for f in pushed_filters(df))
+
+
+def test_aggregate_is_partial_then_final(spark):
+    """Map-side combine: partial aggregate before the one shuffle, final
+    after — and exactly one shuffle for a single group-by."""
+    inc = events_as_incoming(spark, SF_DIR)
+    df = aggregate(inc, 60)
+    plan = physical_plan(df)
+    assert exchange_count(df) == 1
+    # exact percentile is a typed-imperative aggregate → ObjectHashAggregate
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "partial_" in plan  # partial_percentile / partial_count etc.
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """Revenue-by-nation: customer and nation must broadcast, never
+    shuffle the fact table against a dimension."""
+    df = QUERIES["rel_revenue_by_nation"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2
+    # lineitem⋈orders shuffle (×2) + agg + final sort are the only
+    # acceptable exchanges; dims must not add any
+    assert exchange_count(df) <= 5
+
+
+def test_hwm_join_broadcasts(spark, tsdb_dir):
+    """Incremental sync's eligibility join: the per-path high-water-mark
+    side is tiny and must broadcast (tsdb.py _eligible)."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    db.insert([("one", 70.0, 2.0)])
+    eligible = db._eligible(db.incoming(), 10, 200.0)
+    assert broadcast_join_count(eligible) == 1
+    assert exchange_count(eligible) <= 1  # only the HWM group-by's own
+
+
+def test_list_metrics_scans_only_path(spark, tsdb_dir):
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    for cols in scan_columns(db.list_metrics_df()):
+        assert cols <= {"path"}, cols
+
+
+def test_parse_lines_single_codegen_stage(spark):
+    """The wire parser must stay entirely JVM-side (no Python UDF nodes)."""
+    from smalltsdb_spark.sources.graphite import parse_lines_df
+
+    lines = spark.createDataFrame([("a 1 2",)], "value string")
+    plan = physical_plan(parse_lines_df(lines))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tsdb_agg_tensecond", "rel_pricing_summary", "dedup_exact"]
+)
+def test_driver_queries_have_no_python_eval_in_hot_path(spark, name):
+    """Core relational queries must not fall back to Python row eval.
+    (Pandas-UDF-based extension ops are exempt by design.)"""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
