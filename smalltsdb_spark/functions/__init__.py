@@ -13,6 +13,9 @@ native functions.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -63,6 +66,43 @@ def word_ngrams(tok: Column, n: int) -> Column:
             " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``Σ a[i]·b[i]`` for a known, fixed dimension — unrolled into plain
+    codegen arithmetic.  Higher-order functions (``zip_with`` +
+    ``aggregate``) execute interpreted per element, which dominates cost
+    when evaluated once per *pair* in a join; the unrolled form compiles.
+
+    Left-associated sum in the same order as :func:`cosine_similarity`'s
+    sequential fold, so compositions produce bit-identical doubles.
+    """
+    return reduce(
+        add,
+        (
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ),
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm via the sequential fold (same summation order as
+    :func:`cosine_similarity`'s denominator).  Evaluate this once per
+    *row* before a pair join — then the per-pair expression is only the
+    dot product, small enough for whole-stage codegen's 64 KB method
+    limit."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Cosine for a known, fixed dimension (see :func:`dot_product_fixed`;
+    prefer precomputing :func:`l2_norm` per side when used after a join)."""
+    na = F.sqrt(dot_product_fixed(a, a, dim))
+    nb = F.sqrt(dot_product_fixed(b, b, dim))
+    return dot_product_fixed(a, b, dim) / (na * nb)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -79,7 +79,10 @@ def ngram_jaccard_pairs(
         freq = grams.groupBy("gram").count().filter(F.col("count") <= max_gram_freq)
         grams = grams.join(freq.select("gram"), "gram")
     sizes = grams.groupBy("doc").agg(F.count("*").alias("sz"))
-    g = grams.join(F.broadcast(sizes), "doc")
+    # the gram relation feeds the frequency cut, the sizes, and BOTH join
+    # sides — cache it once instead of re-deriving (tokenize + explode +
+    # freq-join) four times; MEMORY_AND_DISK, spills rather than OOMs
+    g = grams.join(F.broadcast(sizes), "doc").cache()
     a, b = g.alias("a"), g.alias("b")
     pairs = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))

@@ -27,25 +27,59 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import cosine_similarity
+from smalltsdb_spark.functions import cosine_similarity, dot_product_fixed, l2_norm
 
 
-def _scored_pairs(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str):
+def _pair_sim(a, b, na, nb, dim: int | None):
+    """Per-pair cosine given per-row precomputed norms.
+
+    With a known dimension the dot product is unrolled (compiles inside
+    whole-stage codegen — the full cosine including norms overflows the
+    64 KB generated-method limit inside join consume functions, forcing
+    an interpreted fallback; norms are per-ROW work and belong before the
+    join anyway).  Summation order matches functions.cosine_similarity,
+    so results are bit-identical to the generic fold.
+    """
+    if dim:
+        return dot_product_fixed(a, b, dim) / (na * nb)
+    return cosine_similarity(a, b)
+
+
+def _scored_pairs(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int | None
+):
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+    # parallelize the corpus scan even when it arrives as one small file
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.repartition(parallelism)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        .withColumn("_cn", l2_norm(F.col("_cvec")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "sim", F.round(cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6)
+            "sim",
+            F.round(
+                _pair_sim(
+                    F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                6,
+            ),
         )
     )
 
 
 def cosine_topk(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, sim, rank).
 
@@ -55,7 +89,7 @@ def cosine_topk(
     """
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
-        _scored_pairs(corpus, queries, id_col, vec_col)
+        _scored_pairs(corpus, queries, id_col, vec_col, dim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
@@ -72,7 +106,14 @@ def hyperplanes(dim: int, nbits: int, tables: int = 1, seed: int = 42) -> list[l
 
 
 def _bucket_of(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id of a vector under one table's hyperplanes."""
+    """Sign-bit bucket id of a vector under one table's hyperplanes.
+
+    Deliberately NOT unrolled: tables × nbits × dim literal terms blow the
+    64 KB generated-method limit and force a whole-stage interpreted
+    fallback (measured slower than the higher-order form).  Bucketing runs
+    once per row, not per pair, so the interpreted fold is off the hot
+    path; pair *scoring* uses the unrolled cosine.
+    """
     bits = [
         F.when(
             F.aggregate(
@@ -116,6 +157,7 @@ def lsh_topk(
             df.select(
                 F.col(idc),
                 F.col(vec_col).alias("_v"),
+                l2_norm(F.col(vec_col)).alias("_n"),
                 F.lit(t).alias("_table"),
                 _bucket_of(F.col(vec_col), planes[t]).alias("_bucket"),
             )
@@ -131,14 +173,21 @@ def lsh_topk(
     )
     cand = (
         cb.join(
-            F.broadcast(qb.withColumnRenamed("_v", "_qv")),
+            F.broadcast(
+                qb.withColumnRenamed("_v", "_qv").withColumnRenamed("_n", "_qn")
+            ),
             ["_table", "_bucket"],
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("_v"), F.col("_qv")), 6).alias("sim"),
+            F.round(
+                _pair_sim(
+                    F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim
+                ),
+                6,
+            ).alias("sim"),
         )
         .distinct()
     )
@@ -151,19 +200,40 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    corpus: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact, pair join on id order).
 
     At corpus scale this would go through lsh buckets first; the exact
     variant is the oracle-checkable baseline.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # the corpus often arrives as one small file → one partition → the
+    # O(n²) pair evaluation runs on one core; spread the streamed side
+    # across the cluster (the other side broadcasts, so this repartition
+    # shuffles only n rows to parallelize n² work)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    a = (
+        corpus.repartition(parallelism)
+        .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        .withColumn("_na", l2_norm(F.col("_va")))
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", l2_norm(F.col("_vb")))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                _pair_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
