@@ -65,6 +65,8 @@ class BaseTSDB:
         now: callable = time.time,
         emit_metrics: bool = False,
         timer: Timer | None = None,
+        exact_percentiles: bool = True,
+        retention: dict[str, float] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -79,6 +81,16 @@ class BaseTSDB:
         # datapoints; emit_metrics re-ingests them (T6)
         self.emit_metrics = emit_metrics
         self.timer = timer if timer is not None else Timer()
+        # exact percentiles are the reference's semantics (IDEAS.md:3-4);
+        # False switches to percentile_approx (t-digest-style sketch,
+        # bounded memory, mergeable) — the documented 100 TB mode
+        self.exact_percentiles = exact_percentiles
+        # per-period max age in seconds (the reference's IDEAS.md:6 /
+        # tsdb.py:343 TODO, done): older aggregate rows are dropped at
+        # sync time, whole day-partitions at a time
+        self.retention = dict(retention or {})
+        for period in self.retention:
+            validate_period(period, self.period_seconds)
 
     # -- write path ---------------------------------------------------------
 
@@ -181,7 +193,7 @@ class ViewTSDB(BaseTSDB):
 
     def period_table(self, period: str) -> DataFrame:
         seconds = validate_period(period, self.period_seconds)
-        return aggregate(self.incoming(), seconds)
+        return aggregate(self.incoming(), seconds, exact=self.exact_percentiles)
 
     def sync(self) -> None:
         """No-op (reference tsdb.py:230-231)."""
@@ -267,9 +279,17 @@ class TablesTSDB(BaseTSDB):
         with self.timer("sync", "all") as timings:
             for name, seconds in self.periods:
                 with self.timer(name, "all"):
-                    new_rows = aggregate(self._eligible(incoming, seconds, now), seconds)
+                    new_rows = aggregate(
+                        self._eligible(incoming, seconds, now),
+                        seconds,
+                        exact=self.exact_percentiles,
+                    )
                     with self.timer("upsert_query"):
                         self._upsert(new_rows, name)
+                    if name in self.retention:
+                        storage.drop_partitions_below(
+                            self._period_path(name), now - self.retention[name]
+                        )
             with self.timer("delete_incoming_query"):
                 self._retention(now)
         if self.emit_metrics:
