@@ -401,6 +401,166 @@ def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_props_json",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+           max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) >= 10
+    GROUP BY event_type
+    """,
+)
+def rel_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (SURVEY.md §2.7 — absent in the
+    reference, needed for events.props): get_json_object stays JVM-side;
+    at scale prefer parsing once with from_json into a struct column."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .filter(F.col("_k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.max("_k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "rel_having",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20 AND sum(value) > 100
+    """,
+)
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING / post-aggregation filter (SURVEY.md §2.3, absent in the
+    reference): heavy users by event count and value sum."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("_vs"))
+        .filter((F.col("n_events") >= 20) & (F.col("_vs") > 100))
+        .select("user_id", "n_events", F.round("_vs", 6).alias("value_sum"))
+    )
+
+
+@query(
+    "rel_set_ops",
+    """
+    WITH half AS (SELECT median(epoch(ts)) m FROM events),
+    first_half AS (
+        SELECT DISTINCT user_id FROM events, half WHERE epoch(ts) < m
+    ),
+    second_half AS (
+        SELECT DISTINCT user_id FROM events, half WHERE epoch(ts) >= m
+    ),
+    both_halves AS (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half),
+    only_first AS (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+    SELECT 'both' AS cohort, user_id FROM both_halves
+    UNION ALL
+    SELECT 'only_first' AS cohort, user_id FROM only_first
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY.md §2.6, absent in the reference):
+    users active in both time halves vs only the first."""
+    ev = read_events(spark, sf_dir)
+    m = ev.agg(F.median("ts_sec")).collect()[0][0]
+    first = ev.filter(F.col("ts_sec") < m).select("user_id").distinct()
+    second = ev.filter(F.col("ts_sec") >= m).select("user_id").distinct()
+    both = first.intersect(second).select(F.lit("both").alias("cohort"), "user_id")
+    only_first = first.exceptAll(second).select(
+        F.lit("only_first").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only_first)
+
+
+@query(
+    "stream_sliding_window",
+    """
+    SELECT event_type,
+           floor(epoch(ts) / 1800) * 1800 - 1800 * k AS win_start,
+           count(*) AS n,
+           round(sum(value), 6) AS value_sum
+    FROM events CROSS JOIN (VALUES (0), (1)) AS slides(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows (SURVEY.md §2.8 T7, absent in the
+    reference — tumbling only): 1-hour windows every 30 minutes.  Each
+    event lands in exactly 2 windows; the oracle enumerates both slides
+    per row.  The same expression works under readStream."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window(F.timestamp_seconds("ts_sec"), "1 hour", "30 minutes").alias("_w"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(
+            "event_type",
+            F.unix_timestamp("_w.start").cast("double").alias("win_start"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH o AS (SELECT user_id, epoch(ts) AS t FROM events),
+    marked AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+                         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ),
+    sessions AS (
+        SELECT user_id, t,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sess
+        FROM marked
+    )
+    SELECT user_id,
+           round(min(t), 6) AS session_start,
+           round(max(t), 6) AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sess
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (SURVEY.md §2.8 T7): 30-minute-gap sessions per
+    user via session_window — Spark merges events closer than the gap;
+    the oracle reproduces it with the classic gaps-and-islands window
+    SQL.  Session bounds are reported as first/last event time (Spark's
+    window.end includes the trailing gap, so min/max keeps both engines
+    comparable).  The same expression works under readStream with
+    watermarked state."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.timestamp_seconds("ts_sec"), "30 minutes").alias("_w"),
+        )
+        .agg(
+            F.round(F.min("ts_sec"), 6).alias("session_start"),
+            F.round(F.max("ts_sec"), 6).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
     "rel_top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, rn FROM (
