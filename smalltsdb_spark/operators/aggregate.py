@@ -50,6 +50,52 @@ def bucket(ts: Column | str, seconds: int) -> Column:
     return (F.floor(c / F.lit(seconds)) * F.lit(seconds)).cast("double")
 
 
+def aggregate_salted(
+    incoming: DataFrame, seconds: int, salt_buckets: int = 32
+) -> DataFrame:
+    """Skew-proof two-phase aggregation of the five algebraic stats.
+
+    ``groupBy(path, bucket)`` sends every row of a hot metric's bucket to
+    one reducer; map-side partial aggregation already absorbs most of
+    that, but a single (path, bucket) group whose *partials* are huge
+    (e.g. one metric = 50% of the stream) still bottlenecks its reducer.
+    Salting splits each group into ``salt_buckets`` sub-groups (phase 1),
+    then merges the tiny per-salt partials (phase 2) — two shuffles, both
+    skew-free, results identical to :func:`aggregate`'s algebraic columns
+    (n/min/max/avg/sum are algebraic: they merge losslessly).
+
+    Exact percentiles are deliberately NOT offered salted: they are
+    holistic (all raw values of a group must meet), which is precisely
+    what salting cannot provide.  Under real skew the supported answer is
+    ``aggregate(..., exact=False)`` — percentile_approx sketches merge
+    map-side, so no reducer ever sees a group's raw values.
+    """
+    salt = F.pmod(F.xxhash64("timestamp", "value"), F.lit(salt_buckets))
+    partial = (
+        incoming.groupBy(
+            "path",
+            bucket("timestamp", seconds).alias("timestamp"),
+            salt.alias("_salt"),
+        )
+        .agg(
+            F.count("value").alias("_n"),
+            F.min("value").alias("_min"),
+            F.max("value").alias("_max"),
+            F.sum("value").alias("_sum"),
+        )
+    )
+    return (
+        partial.groupBy("path", "timestamp")
+        .agg(
+            F.sum("_n").cast("double").alias("n"),
+            F.min("_min").alias("min"),
+            F.max("_max").alias("max"),
+            (F.sum("_sum") / F.sum("_n")).alias("avg"),
+            F.sum("_sum").alias("sum"),
+        )
+    )
+
+
 def aggregate(
     incoming: DataFrame,
     seconds: int,

@@ -271,6 +271,34 @@ def tsdb_self_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tsdb_agg_salted",
+    """
+    SELECT event_type AS path,
+           floor(epoch(ts) / 60) * 60 AS "timestamp",
+           round(CAST(count(value) AS DOUBLE), 6) AS n,
+           round(min(value), 6) AS "min",
+           round(max(value), 6) AS "max",
+           round(avg(value), 6) AS "avg",
+           round(sum(value), 6) AS "sum"
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tsdb_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew escape hatch (SURVEY.md §7 watch-list "path skew"): the
+    two-phase salted aggregation — algebraic stats split across 32
+    sub-groups per (path, bucket) then merged, so no hot metric can
+    bottleneck one reducer.  The oracle is the PLAIN aggregation: salting
+    must be invisible in the results."""
+    from smalltsdb_spark.operators.aggregate import aggregate_salted
+
+    return _round_stats(
+        aggregate_salted(events_as_incoming(spark, sf_dir), 60),
+        ("n", "min", "max", "avg", "sum"),
+    )
+
+
 @query("stream_agg_tensecond", _oracle_agg(10))
 def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2/T5: the Structured Streaming rollup (streaming/pipeline.py)

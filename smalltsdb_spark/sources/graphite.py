@@ -41,8 +41,13 @@ def parse_line(line: str) -> Datapoint:
 
 
 def format_line(path: str, timestamp: float, value: float) -> str:
-    """Datapoint → wire line (inverse of :func:`parse_line`)."""
-    return f"{path} {value:g} {timestamp:g}"
+    """Datapoint → wire line (inverse of :func:`parse_line`).
+
+    ``repr`` emits the shortest digit string that round-trips the double
+    exactly — ``%g``-style formatting truncates to 6 significant digits,
+    which silently corrupts epoch timestamps (1704067200.25 → 1.70407e+09).
+    """
+    return f"{path} {float(value)!r} {float(timestamp)!r}"
 
 
 def parse_lines_df(lines: DataFrame, column: str = "value") -> DataFrame:
