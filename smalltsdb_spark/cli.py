@@ -95,6 +95,45 @@ def cmd_sync(args) -> None:
             time.sleep(max(0.0, args.repeat - (time.monotonic() - started)))
 
 
+def cmd_stream(args) -> None:
+    """The always-on flavor: daemon spool → streaming ingest → one
+    watermark rollup per period (streaming/pipeline.py).  sync() becomes
+    unnecessary while this runs — finality is enforced by watermarks."""
+    import os
+
+    from smalltsdb_spark.config import PERIODS
+    from smalltsdb_spark.session import get_spark
+    from smalltsdb_spark.streaming import read_spool_stream, start_ingest, start_rollup
+
+    spark = get_spark()
+    ckpt = args.checkpoints or os.path.join(args.db, "_checkpoints")
+    queries = [
+        start_ingest(
+            read_spool_stream(spark, args.spool),
+            os.path.join(args.db, "incoming"),
+            os.path.join(ckpt, "ingest"),
+            interval=f"{int(args.interval)} seconds",
+        )
+    ]
+    for name, seconds in PERIODS:
+        queries.append(
+            start_rollup(
+                read_spool_stream(spark, args.spool),
+                os.path.join(args.db, name),
+                os.path.join(ckpt, f"rollup_{name}"),
+                seconds,
+                tail=args.tail,
+                interval=f"{int(args.interval)} seconds",
+            )
+        )
+    print(f"{len(queries)} streaming queries running; ctrl-c to stop")
+    try:
+        spark.streams.awaitAnyTermination()
+    except KeyboardInterrupt:
+        for q in queries:
+            q.stop()
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="smalltsdb_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -106,6 +145,14 @@ def main(argv=None) -> None:
     p.add_argument("--spool", help="land wire lines in this spool dir instead of inserting")
     p.add_argument("--self-metrics", action="store_true")
     p.set_defaults(func=cmd_daemon)
+
+    p = sub.add_parser("stream", help="always-on ingest + watermark rollups from a spool dir")
+    p.add_argument("--db", required=True)
+    p.add_argument("--spool", required=True, help="daemon --spool directory to tail")
+    p.add_argument("--interval", type=float, default=10.0, help="trigger seconds")
+    p.add_argument("--tail", type=float, default=60.0, help="finality watermark seconds")
+    p.add_argument("--checkpoints", help="checkpoint root (default <db>/_checkpoints)")
+    p.set_defaults(func=cmd_stream)
 
     p = sub.add_parser("sync", help="advance finalized aggregates once (or --repeat)")
     p.add_argument("--db", required=True)
