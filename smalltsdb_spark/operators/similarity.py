@@ -199,6 +199,104 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic ANN index shape.
+
+    Build: k-means centroids over the corpus (MLlib, seeded →
+    deterministic), every vector assigned to its nearest centroid — the
+    "inverted lists" are just a ``prediction`` column, so the index IS a
+    partitionable DataFrame (at 100 TB: partition/bucket by centroid and
+    the probe join prunes to nprobe/n_centroids of the data).
+
+    Probe: each query scores only the lists of its ``nprobe`` nearest
+    centroids (centroid distances computed driver-side — the centroid
+    table is tiny by construction).  Output schema matches
+    :func:`cosine_topk`; recall < 1 by construction, tunable via
+    ``nprobe``/``n_centroids``.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_feat"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(feat)
+    assigned = (
+        model.transform(feat)
+        .select(
+            "neighbor_id",
+            "_v",
+            l2_norm(F.col("_v")).alias("_n"),
+            F.col("prediction").alias("_list"),
+        )
+    )
+
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def nearest_lists(vec: list[float]) -> list[int]:
+        dists = [
+            (math.dist(vec, c), i) for i, c in enumerate(centroids)
+        ]
+        return [i for _, i in sorted(dists)[:nprobe]]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (r.query_id, [float(x) for x in r._qv], l, float(_py_norm(r._qv)))
+            for r in q_rows
+            for l in nearest_lists([float(x) for x in r._qv])
+        ],
+        "query_id long, _qv array<double>, _list int, _qn double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        assigned.join(F.broadcast(probes), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pair_sim(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim),
+                6,
+            ).alias("sim"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _py_norm(vec) -> float:
+    """Driver-side L2 norm with the same left-to-right summation order as
+    functions.l2_norm, so probe-side norms are bit-compatible."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,

@@ -244,6 +244,19 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_ann")  # rows-only: k-means centroids are not SQL-expressible
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means inverted lists, 4-of-16 centroid
+    probe — the partitionable ANN index shape for the 100 TB path
+    (bucket the corpus by centroid; the probe join prunes to
+    nprobe/n_centroids of the data)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, n_centroids=16, nprobe=4, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

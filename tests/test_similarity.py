@@ -47,6 +47,33 @@ def test_lsh_topk_subset_of_bruteforce(emb):
     assert set(approx.columns) == {"query_id", "neighbor_id", "sim", "rank"}
 
 
+def test_ivf_topk_scores_match_bruteforce(spark):
+    """IVF on the real embeddings fixture: every retrieved (query,
+    neighbor) pair carries exactly the brute-force cosine score, and
+    probing 4 of 8 lists recalls most of the true top-5."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    ivf = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4, dim=64
+    )
+    truth = {(r.query_id, r.neighbor_id): r.sim for r in brute.collect()}
+    got = {(r.query_id, r.neighbor_id): r.sim for r in ivf.collect()}
+    # exact scores wherever retrieved
+    all_scores = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.cosine_topk(
+            emb, queries, "vec_id", "embedding", k=10**9, dim=64
+        ).collect()
+    }
+    for pair, sim in got.items():
+        assert sim == pytest.approx(all_scores[pair], abs=1e-6), pair
+    # recall@5 over the 5 queries: probing half the lists should find
+    # at least half the true neighbors
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+
+
 def test_embedding_near_dup_pairs(emb):
     pairs = {
         (r.id_a, r.id_b)
