@@ -33,7 +33,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import md5_long, tokens, word_ngrams
+from smalltsdb_spark.functions import (
+    md5_long,
+    minhash_params,
+    tokens,
+    universal_hash,
+    word_ngrams,
+)
 
 SIMHASH_BITS = 60
 
@@ -110,12 +116,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-minhash signature per document as columns h0..h{k-1}.
 
-    One explode + one groupBy with k min-aggregates — the k hash functions
-    are salted md5_long values, so the map-side partial min keeps shuffle
-    volume at k longs per doc regardless of document size.
+    One explode + one groupBy with k min-aggregates; the k hash functions
+    are universal hashes ``(a_i·md5(gram) + b_i) mod p`` derived from ONE
+    md5 per gram (k salted md5s would cost k× the hashing).  Map-side
+    partial min keeps shuffle volume at k longs per doc regardless of
+    document size.
     """
-    grams = doc_grams(df, id_col, text_col, n)
-    aggs = [F.min(md5_long(F.col("gram"), i)).alias(f"h{i}") for i in range(k)]
+    grams = doc_grams(df, id_col, text_col, n).withColumn(
+        "_base", md5_long(F.col("gram"))
+    )
+    aggs = [
+        F.min(universal_hash(F.col("_base"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
     return grams.groupBy("doc").agg(*aggs)
 
 

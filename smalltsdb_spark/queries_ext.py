@@ -85,9 +85,13 @@ def dedup_jaccard_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from smalltsdb_spark.functions import minhash_params, universal_hash_sql
+
     r = k // bands
+    base = md5_long_sql("gram")
     hash_aggs = ",\n               ".join(
-        f"min({md5_long_sql('gram', i)}) AS h{i}" for i in range(k)
+        f"min({universal_hash_sql(base, a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
     )
     band_rows = "\n        UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, ({key}) AS band_key FROM sig".format(
