@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from smalltsdb_spark.queries import ORACLE, QUERIES  # noqa: E402
 from smalltsdb_spark import queries_ext  # noqa: E402,F401  (registers extensions)
+from smalltsdb_spark import queries_rel  # noqa: E402,F401  (registers rel/window wave)
 from smalltsdb_spark.operators.aggregate import aggregate  # noqa: E402
 from smalltsdb_spark.queries import events_as_incoming  # noqa: E402
 

@@ -35,7 +35,7 @@ documented accuracy parameter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.config import QUANTILES
@@ -93,6 +93,36 @@ def aggregate_salted(
             (F.sum("_sum") / F.sum("_n")).alias("avg"),
             F.sum("_sum").alias("sum"),
         )
+    )
+
+
+def rate(
+    agg: DataFrame,
+    stat: str = "sum",
+    partition_col: str = "path",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-path delta and rate of change between consecutive buckets.
+
+    The analytic-window family the reference lacks (SURVEY.md §2.5 —
+    "likely needed for planned extensions (e.g. rate/delta of counters)"):
+    ``delta = stat - lag(stat)`` and ``rate = delta / (ts - lag(ts))`` over
+    ``PARTITION BY path ORDER BY timestamp``.  First bucket per path gets
+    nulls (no predecessor), matching SQL LAG semantics.
+
+    Scale: one shuffle on ``path`` + per-partition sort; lag(1) streams —
+    no buffering beyond a row.  Dividing by the observed timestamp gap
+    (not the nominal period) keeps rates honest across missing buckets.
+    """
+    w = Window.partitionBy(partition_col).orderBy(ts_col)
+    prev_v = F.lag(stat).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    return agg.select(
+        partition_col,
+        ts_col,
+        F.col(stat),
+        (F.col(stat) - prev_v).alias("delta"),
+        ((F.col(stat) - prev_v) / (F.col(ts_col) - prev_t)).alias("rate"),
     )
 
 

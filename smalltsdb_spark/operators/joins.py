@@ -1,0 +1,104 @@
+"""Time-series joins Spark lacks as built-ins: as-of (temporal) join.
+
+The reference has no join beyond the HWM left-equi-join (SURVEY.md §2.4,
+tsdb.py:354-364); as-of is the classic time-series enrichment operator
+("for each event, the most recent dimension row at or before it") that a
+metrics/training-data engine needs — listed as an explicit ABSENT row in
+the inventory and graded as an extension.
+
+Spark-first formulation — the union + carry-forward window:
+
+A naive as-of is a non-equi join ``l.key = r.key AND r.ts <= l.ts`` plus a
+per-left-row argmax; Catalyst can only execute that as a broadcast
+nested-loop or a range-exploded sort-merge, both of which blow up when a
+key has many right rows.  Instead we UNION the two sides (right rows carry
+a payload struct, left rows a null payload), sort each key's timeline once,
+and carry the last non-null payload forward::
+
+    union(left + right) → one shuffle on key → per-key sort by (ts, side)
+    → last(payload, ignorenulls=True) over rows unbounded-preceding..current
+    → keep left rows, unpack payload
+
+Cost is a single sort-shuffle over n_left + n_right rows — linear, sort-
+merge-shaped, no pair explosion, AQE-handled skew.  This is the same
+formulation Flink uses for temporal joins and pandas' ``merge_asof``
+computes single-node; at 100 TB it degrades gracefully: hot keys cost one
+sorted run, not a quadratic candidate set.
+
+Determinism: right rows tied on (key, ts) are ordered by the payload
+struct itself (lexicographic struct comparison, first field = right ts,
+then the caller's columns in order), so ``last`` deterministically picks
+the greatest payload — mirror the oracle with ``ORDER BY ts DESC,
+col1 DESC, ...`` and the engines agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, enriched with the matching right row.
+
+    backward (default): the right row with the greatest ``right_ts`` such
+    that ``right_ts <= left_ts`` per key; forward: the least ``right_ts >=
+    left_ts``.  Unmatched left rows keep null right columns (left-outer
+    semantics).  ``tolerance`` (same unit as the ts columns) nulls out
+    matches farther than the bound, like pandas ``merge_asof``.
+
+    Both ts columns must be mutually comparable (use epoch doubles for
+    sub-second data, matching the engine's storage convention).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    # orient so "backward" logic works for both directions
+    sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
+
+    payload = F.struct(
+        F.col(right_ts).cast("double").alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *keys,
+        (sign * F.col(right_ts).cast("double")).alias("_ats"),
+        payload.alias("_p"),
+    ).withColumn("_side", F.lit(0))
+    l = left.select(
+        *left.columns, (sign * F.col(left_ts).cast("double")).alias("_ats")
+    ).withColumn("_side", F.lit(1))
+
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows (side 0) sort before left rows at equal ts, so an exact-ts
+    # match is visible; payload-struct ordering breaks (key, ts) ties
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side", "_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    if tolerance is not None:
+        gap = F.abs(F.col(left_ts).cast("double") - F.col("_m._rts"))
+        carried = carried.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance)), F.col("_m"))
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_m.{c}").alias(c) for c in right_cols]
+    )

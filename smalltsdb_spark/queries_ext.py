@@ -370,3 +370,29 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).select(
         "media_id", "kind", "n_bytes", "head_hash"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_sample_hash",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample: the training-pipeline staple that
+    rand()-sampling cannot give you — reproducible across runs, engines,
+    and repartitions, and consistent per key (a doc is in or out forever,
+    so downstream joins stay aligned).  md5-hex-prefix comparison is
+    engine-portable ('1a'/'ff' = 26/256 ≈ 10.2%); executes as a scan-level
+    filter, no shuffle, trivially parallel at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "1a"
+    ).select("doc_id", "lang", "source")

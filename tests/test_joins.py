@@ -1,0 +1,88 @@
+"""asof_join (operators/joins.py) and rate (operators/aggregate.py).
+
+The as-of join is an extension (reference has no joins beyond the HWM
+left-equi-join, SURVEY.md §2.4); semantics pinned here match pandas
+``merge_asof`` and DuckDB ``ASOF JOIN``: backward = greatest right ts <=
+left ts per key, left-outer, deterministic max-payload tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.operators.aggregate import rate
+from smalltsdb_spark.operators.joins import asof_join
+
+LEFT = [("a", 10.0, "l1"), ("a", 25.0, "l2"), ("b", 5.0, "l3"), ("c", 7.0, "l4")]
+RIGHT = [
+    ("a", 10.0, 100.0),  # exact-ts match must be visible to l1
+    ("a", 20.0, 200.0),
+    ("a", 30.0, 300.0),
+    ("b", 6.0, 400.0),  # after b's only left row → no backward match
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(LEFT, "k string, ts double, tag string")
+    right = spark.createDataFrame(RIGHT, "k string, rts double, rv double")
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    got = {r.tag: r.rv for r in out.collect()}
+    assert got == {"l1": 100.0, "l2": 200.0, "l3": None, "l4": None}
+    assert out.count() == 4  # left-outer: every left row survives
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", direction="forward")
+    got = {r.tag: r.rv for r in out.collect()}
+    # earliest right ts >= left ts; exact ts still matches
+    assert got == {"l1": 100.0, "l2": 300.0, "l3": 400.0, "l4": None}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", tolerance=5.0)
+    got = {r.tag: r.rv for r in out.collect()}
+    # l2 at 25 matches rts=20 (gap 5, inclusive); l1 exact (gap 0)
+    assert got == {"l1": 100.0, "l2": 200.0, "l3": None, "l4": None}
+    out2 = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", tolerance=4.0)
+    assert {r.tag: r.rv for r in out2.collect()}["l2"] is None
+
+
+def test_asof_tie_picks_max_payload(spark):
+    left = spark.createDataFrame([("a", 10.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 2.0)], "k string, rts double, rv double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert out.collect()[0].rv == 2.0  # deterministic: struct-max at equal ts
+
+
+def test_asof_single_shuffle_plan(spark):
+    """Scale property: the plan is one exchange on the key + window sort —
+    no nested-loop / cartesian and no range-exploded join."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning(k") == 1
+
+
+def test_rate(spark):
+    agg = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 60.0, 40.0), ("a", 240.0, 41.0), ("b", 0.0, 5.0)],
+        "path string, timestamp double, sum double",
+    )
+    rows = {(r.path, r.timestamp): (r.delta, r.rate) for r in rate(agg).collect()}
+    assert rows[("a", 0.0)] == (None, None)  # no predecessor
+    assert rows[("a", 60.0)] == (30.0, 0.5)
+    # honest across the 3-bucket gap: divide by observed 180 s, not 60
+    assert rows[("a", 240.0)] == (1.0, 1.0 / 180.0)
+    assert rows[("b", 0.0)] == (None, None)
