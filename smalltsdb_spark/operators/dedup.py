@@ -40,6 +40,7 @@ from smalltsdb_spark.functions import (
     universal_hash,
     word_ngrams,
 )
+from smalltsdb_spark.operators import spread
 
 SIMHASH_BITS = 60
 
@@ -52,15 +53,20 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """
     w = Window.partitionBy("content_hash").orderBy(id_col)
     return (
-        df.select(F.col(id_col), F.md5(F.col(content_col)).alias("content_hash"))
+        spread(df)
+        .select(F.col(id_col), F.md5(F.col(content_col)).alias("content_hash"))
         .withColumn("dup_rank", F.row_number().over(w))
         .withColumn("is_dup", F.col("dup_rank") > 1)
     )
 
 
 def doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram) exploded distinct word n-grams per document."""
-    return df.select(
+    """(id, gram) exploded distinct word n-grams per document.
+
+    Input is spread first: tokenize+explode is the per-row-expensive step
+    of every gram-based method, and single-file fixtures otherwise run it
+    on one core (operators.spread docstring has the numbers)."""
+    return spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("gram"),
     )
@@ -80,27 +86,35 @@ def ngram_jaccard_pairs(
     gram (this is the only join; Catalyst shuffles both sides on gram once),
     count shared grams per pair, then Jaccard = inter / (|A| + |B| - inter).
     """
-    grams = doc_grams(df, id_col, text_col, n)
+    # cache BEFORE the frequency cut: the raw gram relation feeds the freq
+    # aggregation AND the kept-gram join, and tokenize+explode is the
+    # expensive step — caching after the cut would run it twice (measured
+    # ~2× the whole query's cost at sf0.1)
+    grams = doc_grams(df, id_col, text_col, n).cache()
     if max_gram_freq is not None:
         freq = grams.groupBy("gram").count().filter(F.col("count") <= max_gram_freq)
-        grams = grams.join(freq.select("gram"), "gram")
-    sizes = grams.groupBy("doc").agg(F.count("*").alias("sz"))
-    # the gram relation feeds the frequency cut, the sizes, and BOTH join
-    # sides — cache it once instead of re-deriving (tokenize + explode +
-    # freq-join) four times; MEMORY_AND_DISK, spills rather than OOMs
-    g = grams.join(F.broadcast(sizes), "doc").cache()
-    a, b = g.alias("a"), g.alias("b")
+        kept = grams.join(freq.select("gram"), "gram")
+    else:
+        kept = grams
+    # sizes join AFTER the pair aggregation: pairs are far fewer than
+    # exploded gram-match rows, so the sz columns never ride the big join
+    sizes = kept.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
-        )
+        .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.withColumn(
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))),
+            "id_b",
+        )
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
@@ -200,7 +214,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     60 conditional sums (bit i of the token hash votes +1/-1) → assemble
     the signature long.  Ties (vote sum 0) resolve to bit 0.
     """
-    ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+    ex = spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    )
     h = md5_long(F.col("t"))
     votes = [
         F.sum(

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.functions import FP_MOD, FP_MUL, md5_long, tokens
+from smalltsdb_spark.operators import spread
 
 # Tiny stopword lists — enough signal for the heuristic; deterministic.
 STOPWORDS = {
@@ -54,7 +55,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(stopword_ratio * F.lit(3.0), F.lit(0.3)),
         6,
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
@@ -84,7 +85,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .when(de >= fr, "de")
         .otherwise("fr")
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         scores["en"].alias("score_en"),
         scores["de"].alias("score_de"),
@@ -108,4 +109,4 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.element_at(hashed, 1),
         lambda acc, h: (acc * FP_MUL + h) % F.lit(FP_MOD),
     )
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return spread(df).select(F.col(id_col), fp.alias("fingerprint"))
