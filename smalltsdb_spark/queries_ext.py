@@ -396,3 +396,87 @@ def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "1a"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "ext_curate",
+    """
+    WITH q AS (
+        SELECT doc_id, lang,
+               round(
+                 (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12
+                       THEN 0.4 ELSE 0.0 END)
+                 + least(vowel_ratio * 2.0, 0.3)
+                 + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
+        FROM (
+            SELECT doc_id, lang,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS avg_token_len,
+                   round(len(regexp_extract_all(text, '[aeiou]'))::DOUBLE
+                         / length(text), 6) AS vowel_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio
+            FROM documents
+        )
+    ),
+    d AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+        FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.quality_score
+    FROM q JOIN d ON q.doc_id = d.doc_id
+    WHERE q.quality_score >= 0.9
+      AND d.dup_rank = 1
+      AND substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < 'cc'
+    """,
+)
+def ext_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data curation pipeline, composed from the
+    engine's own operators: quality scoring (textstats.token_stats) →
+    exact dedup keeping the canonical copy (dedup.exact_duplicates) →
+    deterministic ~80% hash sample — the filter→dedup→sample shape every
+    corpus build runs.  All three stages are linear scans/shuffles (no
+    pair joins), so the composition scales like its parts; the whole
+    pipeline is one Catalyst plan (stages fuse, nothing materializes
+    between steps) and the oracle replays it in SQL end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = textstats.token_stats(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    dups = dedup.exact_duplicates(docs, "doc_id", "text").select(
+        F.col("doc_id"), "dup_rank"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(dups, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.9)
+            & (F.col("dup_rank") == 1)
+            & (F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "cc")
+        )
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+@query("stream_ewma_anomaly")  # rows-only: quadratic EW-variance recurrence
+# is not window-SQL-expressible; determinism is pinned by the batch twin +
+# the streaming-equals-batch test (tests/test_stateful.py)
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator surface (applyInPandasWithState): per-path
+    online EW mean/variance anomaly scores.  The driver exercises the
+    deterministic batch twin of the streaming operator (identical kernel,
+    identical output schema) over events-as-incoming."""
+    from smalltsdb_spark.queries import events_as_incoming
+    from smalltsdb_spark.streaming.stateful import ewma_scores_batch
+
+    scored = ewma_scores_batch(events_as_incoming(spark, sf_dir))
+    return scored.select(
+        "path",
+        F.round("timestamp", 6).alias("timestamp"),
+        F.round("value", 6).alias("value"),
+        F.round("ew_mean", 6).alias("ew_mean"),
+        F.round("zscore", 6).alias("zscore"),
+    )
