@@ -126,6 +126,53 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image resize stand-in: aspect-preserving downscale to ``max_side``.
+
+    Real plumbing, fake kernel: target dimensions come from the typed
+    ``meta`` struct (aspect ratio preserved, never upscaled — the real
+    contract a PIL ``thumbnail`` call would honor), and the payload is
+    deterministically subsampled to width×height bytes, standing in for
+    pixel resampling.  Only ``kind = 'image'`` rows are processed — the
+    filter sits BEFORE the Python stage so Catalyst prunes other media at
+    the scan, not in the UDF.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_w, out_h, out_data = [], [], [], []
+            for mid, meta, data in zip(pdf["media_id"], pdf["meta"], pdf["data"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                scale = min(max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                raw = bytes(data)
+                target = nw * nh
+                if len(raw) >= target > 0:
+                    step = len(raw) / target
+                    resized = bytes(raw[int(i * step)] for i in range(target))
+                else:
+                    resized = raw.ljust(target, b"\x00")
+                out_id.append(mid)
+                out_w.append(nw)
+                out_h.append(nh)
+                out_data.append(resized)
+            yield pd.DataFrame(
+                {"media_id": out_id, "width": out_w, "height": out_h, "data": out_data}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
     """Frame sampling stand-in: split payload into fixed-size chunks, keep
     every ``every_n``-th — the same shape a video frame sampler produces

@@ -46,3 +46,27 @@ def test_sample_frames(media):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"...", "image")
+
+
+def test_resize_images(media):
+    out = multimodal.resize_images(media, max_side=10).collect()
+    # only the image row (media_id 0: width=101, height=101 from n_chars=100)
+    assert [r.media_id for r in out] == [0]
+    r = out[0]
+    # aspect preserved, longest side capped, payload exactly w*h bytes
+    assert max(r.width, r.height) <= 10 and min(r.width, r.height) >= 1
+    assert len(r.data) == r.width * r.height
+    # deterministic: same input → same bytes
+    again = multimodal.resize_images(media, max_side=10).collect()[0]
+    assert bytes(again.data) == bytes(r.data)
+
+
+def test_resize_never_upscales(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny", 4)], "doc_id long, text string, n_chars long"
+    )
+    media = multimodal.media_from_documents(docs)
+    r = multimodal.resize_images(media, max_side=640).collect()[0]
+    # source is 5x5 (n_chars%640+1), max_side larger → dimensions unchanged
+    assert (r.width, r.height) == (5, 5)
+    assert len(r.data) == 25  # short payload zero-padded to w*h
