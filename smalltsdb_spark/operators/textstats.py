@@ -22,12 +22,12 @@ STOPWORDS = {
 }
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document token/char statistics + quality ratios.
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """The token/char statistic expressions as named Columns.
 
-    quality_score is a simple bounded composite (mean token length in a
-    sane range, vowel ratio, stopword presence) of the kind used for
-    corpus filtering; every term is an exact SQL expression.
+    Exposed separately from :func:`token_stats` so pipelines can graft any
+    subset (usually ``quality_score``) onto an existing frame as a pure
+    projection — no join, no shuffle (ext_curate composes this way).
     """
     t = tokens(text_col)
     text = F.col(text_col)
@@ -55,15 +55,27 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(stopword_ratio * F.lit(3.0), F.lit(0.3)),
         6,
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_alpha_tokens": n_alpha_tokens,
+        "avg_token_len": avg_token_len,
+        "vowel_ratio": vowel_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality_score": quality,
+    }
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char statistics + quality ratios.
+
+    quality_score is a simple bounded composite (mean token length in a
+    sane range, vowel ratio, stopword presence) of the kind used for
+    corpus filtering; every term is an exact SQL expression.
+    """
+    cols = quality_columns(text_col)
     return spread(df).select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        n_alpha_tokens.alias("n_alpha_tokens"),
-        avg_token_len.alias("avg_token_len"),
-        vowel_ratio.alias("vowel_ratio"),
-        stopword_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 

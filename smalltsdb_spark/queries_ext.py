@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.functions import md5_long_sql
-from smalltsdb_spark.operators import dedup, multimodal, similarity, textstats
+from smalltsdb_spark.operators import dedup, multimodal, similarity, spread, textstats
 from smalltsdb_spark.queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -433,25 +433,29 @@ def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship training-data curation pipeline, composed from the
-    engine's own operators: quality scoring (textstats.token_stats) →
-    exact dedup keeping the canonical copy (dedup.exact_duplicates) →
-    deterministic ~80% hash sample — the filter→dedup→sample shape every
-    corpus build runs.  All three stages are linear scans/shuffles (no
-    pair joins), so the composition scales like its parts; the whole
-    pipeline is one Catalyst plan (stages fuse, nothing materializes
-    between steps) and the oracle replays it in SQL end to end."""
+    """The flagship training-data curation pipeline: quality scoring →
+    exact dedup keeping the canonical copy → deterministic ~80% hash
+    sample — the filter→dedup→sample shape every corpus build runs.
+
+    Composed join-free: quality (textstats.quality_columns) and the
+    sample predicate are pure projections grafted onto the scan, and the
+    canonical-copy rank is one window over the content hash — the whole
+    pipeline is the content-hash shuffle plus the input spread, zero
+    joins (plan-shape-tested; the naive per-operator join composition
+    costs 5 exchanges).  At 100 TB that is the difference between one
+    pass over the corpus and four."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
-    quality = textstats.token_stats(docs, "doc_id", "text").select(
-        "doc_id", "quality_score"
-    )
-    dups = dedup.exact_duplicates(docs, "doc_id", "text").select(
-        F.col("doc_id"), "dup_rank"
-    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     return (
-        docs.select("doc_id", "lang")
-        .join(quality, "doc_id")
-        .join(dups, "doc_id")
+        spread(docs)
+        .select(
+            "doc_id",
+            "lang",
+            textstats.quality_columns("text")["quality_score"].alias("quality_score"),
+            F.row_number().over(w).alias("dup_rank"),
+        )
         .filter(
             (F.col("quality_score") >= 0.9)
             & (F.col("dup_rank") == 1)

@@ -122,3 +122,24 @@ def test_driver_queries_have_no_python_eval_in_hot_path(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_curate_pipeline_is_join_free(spark):
+    """ext_curate composes quality→dedup→sample as projections + ONE
+    content-hash window shuffle (plus the input spread) — no joins.  The
+    naive per-operator join composition costs 5 exchanges."""
+    from smalltsdb_spark import queries_rel  # noqa: F401
+
+    df = QUERIES["ext_curate"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert exchange_count(df) <= 2
+
+
+def test_rate_single_shuffle(spark):
+    """rate() adds one path shuffle on top of the aggregation's."""
+    from smalltsdb_spark.operators.aggregate import rate
+
+    agg = aggregate(events_as_incoming(spark, SF_DIR), 60)
+    base = exchange_count(agg)
+    assert exchange_count(rate(agg)) == base + 1
