@@ -92,3 +92,30 @@ def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:
             shutil.rmtree(os.path.join(path, name))
             removed.append(name)
     return removed
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, buckets: int = 64, bucket_col: str = "path"
+) -> None:
+    """Materialize as a Hive-bucketed + sorted managed table.
+
+    The co-location feature for repeated heavy reads: ``bucketBy(path)``
+    pre-shuffles once at write time, so every later ``groupBy(path, ...)``
+    or path-equi-join over the table runs WITHOUT an exchange (Catalyst
+    sees the hash-distribution from the table metadata; pinned by
+    tests/test_plans.test_bucketed_table_aggregates_without_shuffle).
+
+    At 100 TB this converts N queries × full-shuffle into 1 write-time
+    shuffle + N shuffle-free scans — the Spark analog of the reference's
+    persistent ``(path, timestamp)`` index ordering (tsdb.py:288-298).
+    Bucketed tables require the table catalog (``saveAsTable``), not bare
+    parquet paths; sorting within buckets by (path, timestamp) also gives
+    row-group min/max locality for time-range scans.
+    """
+    (
+        df.write.bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col, "timestamp")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )

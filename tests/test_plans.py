@@ -143,3 +143,24 @@ def test_rate_single_shuffle(spark):
     agg = aggregate(events_as_incoming(spark, SF_DIR), 60)
     base = exchange_count(agg)
     assert exchange_count(rate(agg)) == base + 1
+
+
+def test_bucketed_table_aggregates_without_shuffle(spark, tmp_path):
+    """bucketBy(path) pre-shuffles at write time: later per-path
+    aggregations must run with ZERO exchanges (the 100 TB repeated-read
+    pattern — one write-time shuffle amortized over every later query)."""
+    from smalltsdb_spark.storage import write_bucketed_table
+
+    inc = events_as_incoming(spark, SF_DIR)
+    write_bucketed_table(inc, "bucketed_inc_t", buckets=4)
+    try:
+        tbl = spark.table("bucketed_inc_t")
+        agg = aggregate(tbl, 60)
+        assert exchange_count(agg) == 0, physical_plan(agg)
+        # and a path-keyed self-join is exchange-free on both sides
+        j = tbl.groupBy("path").count().join(
+            tbl.select("path").distinct(), "path"
+        )
+        assert exchange_count(j) == 0, physical_plan(j)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_inc_t")
