@@ -86,3 +86,56 @@ def test_rate(spark):
     # honest across the 3-bucket gap: divide by observed 180 s, not 60
     assert rows[("a", 240.0)] == (1.0, 1.0 / 180.0)
     assert rows[("b", 0.0)] == (None, None)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential test: asof_join vs pandas.merge_asof over
+    1000×1000 rows / 40 keys, both directions + tolerance, one seed.
+    Right (key, ts) pairs are unique so tie-break ambiguity can't differ."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    nl, nr, nk = 1000, 1000, 40
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, nk, nl).astype(np.int64),
+            "ts": np.round(rng.uniform(0, 1000, nl), 3),
+            "lid": np.arange(nl, dtype=np.int64),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, nk, nr).astype(np.int64),
+                "rts": np.round(rng.uniform(0, 1000, nr), 3),
+                "rv": np.round(rng.uniform(-10, 10, nr), 6),
+            }
+        )
+        .drop_duplicates(["k", "rts"])
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 50.0)]:
+        got = {
+            r.lid: r.rv
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                right_cols=["rv"], direction=direction, tolerance=tol,
+            ).collect()
+        }
+        expect_pd = pd.merge_asof(
+            left_pd.sort_values("ts"),
+            right_pd.sort_values("rts"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction=direction,
+            **({"tolerance": tol} if tol is not None else {}),
+        )
+        expect = {
+            int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+            for r in expect_pd.itertuples()
+        }
+        assert got == expect, f"direction={direction} tolerance={tol}"
