@@ -63,6 +63,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    reserved = {"_ats", "_side", "_p", "_m", "_rts"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns clash with asof_join internals: {sorted(clash)}")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts

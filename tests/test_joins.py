@@ -139,3 +139,20 @@ def test_asof_matches_pandas_merge_asof(spark):
             for r in expect_pd.itertuples()
         }
         assert got == expect, f"direction={direction} tolerance={tol}"
+
+
+def test_asof_empty_right(spark):
+    left, _ = _frames(spark)
+    empty = spark.createDataFrame([], "k string, rts double, rv double")
+    out = asof_join(left, empty, on="k", left_ts="ts", right_ts="rts")
+    assert out.count() == 4
+    assert all(r.rv is None for r in out.collect())
+
+
+def test_asof_reserved_column_clash(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1.0, 2.0)], "k string, ts double, _p double")
+    right = spark.createDataFrame([("a", 1.0, 2.0)], "k string, rts double, rv double")
+    with _pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
