@@ -400,3 +400,74 @@ def embedding_near_dup_pairs(
     return _spread(corpus, id_col, vec_col).mapInPandas(
         score, "id_a long, id_b long, sim double"
     )
+
+
+def embedding_near_dup_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine WITHOUT broadcasting the corpus: blocked GEMM.
+
+    The scale form of :func:`embedding_near_dup_pairs` (same answer,
+    pinned by tests): rows hash into ``n_blocks`` blocks; each row is
+    replicated to the ``n_blocks`` unordered block-pair keys it belongs
+    to; one ``applyInPandas`` task per block pair runs a single GEMM over
+    the two block slices.  Every row pair meets in exactly one task
+    (``(min(b_a,b_b), max(b_a,b_b))``), so no distinct/dedup pass exists.
+
+    Cost model: shuffle volume = n_blocks × corpus (the unavoidable
+    replication of exact all-pairs), peak task memory = 2/n_blocks of the
+    corpus, tasks = n_blocks(n_blocks+1)/2 independent GEMMs.  Choose
+    n_blocks ≈ 2·corpus_bytes / executor_memory; the broadcast variant is
+    the degenerate n_blocks=1 with the corpus shipped once per executor
+    instead.
+    """
+    c = _spread(corpus, id_col, vec_col)
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
+    keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                F.least(blk, j).cast("int").alias("b1"),
+                F.greatest(blk, j).cast("int").alias("b2"),
+            ),
+        )
+    )
+    e = c.select(
+        "_id", "_v", blk.cast("int").alias("_b"), F.explode(keys).alias("_k")
+    ).select("_id", "_v", "_b", F.col("_k.b1").alias("b1"), F.col("_k.b2").alias("b2"))
+
+    def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
+        if b1 == b2:
+            a = b = pdf
+        else:
+            a = pdf[pdf["_b"] == b1]
+            b = pdf[pdf["_b"] == b2]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        A, B = _as_matrix(a["_v"]), _as_matrix(b["_v"])
+        S = np.round((A @ B.T) / np.outer(_row_norms(A), _row_norms(B)), 6)
+        if b1 == b2:
+            # within a block both orders exist in the grid; keep one
+            ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (S >= threshold))
+            lo, hi = a_ids[ia], b_ids[ib]
+        else:
+            # across blocks each unordered pair appears exactly once —
+            # normalize the id order instead of masking (a > b pairs would
+            # otherwise be dropped, never re-appearing swapped)
+            ia, ib = np.nonzero(S >= threshold)
+            lo = np.minimum(a_ids[ia], b_ids[ib])
+            hi = np.maximum(a_ids[ia], b_ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": S[ia, ib]})
+
+    return e.groupBy("b1", "b2").applyInPandas(
+        score_pair, "id_a long, id_b long, sim double"
+    )

@@ -484,3 +484,26 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ew_mean", 6).alias("ew_mean"),
         F.round("zscore", 6).alias("zscore"),
     )
+
+
+@query(
+    "dedup_embedding_cosine_blocked",
+    """
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id id_a, b.vec_id id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact all-pairs cosine WITHOUT a corpus broadcast: blocked GEMM
+    over unordered block pairs (similarity.embedding_near_dup_pairs_blocked)
+    — same oracle as dedup_embedding_cosine, different physical strategy
+    (the one that holds when the corpus outgrows executor memory)."""
+    return similarity.embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, n_blocks=8,
+    )

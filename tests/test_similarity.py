@@ -81,3 +81,26 @@ def test_embedding_near_dup_pairs(emb):
     }
     assert (1, 2) in pairs and (3, 4) in pairs
     assert (1, 3) not in pairs
+
+
+def test_blocked_near_dup_equals_broadcast(spark):
+    """The blocked-GEMM exact path must produce the identical pair set to
+    the broadcast variant (it is the same computation, re-partitioned)."""
+    from smalltsdb_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    for nb in (1, 3, 8):
+        blocked = {
+            (r.id_a, r.id_b): r.sim
+            for r in embedding_near_dup_pairs_blocked(
+                emb, "vec_id", "embedding", 0.4, n_blocks=nb
+            ).collect()
+        }
+        assert blocked == base, f"n_blocks={nb}"
