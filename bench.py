@@ -20,7 +20,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import sys
+import tempfile
 import threading
 import time
 
@@ -35,6 +37,7 @@ from smalltsdb_spark.queries import QUERIES, events_as_incoming
 from smalltsdb_spark import queries_ext  # noqa: F401  (registers extensions)
 from smalltsdb_spark import queries_rel  # noqa: F401  (registers rel/window wave)
 from smalltsdb_spark.session import get_spark
+from smalltsdb_spark.tsdb import TSDB
 
 
 def noop_sink(df) -> None:
@@ -114,8 +117,20 @@ def main() -> None:
     for th in threads:
         th.join()
     agg6_sec = time.perf_counter() - t0
-    big.unpersist()
     timings["baseline_6period_agg"] = round(agg6_sec, 3)
+
+    # End-to-end maintenance path: TablesTSDB.sync of the same 1M rows —
+    # aggregation PLUS materialization to parquet across all 6 periods
+    # (the reference's prototype timing includes its table writes too).
+    sync_dir = tempfile.mkdtemp(prefix="bench_sync_")
+    db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
+    db.insert(big)
+    t0 = time.perf_counter()
+    db.sync()
+    sync_sec = time.perf_counter() - t0
+    timings["baseline_sync_1m"] = round(sync_sec, 3)
+    big.unpersist()
+    shutil.rmtree(sync_dir, ignore_errors=True)
 
     result = {
         "metric": "suite_total_wall_sec",
@@ -126,6 +141,8 @@ def main() -> None:
         "baseline_6period_datapoints": total_rows,
         "baseline_6period_sec": round(agg6_sec, 3),
         "baseline_6period_rows_per_sec": round(total_rows / agg6_sec, 1),
+        "baseline_sync_1m_sec": round(sync_sec, 3),
+        "baseline_sync_1m_rows_per_sec": round(total_rows / sync_sec, 1),
     }
     print(json.dumps(result))
 

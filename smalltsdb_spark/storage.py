@@ -55,8 +55,23 @@ def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     return spark.read.parquet(path).select(*[f.name for f in schema.fields])
 
 
+def _one_file_per_partition(df: DataFrame) -> DataFrame:
+    """Cluster rows by partition value before a partitioned write.
+
+    Without this every upstream task writes a file into every pday it
+    touches — an N_tasks × N_days small-file explosion (measured: a 6-
+    period sync of 1 M rows over 30 days produced ~2 000 files, and every
+    later scan paid the listing + open cost).  Repartitioning on pday
+    gives one file per partition; parallelism = number of days touched,
+    which is what partitioned-write throughput is bounded by anyway.
+    """
+    return df.repartition(F.col(PARTITION_COLUMN))
+
+
 def append(df: DataFrame, path: str) -> None:
-    with_pday(df).write.partitionBy(PARTITION_COLUMN).mode("append").parquet(path)
+    _one_file_per_partition(with_pday(df)).write.partitionBy(
+        PARTITION_COLUMN
+    ).mode("append").parquet(path)
 
 
 def overwrite_partitions(df: DataFrame, path: str) -> None:
@@ -65,7 +80,9 @@ def overwrite_partitions(df: DataFrame, path: str) -> None:
     Requires ``spark.sql.sources.partitionOverwriteMode=dynamic``
     (set by session.get_spark).
     """
-    with_pday(df).write.partitionBy(PARTITION_COLUMN).mode("overwrite").parquet(path)
+    _one_file_per_partition(with_pday(df)).write.partitionBy(
+        PARTITION_COLUMN
+    ).mode("overwrite").parquet(path)
 
 
 def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:

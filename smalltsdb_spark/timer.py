@@ -68,6 +68,10 @@ class Timer:
         self.clocks = list(clocks) if clocks is not None else default_clocks()
         self._prefix_stack: list[str] = [prefix] if prefix else []
         self._timings: list[tuple[str, float, float]] | None = None
+        #: the finished outermost block's timings (the context value is
+        #: reset on exit; this survives for after-the-fact collection,
+        #: e.g. merging per-thread timers in TablesTSDB.sync)
+        self.collected: list[tuple[str, float, float]] = []
 
     @contextmanager
     def __call__(self, name_or_prefix: str, group_name: str | None = None):
@@ -93,4 +97,5 @@ class Timer:
             if pushed:
                 self._prefix_stack.pop()
             if outermost:
+                self.collected = self._timings
                 self._timings = None

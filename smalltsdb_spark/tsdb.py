@@ -266,32 +266,72 @@ class TablesTSDB(BaseTSDB):
         storage.overwrite_partitions(kept.unionByName(new_rows), path)
         new_rows.unpersist()
 
-    def sync(self) -> None:
+    def sync(self, concurrent: bool = True) -> None:
         """Advance finalized aggregates for every period, then apply
         retention to incoming (reference tsdb.py:305-420).
 
+        The per-period jobs are independent (SURVEY.md §3.2 — the
+        reference's sequential loop is a single-core artifact), so by
+        default they are submitted as concurrent Spark jobs and the
+        scheduler interleaves their stages across the cluster; incoming is
+        persisted for the duration so the raw data is materialized once,
+        not once per period (MEMORY_AND_DISK — spills, never OOMs).
+        Results are identical to ``concurrent=False``: no period reads
+        another's output, and retention runs strictly after all periods.
+
         Every phase is timed; with ``emit_metrics=True`` the timings are
         re-ingested as ordinary datapoints (T6, reference tsdb.py:310-337)
-        under ``[<prefix>.]sync.<period>.<phase>.<clock>`` names.
+        under ``[<prefix>.]sync.<period>.<phase>.<clock>`` names — the
+        concurrent path reproduces the same labels via per-thread timers
+        (the shared Timer's prefix stack is not thread-safe).
         """
+        import threading
+
+        from pyspark import StorageLevel
+
         now = self._now()
-        incoming = self.incoming()
-        with self.timer("sync", "all") as timings:
-            for name, seconds in self.periods:
-                with self.timer(name, "all"):
-                    new_rows = aggregate(
-                        self._eligible(incoming, seconds, now),
-                        seconds,
-                        exact=self.exact_percentiles,
+        incoming = self.incoming().persist(StorageLevel.MEMORY_AND_DISK)
+
+        def run_period(name: str, seconds: int, timer: Timer) -> None:
+            with timer(name, "all"):
+                new_rows = aggregate(
+                    self._eligible(incoming, seconds, now),
+                    seconds,
+                    exact=self.exact_percentiles,
+                )
+                with timer("upsert_query"):
+                    self._upsert(new_rows, name)
+                if name in self.retention:
+                    storage.drop_partitions_below(
+                        self._period_path(name), now - self.retention[name]
                     )
-                    with self.timer("upsert_query"):
-                        self._upsert(new_rows, name)
-                    if name in self.retention:
-                        storage.drop_partitions_below(
-                            self._period_path(name), now - self.retention[name]
-                        )
-            with self.timer("delete_incoming_query"):
-                self._retention(now)
+
+        try:
+            with self.timer("sync", "all") as timings:
+                if concurrent:
+                    stack = list(self.timer._prefix_stack)  # includes 'sync'
+                    subs = []
+                    for name, seconds in self.periods:
+                        t = Timer(clocks=self.timer.clocks)
+                        t._prefix_stack = list(stack)
+                        subs.append(t)
+                    threads = [
+                        threading.Thread(target=run_period, args=(n, s, t))
+                        for (n, s), t in zip(self.periods, subs)
+                    ]
+                    for th in threads:
+                        th.start()
+                    for th in threads:
+                        th.join()
+                    for t in subs:
+                        timings.extend(t.collected)
+                else:
+                    for name, seconds in self.periods:
+                        run_period(name, seconds, self.timer)
+                with self.timer("delete_incoming_query"):
+                    self._retention(now)
+        finally:
+            incoming.unpersist()
         if self.emit_metrics:
             self.insert(timings)
 

@@ -114,3 +114,23 @@ def test_datasource_stream_availablenow(spark, tmp_path):
         ("one", 12.0, 1.0),
         ("two", 5.0, 2.0),
     ]
+
+
+def test_incoming_roundtrips_through_all_formats(spark, tmp_path):
+    """SURVEY §2.1 'file formats' row: the incoming relation survives
+    csv/json/orc/parquet round-trips byte-exactly (values chosen exactly
+    representable so text formats can't lose precision)."""
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+
+    rows = [("a.b", 1.5, 2.25), ("c", 10.0, -3.0), ("d.e.f", 0.125, 1e9)]
+    df = spark.createDataFrame(rows, INCOMING_SCHEMA)
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = str(tmp_path / fmt)
+        df.write.format(fmt).option("header", "true").save(path)
+        back = (
+            spark.read.format(fmt)
+            .option("header", "true")
+            .schema(INCOMING_SCHEMA)
+            .load(path)
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(rows), fmt
