@@ -106,3 +106,60 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         *left.columns, *[F.col(f"_m.{c}").alias(c) for c in right_cols]
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Distributed range join: points matched to half-open intervals
+    ``[start, end)`` without a nested-loop plan.
+
+    Catalyst executes a raw non-equi join as broadcast-nested-loop (or a
+    cartesian sort-merge) — quadratic at scale.  The standard distributed
+    formulation bins time: each point keys by its bin, each interval is
+    exploded to every bin it covers, and the join becomes an EQUI-join on
+    bin followed by the exact refine predicate.  A point lives in exactly
+    one bin, so each (point, interval) pair meets at most once — no dedup
+    pass.  Cost: interval replication factor = ceil(len/bin) + 1; pick
+    ``bin_seconds`` near the typical interval length so the factor stays
+    ~2 while bins stay selective.
+
+    ``how='inner'`` keeps matches; ``'left'`` keeps unmatched points with
+    null interval columns (both plan-shape-tested: no BroadcastNestedLoop
+    / CartesianProduct at any size ratio).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_ts) / F.lit(float(bin_seconds))).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(float(bin_seconds))).cast("long"),
+                F.floor(F.col(end_col) / F.lit(float(bin_seconds))).cast("long"),
+            )
+        ),
+    )
+    refine = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    if how == "inner":
+        return p.join(i, on=["_bin"], how="inner").filter(refine).drop("_bin")
+    matched = p.join(i, on=["_bin"], how="left").filter(
+        F.col(start_col).isNull() | refine
+    )
+    # left rows whose bin matched intervals but none survived the refine
+    # must still appear once with nulls: anti-join the matched point set
+    survivors = matched.drop("_bin")
+    missing = p.join(
+        survivors.select(*points.columns).distinct(), points.columns, "left_anti"
+    ).drop("_bin")
+    for c in intervals.columns:
+        missing = missing.withColumn(c, F.lit(None))
+    return survivors.unionByName(missing)

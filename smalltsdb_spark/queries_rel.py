@@ -160,3 +160,41 @@ def rel_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "rel_interval_join",
+    """
+    SELECT a.event_id, count(b.event_id) AS n_following
+    FROM events a
+    LEFT JOIN events b
+      ON epoch(b.ts) >= epoch(a.ts) AND epoch(b.ts) < epoch(a.ts) + 60
+     AND b.event_id <> a.event_id
+    WHERE a.event_type = 'click'
+    GROUP BY a.event_id
+    """,
+)
+def rel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed range join (operators/joins.interval_join): for each
+    click, how many other events land in its following 60-second window.
+    The engine's bin-bucketed equi-join + refine never builds a
+    nested-loop plan (plan-shape-tested); the oracle is the plain
+    quadratic non-equi join."""
+    from smalltsdb_spark.operators.joins import interval_join
+
+    ev = read_events(spark, sf_dir)
+    points = ev.select(F.col("event_id").alias("p_id"), F.col("ts_sec"))
+    windows = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"),
+        F.col("ts_sec").alias("w_start"),
+        (F.col("ts_sec") + 60.0).alias("w_end"),
+    )
+    return (
+        # inner: every click window contains the click itself, so no
+        # zero-match window exists to preserve
+        interval_join(points, windows, "ts_sec", "w_start", "w_end", 60.0)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.when(F.col("p_id") != F.col("event_id"), 1)).alias("n_following")
+        )
+    )

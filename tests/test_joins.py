@@ -156,3 +156,57 @@ def test_asof_reserved_column_clash(spark):
     right = spark.createDataFrame([("a", 1.0, 2.0)], "k string, rts double, rv double")
     with _pytest.raises(ValueError, match="clash"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+
+def _brute_interval(points, intervals):
+    out = []
+    for pt in points:
+        hits = [iv for iv in intervals if iv[1] <= pt[1] < iv[2]]
+        out.extend((pt[0], iv[0]) for iv in hits) if hits else None
+    return sorted(out)
+
+
+def test_interval_join_inner_matches_brute_force(spark):
+    from smalltsdb_spark.operators.joins import interval_join
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pts = [(int(i), float(round(rng.uniform(0, 500), 3))) for i in range(300)]
+    ivs = [
+        (int(100 + i), float(s), float(s + rng.uniform(1, 80)))
+        for i, s in enumerate(rng.uniform(0, 500, 40))
+    ]
+    p = spark.createDataFrame(pts, "pid long, ts double")
+    iv = spark.createDataFrame(ivs, "iid long, start double, end double")
+    for bin_s in (10.0, 50.0, 1000.0):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(p, iv, "ts", "start", "end", bin_s).collect()
+        )
+        assert got == _brute_interval(pts, ivs), f"bin={bin_s}"
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from smalltsdb_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 15.0)], "pid long, ts double"
+    )
+    iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid long, start double, end double")
+    out = interval_join(p, iv, "ts", "start", "end", 10.0, how="left").collect()
+    got = {r.pid: r.iid for r in out}
+    assert got == {1: None, 2: None, 3: 9}
+    assert len(out) == 3
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    from smalltsdb_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame([(1, 5.0)], "pid long, ts double")
+    iv = spark.createDataFrame([(9, 1.0, 9.0)], "iid long, start double, end double")
+    for how in ("inner", "left"):
+        plan = (
+            interval_join(p, iv, "ts", "start", "end", 10.0, how=how)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, how
