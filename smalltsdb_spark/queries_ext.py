@@ -507,3 +507,36 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4, n_blocks=8,
     )
+
+
+@query(
+    "ext_sample_stratified",
+    """
+    SELECT doc_id, lang, k
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS k
+        FROM documents
+    ) WHERE k <= 20
+    """,
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 docs per language,
+    chosen by md5-hash order — the balanced-per-class sample every
+    training-mix build needs, reproducible across runs/engines (unlike
+    sampleBy's Bernoulli draws).  One window shuffle on the stratum key;
+    at 100 TB swap row_number for a per-stratum hash-threshold refine if
+    strata are hot (same idea as the skew notes in aggregate_salted)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("k"))
+        .filter(F.col("k") <= 20)
+    )
