@@ -62,7 +62,6 @@ def main() -> None:
     events_as_incoming(spark, sf_dir).limit(1).count()
     # ... and the streaming micro-batch machinery (~3 s one-time init that
     # would otherwise land on whichever streaming query runs first)
-    import tempfile
     import uuid
 
     _wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
