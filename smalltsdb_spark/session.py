@@ -7,6 +7,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM, clamped to [2g, 64g]; 4g if undetectable."""
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    gb = total >> 30
+    return f"{max(2, min(gb // 2, 64))}g"
+
+
 def get_spark(
     app_name: str = "smalltsdb_spark",
     master: str | None = None,
@@ -26,6 +36,16 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-mode JVM heap: Spark's default is 1g regardless of machine
+        # size — found the hard way when a 10M-row exact-percentile
+        # aggregation OOMed on a 128 GiB box.  Size to half of physical
+        # RAM (capped); on a real cluster the submitter's --driver-memory/
+        # --executor-memory govern instead (this conf is ignored for an
+        # already-running JVM and irrelevant to executors there).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
