@@ -85,7 +85,12 @@ def word_ngrams(tok: Column, n: int) -> Column:
     """
     if n == 1:
         return tok
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
+    # guard: for docs shorter than n tokens, sequence(1, size-(n-1)) would
+    # step DOWNWARD (Spark sequence uses step -1 when start > stop), yielding
+    # [1, 0] and an element_at(tok, 0) crash — return an empty gram array
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

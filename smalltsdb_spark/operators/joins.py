@@ -71,6 +71,17 @@ def asof_join(
     right_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    clash_r = reserved & (set(right_cols) | set(keys) | {right_ts})
+    if clash_r:
+        raise ValueError(f"right columns clash with asof_join internals: {sorted(clash_r)}")
+    dup = set(right_cols) & set(left.columns)
+    if dup:
+        # silently-duplicated output names break every downstream select;
+        # fail loudly like pandas merge_asof would with suffixes disabled
+        raise ValueError(
+            f"right_cols duplicate left columns: {sorted(dup)} — rename them "
+            "on the right side before joining"
+        )
 
     # orient so "backward" logic works for both directions
     sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
@@ -133,9 +144,18 @@ def interval_join(
     ``how='inner'`` keeps matches; ``'left'`` keeps unmatched points with
     null interval columns (both plan-shape-tested: no BroadcastNestedLoop
     / CartesianProduct at any size ratio).
+
+    ``'left'`` tags each point row with a surrogate id that both join
+    branches reference; the id is stable across the two subtree
+    evaluations when the points lineage is deterministic (scan + narrow
+    ops — the normal case).  Persist ``points`` first if it comes out of a
+    nondeterministically-ordered shuffle.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    clash = {"_bin", "_pid"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"columns clash with interval_join internals: {sorted(clash)}")
     p = points.withColumn(
         "_bin", F.floor(F.col(point_ts) / F.lit(float(bin_seconds))).cast("long")
     )
@@ -151,15 +171,18 @@ def interval_join(
     refine = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     if how == "inner":
         return p.join(i, on=["_bin"], how="inner").filter(refine).drop("_bin")
+    # surrogate key per point row: the unmatched-row recovery below must
+    # anti-join on something NULL-safe and duplicate-safe — equality over
+    # all point columns would re-emit matched rows containing a NULL (NULL
+    # never equal-matches) and collapse genuinely duplicate point rows
+    p = p.withColumn("_pid", F.monotonically_increasing_id())
     matched = p.join(i, on=["_bin"], how="left").filter(
         F.col(start_col).isNull() | refine
     )
-    # left rows whose bin matched intervals but none survived the refine
-    # must still appear once with nulls: anti-join the matched point set
     survivors = matched.drop("_bin")
     missing = p.join(
-        survivors.select(*points.columns).distinct(), points.columns, "left_anti"
+        survivors.select("_pid"), ["_pid"], "left_anti"
     ).drop("_bin")
     for c in intervals.columns:
         missing = missing.withColumn(c, F.lit(None))
-    return survivors.unionByName(missing)
+    return survivors.unionByName(missing).drop("_pid")

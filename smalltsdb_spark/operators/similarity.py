@@ -74,6 +74,10 @@ def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
     corpus side always streams."""
     rows = df.select(id_col, vec_col).collect()
     ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    if not rows:
+        # einsum on an empty 1-D stack raises; empty queries are a valid
+        # input that must produce an empty result, not a build-time crash
+        return ids, np.zeros((0, 0)), np.zeros(0)
     mat = _as_matrix(r[1] for r in rows)
     return ids, mat, _row_norms(mat)
 
@@ -335,16 +339,19 @@ def ivf_topk(
     )
 
     q_ids, Q, Qn = _collect_vectors(queries, id_col, vec_col)
-    dq = (
-        np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + c_norm2[None, :]
-    )
-    probes = spark.createDataFrame(
-        [
+    if len(q_ids):
+        dq = (
+            np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + c_norm2[None, :]
+        )
+        probe_rows = [
             (int(q_ids[i]), [float(x) for x in Q[i]], int(l), float(Qn[i]))
             for i in range(len(q_ids))
             for l in np.argsort(dq[i], kind="stable")[:nprobe]
-        ],
-        "query_id long, _qv array<double>, _list int, _qn double",
+        ]
+    else:
+        probe_rows = []
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _qv array<double>, _list int, _qn double"
     )
 
     cand = (

@@ -433,7 +433,10 @@ def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+           -- sum(BIGINT) is HUGEINT in DuckDB, which pandas/arrow widens to
+           -- float64 (98088.0 vs Spark's long 98088) — flips the value hash
+           -- even though the numbers are equal; cast back to BIGINT
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
            max(CAST(props->>'$.k' AS BIGINT)) AS k_max
     FROM events
     WHERE CAST(props->>'$.k' AS BIGINT) >= 10

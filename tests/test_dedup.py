@@ -60,3 +60,31 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
     if (1, 3) in pairs:
         assert pairs[(1, 3)] > 0
+
+
+def test_short_docs_do_not_crash_gram_ops(spark):
+    """Docs with fewer tokens than n (1-token, empty) must yield empty gram
+    arrays, not an element_at index crash (regression: sequence(1, 0)
+    stepped downward to [1, 0])."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "single"), (3, "two words"), (4, "two words")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 4)}
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=4).collect()
+    # docs with no bigrams produce no gram rows → absent from signatures
+    assert {r.doc for r in sigs} == {3, 4}
+    lsh = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=4, bands=2).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} == {(3, 4)}
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    from pyspark.sql import functions as F
+
+    from smalltsdb_spark.functions import tokens, word_ngrams
+
+    df = spark.createDataFrame([("a",), ("a b c",)], "t string")
+    rows = df.select(word_ngrams(tokens("t"), 3).alias("g")).collect()
+    assert rows[0].g == []
+    assert rows[1].g == ["a b c"]

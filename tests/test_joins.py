@@ -210,3 +210,47 @@ def test_interval_join_no_nested_loop_plan(spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, how
+
+
+def test_asof_right_cols_duplicate_left_raises(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1.0, 2.0)], "k string, ts double, rv double")
+    right = spark.createDataFrame([("a", 1.0, 2.0)], "k string, rts double, rv double")
+    with _pytest.raises(ValueError, match="duplicate left columns"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+
+def test_asof_right_reserved_column_raises(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1.0)], "k string, ts double")
+    right = spark.createDataFrame([("a", 1.0, 2.0)], "k string, rts double, _p double")
+    with _pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+
+def test_interval_join_left_null_point_column_not_duplicated(spark):
+    """A matched point row carrying a NULL in a payload column must appear
+    exactly once (regression: equality-based recovery re-emitted it)."""
+    from smalltsdb_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame(
+        [(1, 15.0, None), (2, 50.0, "x")], "pid long, ts double, payload string"
+    )
+    iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid long, start double, end double")
+    out = interval_join(p, iv, "ts", "start", "end", 10.0, how="left").collect()
+    assert len(out) == 2
+    got = {r.pid: r.iid for r in out}
+    assert got == {1: 9, 2: None}
+
+
+def test_interval_join_left_duplicate_point_rows_kept(spark):
+    """Two identical unmatched point rows stay two rows (regression: the
+    distinct() in the old recovery collapsed them)."""
+    from smalltsdb_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame([(1, 50.0), (1, 50.0)], "pid long, ts double")
+    iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid long, start double, end double")
+    out = interval_join(p, iv, "ts", "start", "end", 10.0, how="left").collect()
+    assert len(out) == 2

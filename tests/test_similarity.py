@@ -104,3 +104,27 @@ def test_blocked_near_dup_equals_broadcast(spark):
             ).collect()
         }
         assert blocked == base, f"n_blocks={nb}"
+
+
+def test_empty_queries_yield_empty_results(spark):
+    """Empty query sets must return empty DataFrames, not crash at build
+    time (regression: _row_norms einsum on a 0-row stack raised)."""
+    from smalltsdb_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    assert similarity.cosine_topk(corpus, empty, "vec_id", "embedding", k=2).count() == 0
+    assert (
+        similarity.lsh_topk(
+            corpus, empty, "vec_id", "embedding", k=2, nbits=2, tables=1, dim=2
+        ).count()
+        == 0
+    )
+    assert (
+        similarity.ivf_topk(
+            corpus, empty, "vec_id", "embedding", k=2, n_centroids=2, nprobe=1
+        ).count()
+        == 0
+    )
