@@ -49,5 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``."""
-    return dict(ORACLE)
+    """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``.
+
+    Lazy entries (callables) embed data-derived constants — e.g. the IVF
+    oracle trains the same deterministic k-means centroids the Spark query
+    trains and renders them as literals; they read the sf dir from
+    ``SMALLTSDB_ORACLE_SF_DIR`` (default: the driver's sf0.01).
+    """
+    return {k: (v() if callable(v) else v) for k, v in ORACLE.items()}

@@ -302,8 +302,13 @@ def ivf_topk(
     by construction, tunable via ``nprobe``/``n_centroids``.
     """
     spark = corpus.sparkSession
-    train_rows = corpus.select(vec_col).limit(train_sample).collect()
-    C = _kmeans(_as_matrix(r[0] for r in train_rows), n_centroids, seed)
+    # id-ordered training sample: deterministic regardless of file layout /
+    # partitioning, so the generated-literal oracle (queries_ext._ivf_oracle)
+    # reproduces the identical centroids from the same parquet
+    train_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    C = _kmeans(_as_matrix(r[1] for r in train_rows), n_centroids, seed)
     c_norm2 = np.einsum("ij,ij->i", C, C)
 
     # ONE Python op per corpus row (list assignment + norm together);

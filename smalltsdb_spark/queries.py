@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 from smalltsdb_spark.operators.aggregate import aggregate, bucket
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
+#: values are SQL strings, or zero-arg callables returning SQL for oracles
+#: that embed data-derived constants (resolved by __spark_entry__.oracle_sql)
+ORACLE: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:

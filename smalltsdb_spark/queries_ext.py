@@ -171,11 +171,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("dedup_simhash_pairs")  # rows-only: composition of the checked simhash
+def _simhash_pairs_oracle(max_hamming: int = 16) -> str:
+    """Banding + Hamming verify as plain SQL over the checked signature:
+    chunk on 15-bit quarters, join equal (q, chunk), verify with DuckDB
+    ``bit_count(xor(...))`` — the exact dual of simhash_near_pairs."""
+    return f"""
+    WITH sig AS ({_simhash_oracle()}),
+    chunks AS (
+        SELECT doc, simhash, q, (simhash >> (q * 15)) & 32767 AS chunk
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS qs(q)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.q = b.q AND a.chunk = b.chunk AND a.doc < b.doc
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (15-bit-chunk banding + Hamming verify).
-    The signature itself is oracle-checked by dedup_simhash; the pair
-    generation is banded so no cross product exists at any scale."""
+    """SimHash near-dup pairs (15-bit-chunk banding + Hamming verify);
+    banded candidate generation, so no cross product exists at any scale."""
     return dedup.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=16
     )
@@ -236,7 +256,70 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_ann")  # rows-only: hyperplanes are driver-seeded, not SQL
+def _lsh_oracle(k: int = 5, nbits: int = 8, tables: int = 4, dim: int = 64,
+                seed: int = 42) -> str:
+    """Generated-constant oracle for the LSH ANN: the seeded hyperplanes
+    (similarity.hyperplanes — pure function of the seed) are rendered as
+    DOUBLE[] literals; sign-bit buckets via ``list_dot_product(v, plane) >
+    0``, then the same candidate-join + score + rank as the Spark plan.
+    ``repr(float)`` round-trips exactly, so both engines see bit-identical
+    plane coefficients."""
+    from smalltsdb_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, nbits, tables, seed)
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {vec_lit(planes[t][b])}) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(nbits)
+        )
+
+    qb = "\n        UNION ALL ".join(
+        f"SELECT query_id, v, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM q"
+        for t in range(tables)
+    )
+    cb = "\n        UNION ALL ".join(
+        f"SELECT neighbor_id, v, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM c"
+        for t in range(tables)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings),
+    qb AS (
+        {qb}
+    ),
+    cb AS (
+        {cb}
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE neighbor_id != query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(cc.v, qq.v), 6) AS sim
+        FROM cand
+        JOIN q qq ON cand.query_id = qq.query_id
+        JOIN c cc ON cand.neighbor_id = cc.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("sim_lsh_ann", _lsh_oracle())
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (4 tables × 8 bits):
     only same-bucket pairs are scored — the 100 TB path where the corpus
@@ -248,7 +331,124 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_ann")  # rows-only: k-means centroids are not SQL-expressible
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_oracle() -> str:
+    """Generated-constant oracle for the IVF ANN (lazy — registered as a
+    callable, resolved by ``__spark_entry__.oracle_sql``).
+
+    The centroids are deterministic given (data, seed): ``ivf_topk`` trains
+    on the id-ORDERED sample, so this generator reads the same parquet with
+    DuckDB (same float32→float64 widening, same row order) and runs the
+    identical ``_kmeans`` in the same process — bit-identical centroids —
+    then renders them (and each query's probe lists) as SQL literals.  The
+    corpus-side nearest-centroid assignment and cosine scoring are plain
+    SQL over those literals.
+
+    Reads ``SMALLTSDB_ORACLE_SF_DIR`` to pick the sf dir the oracle will be
+    evaluated against (default: sf0.01, the driver's correctness scale).
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from smalltsdb_spark.operators.similarity import _kmeans
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[sf_dir]
+    n_centroids, nprobe, k, seed, train_sample = 16, 4, 5, 42, 100_000
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"ORDER BY vec_id LIMIT {train_sample}"
+            ).fetchall()
+        ]
+    )
+    qrows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+
+    C = _kmeans(X, n_centroids, seed)
+    c_norm2 = np.einsum("ij,ij->i", C, C)
+    # same matrix-form distance the Spark query computes for its probes
+    Q = np.array([qv for _, qv in qrows])
+    dq = np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + c_norm2[None, :]
+    probe_rows = ", ".join(
+        f"({int(qid)}, {int(l)})"
+        for i, (qid, _) in enumerate(qrows)
+        for l in np.argsort(dq[i], kind="stable")[:nprobe]
+    )
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    cent_rows = ",\n        ".join(
+        f"({j}, {vec_lit(C[j])}, {repr(float(c_norm2[j]))})"
+        for j in range(len(C))
+    )
+    sql = f"""
+    WITH cent(j, cv, cn2) AS (VALUES
+        {cent_rows}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings),
+    d AS (
+        SELECT neighbor_id, v, j,
+               list_dot_product(v, v) - 2.0 * list_dot_product(v, cv) + cn2
+                   AS dist
+        FROM c CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT neighbor_id, v, j FROM (
+            SELECT neighbor_id, v, j,
+                   row_number() OVER (PARTITION BY neighbor_id
+                                      ORDER BY dist, j) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    probes(query_id, j) AS (VALUES {probe_rows}),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.neighbor_id
+        FROM probes p JOIN assigned a ON a.j = p.j
+        WHERE a.neighbor_id != p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(cc.v, qq.v), 6) AS sim
+        FROM cand
+        JOIN q qq ON cand.query_id = qq.query_id
+        JOIN c cc ON cand.neighbor_id = cc.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+    _IVF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("sim_ivf_ann", _ivf_oracle)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means inverted lists, 4-of-16 centroid
     probe — the partitionable ANN index shape for the 100 TB path
@@ -465,9 +665,47 @@ def ext_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_ewma_anomaly")  # rows-only: quadratic EW-variance recurrence
-# is not window-SQL-expressible; determinism is pinned by the batch twin +
-# the streaming-equals-batch test (tests/test_stateful.py)
+def _ewma_oracle(alpha: float = 0.125) -> str:
+    """Recursive-CTE oracle for the EW mean/variance recurrence: one
+    iteration per row rank, the working table carrying each path's state.
+    Every arithmetic step is written with the same operator association as
+    ``stateful._ew_step`` (``d*d`` left-assoc, ``(1-a)*(var + a*d*d)``), and
+    α=0.125 / 1-α=0.875 are exact binary doubles — so the recurrence is
+    bit-identical to the Python kernel before the 6-decimal rounding."""
+    a = repr(float(alpha))
+    one_minus = repr(1.0 - float(alpha))
+    return f"""
+    WITH RECURSIVE o AS (
+        SELECT event_type AS path, epoch(ts) AS "timestamp", value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY epoch(ts), value) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT path, rn, "timestamp", value,
+               0.0::DOUBLE AS zscore,
+               value::DOUBLE AS ew_mean,
+               0.0::DOUBLE AS ew_var
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.path, o.rn, o."timestamp", o.value,
+               (o.value - rec.ew_mean)
+                   / (CASE WHEN rec.ew_var > 0 THEN sqrt(rec.ew_var)
+                           ELSE 1.0 END),
+               rec.ew_mean + {a} * (o.value - rec.ew_mean),
+               {one_minus} * (rec.ew_var
+                   + {a} * (o.value - rec.ew_mean) * (o.value - rec.ew_mean))
+        FROM rec JOIN o ON o.path = rec.path AND o.rn = rec.rn + 1
+    )
+    SELECT path, round("timestamp", 6) AS "timestamp",
+           round(value, 6) AS value,
+           round(ew_mean, 6) AS ew_mean,
+           round(zscore, 6) AS zscore
+    FROM rec
+    """
+
+
+@query("stream_ewma_anomaly", _ewma_oracle())
 def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator surface (applyInPandasWithState): per-path
     online EW mean/variance anomaly scores.  The driver exercises the

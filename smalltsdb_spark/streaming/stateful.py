@@ -65,7 +65,9 @@ def _apply_group(
         mean, var, n = state.get
     else:
         mean, var, n = 0.0, 0.0, 0
-    rows = pd.concat(list(pdfs)).sort_values("timestamp")
+    # value as tiebreak on equal timestamps: keeps the fold order identical
+    # to the batch twin and the DuckDB recursive-CTE oracle
+    rows = pd.concat(list(pdfs)).sort_values(["timestamp", "value"])
     out = {"timestamp": [], "value": [], "ew_mean": [], "ew_var": [], "zscore": []}
     for ts, x in zip(rows["timestamp"], rows["value"]):
         z, mean, var = _ew_step(mean, var, n, float(x), alpha)
@@ -107,7 +109,7 @@ def ewma_scores_batch(incoming: DataFrame, alpha: float = 0.125) -> DataFrame:
     contract (tests/test_stateful.py)."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp")
+        pdf = pdf.sort_values(["timestamp", "value"])
         mean, var, n = 0.0, 0.0, 0
         ms, vs, zs = [], [], []
         for x in pdf["value"]:

@@ -15,6 +15,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SMALLTSDB_PARITY_SF", "/root/testdata/sf0.001")
+# lazy oracles (e.g. the IVF generated-constant SQL) must embed constants
+# derived from the SAME sf dir this test evaluates against
+os.environ["SMALLTSDB_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
