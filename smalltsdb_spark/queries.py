@@ -332,6 +332,74 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_stats(spark.table(sink), _STATS)
 
 
+@query("stream_rollup_finality", _oracle_agg(3600))
+def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T4 at the driver level: the APPEND-mode (finality) rollup driven
+    across TWO micro-batch runs with late data — the semantics
+    ``test_streaming.test_rollup_watermark_finality_golden`` pins, promoted
+    to a value-checked CORRECTNESS row.
+
+    Run 1 stages the first half of events: buckets up to watermark₁
+    (max event time − tail) finalize and append exactly once.  Run 2
+    stages the second half PLUS (a) copies of early rows — later than the
+    tail, so the engine must DROP them (their buckets already emitted;
+    merging would double n) — and (b) a clock-advancing row on a synthetic
+    path whose own bucket stays open (never emitted).  The final table
+    therefore equals the plain one-hour aggregation over events iff
+    append-mode emits each bucket exactly once across runs and late rows
+    are dropped — which is exactly the oracle."""
+    import math
+    import tempfile
+
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_rollup
+
+    bucket = 3600.0
+    inc = events_as_incoming(spark, sf_dir)
+    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+    # mid-bucket split: watermark comparisons stay ~½ bucket away from any
+    # bucket end, so engine-vs-oracle boundary semantics can't disagree
+    t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
+    clock_ts = math.floor(t_max / bucket) * bucket + 2.5 * bucket
+
+    base = tempfile.mkdtemp(prefix="stream_finality_")
+    src, out, ckpt = f"{base}/src", f"{base}/onehour", f"{base}/ckpt"
+
+    def run_once():
+        q = start_rollup(
+            spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+            out,
+            ckpt,
+            int(bucket),
+            available_now=True,
+        )
+        q.awaitTermination(600)
+
+    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
+    clock = spark.createDataFrame([("_clock", clock_ts, 0.0)], INCOMING_SCHEMA)
+    (
+        inc.filter(F.col("timestamp") >= t_split)
+        .unionByName(late_copies)
+        .unionByName(clock)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_once()
+
+    return _round_stats(
+        spark.read.parquet(out).select(
+            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+        ),
+        _STATS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth beyond the reference (SURVEY.md §2 "ABSENT" rows the
 # Spark engine provides natively): multi-way joins, semi/anti joins,
@@ -502,17 +570,32 @@ def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT (SURVEY.md §2.6, absent in the reference):
-    users active in both time halves vs only the first."""
+    """INTERSECT / EXCEPT semantics (SURVEY.md §2.6, absent in the
+    reference): users active in both time halves vs only the first.
+
+    One plan, no driver round-trip: the median is a 1-row aggregate
+    broadcast-joined onto the scan (a scalar subquery), and both cohorts
+    come from ONE groupBy — per-user presence flags replace the
+    intersect/exceptAll pair, turning 2 scans + 4 shuffles into 2 scans +
+    1 shuffle.  The oracle keeps the literal INTERSECT/EXCEPT formulation;
+    distinct user sets make the set ops and the flag filters equivalent."""
     ev = read_events(spark, sf_dir)
-    m = ev.agg(F.median("ts_sec")).collect()[0][0]
-    first = ev.filter(F.col("ts_sec") < m).select("user_id").distinct()
-    second = ev.filter(F.col("ts_sec") >= m).select("user_id").distinct()
-    both = first.intersect(second).select(F.lit("both").alias("cohort"), "user_id")
-    only_first = first.exceptAll(second).select(
-        F.lit("only_first").alias("cohort"), "user_id"
+    m = ev.agg(F.median("ts_sec").alias("_m"))
+    flags = (
+        ev.join(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts_sec") < F.col("_m")).alias("in_first"),
+            F.max(F.col("ts_sec") >= F.col("_m")).alias("in_second"),
+        )
     )
-    return both.unionByName(only_first)
+    cohort = F.when(F.col("in_first") & F.col("in_second"), "both").when(
+        F.col("in_first") & ~F.col("in_second"), "only_first"
+    )
+    return (
+        flags.select(cohort.alias("cohort"), "user_id")
+        .filter(F.col("cohort").isNotNull())
+    )
 
 
 @query(

@@ -13,11 +13,13 @@ equivalent is day-partitioned parquet:
   reference's two-database locking workaround (tsdb.py:273-275,423-454)
   architecturally unnecessary.
 
-Upserts (``insert or replace``, tsdb.py:390) use dynamic partition
-overwrite: only the day-partitions present in the written DataFrame are
-replaced, which is the plain-parquet MERGE equivalent (Delta is not on the
-classpath in this environment; the call sites are shaped so a Delta MERGE
-drop-in is a one-line swap).
+Upserts (``insert or replace``, tsdb.py:390) replace only the
+day-partitions present in the written DataFrame — the plain-parquet MERGE
+equivalent — via a staging write + per-partition atomic directory swap
+(see ``overwrite_partitions``), so concurrent readers never observe a
+partition mixing old and new files.  Delta is not on the classpath in this
+environment; the call sites are shaped so a Delta MERGE drop-in is a
+one-line swap.
 """
 
 from __future__ import annotations
@@ -75,14 +77,46 @@ def append(df: DataFrame, path: str) -> None:
 
 
 def overwrite_partitions(df: DataFrame, path: str) -> None:
-    """Dynamic partition overwrite: replace only pdays present in ``df``.
+    """Replace only the pdays present in ``df`` — per-partition atomic swap.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic``
-    (set by session.get_spark).
+    Plain parquet has no snapshot isolation, so this never writes into a
+    live partition: the replacement partitions are materialized in a
+    sibling staging directory first (which also makes the read-then-replace
+    upsert pattern safe — the source read completes before any file under
+    ``path`` moves), then each partition directory is swapped into place
+    with two renames.  A concurrent reader therefore sees a partition
+    either wholly-old or wholly-new, never a mix of old and new files (the
+    in-between window is a dir-absent blink, not a partial state).  Debris
+    from a crash mid-swap is dot-prefixed, which Spark's file index
+    ignores.
+
+    Cross-partition consistency and writer-writer exclusion remain the
+    single-syncer contract (``cli.exclusive_lock`` flock — the enforced
+    invariant, as in the reference's inter-process sync lock); whole-table
+    snapshot isolation at 100 TB is a table format's job (the call sites
+    are shaped so an Iceberg/Delta MERGE is a drop-in swap).
     """
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}.staging-{token}"
     _one_file_per_partition(with_pday(df)).write.partitionBy(
         PARTITION_COLUMN
-    ).mode("overwrite").parquet(path)
+    ).mode("overwrite").parquet(staging)
+    os.makedirs(path, exist_ok=True)
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith(f"{PARTITION_COLUMN}="):
+                continue
+            src = os.path.join(staging, name)
+            dst = os.path.join(path, name)
+            old = os.path.join(path, f".old-{token}-{name}")
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:

@@ -242,7 +242,14 @@ class TablesTSDB(BaseTSDB):
 
     def _upsert(self, new_rows: DataFrame, period: str) -> None:
         """``insert or replace`` keyed on (path, timestamp) (tsdb.py:388-410)
-        via dynamic partition overwrite of the affected day-partitions."""
+        by replacing the affected day-partitions.
+
+        Concurrency contract: at most one syncer at a time — enforced by
+        ``cli.exclusive_lock`` (flock), mirroring the reference's
+        inter-process sync lock.  Readers may run concurrently: the
+        staging + atomic-swap writer (storage.overwrite_partitions) means
+        they see each partition wholly-old or wholly-new, never partially
+        rewritten."""
         path = self._period_path(period)
         new_rows = new_rows.cache()
         affected = [

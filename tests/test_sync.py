@@ -65,3 +65,59 @@ def test_retention_drops_old_partitions(spark, tsdb_dir):
     assert ("m", 0.0 + (old_ts // 10) * 10) in [
         (r.path, r.timestamp) for r in db.period_table("tensecond").collect()
     ]
+
+
+def test_overwrite_partitions_swaps_atomically(spark, tmp_path):
+    """A reader concurrent with repeated partition overwrites must never
+    see a partition mixing old and new files: every row batch carries one
+    marker value, so a mixed snapshot would surface two values at once.
+    Transient read failures (the dir-absent blink between the two renames)
+    are retried; only successful reads are asserted."""
+    import threading
+
+    from smalltsdb_spark import storage
+
+    path = str(tmp_path / "t")
+    n_rows = 200
+
+    def batch(marker: float):
+        return spark.createDataFrame(
+            [("p", float(i), marker) for i in range(n_rows)],
+            "path string, timestamp double, value double",
+        )
+
+    storage.overwrite_partitions(batch(0.0), path)
+
+    seen_mixed = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                vals = {
+                    r.value
+                    for r in spark.read.parquet(path).select("value").collect()
+                }
+            except Exception:
+                continue  # dir-absent blink or listing race: retry
+            if len(vals) > 1:
+                seen_mixed.append(vals)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 6):
+            storage.overwrite_partitions(batch(float(i)), path)
+    finally:
+        stop.set()
+        t.join()
+    assert not seen_mixed, f"reader saw mixed partition states: {seen_mixed}"
+    # final state is the last batch, exactly once
+    final = spark.read.parquet(path).select("value").distinct().collect()
+    assert [r.value for r in final] == [5.0]
+    # no staging/old debris visible to readers
+    import os as _os
+
+    leftovers = [n for n in _os.listdir(str(tmp_path)) if "staging" in n]
+    assert leftovers == []
