@@ -14,8 +14,10 @@ any HTTP/plotting dependency:
 - :func:`pretty_print_table` — the debug dump sink (daemon.py:219-229).
 
 If Flask is importable, :func:`create_app` serves ``/`` (metric list) and
-``/graph`` (the series as JSON — rendering is the client's concern; the
-Bokeh plumbing is the one reference feature deliberately not ported).
+``/graph`` — the series as JSON by default, or rendered server-side with
+``?format=svg`` / ``?format=html`` (graph.render_graph_svg, the
+dependency-free stand-in for the reference's Bokeh plot; Bokeh is not on
+this environment's path).
 """
 
 from __future__ import annotations
@@ -131,7 +133,17 @@ def create_app(db):
 
     @app.route("/graph")
     def graph():
-        data = graph_data(db, dict(request.args))
+        args = dict(request.args)
+        fmt = args.pop("format", "json")
+        data = graph_data(db, args)
+        if fmt in ("svg", "html"):
+            from smalltsdb_spark.graph import render_graph_html, render_graph_svg
+
+            if fmt == "svg":
+                return app.response_class(
+                    render_graph_svg(data), mimetype="image/svg+xml"
+                )
+            return render_graph_html(data)
         start, end = data["interval"]
         data["interval"] = [str(start), str(end)]
         return jsonify(data)

@@ -1,0 +1,227 @@
+"""Dependency-free graph rendering: the reference's plot, as static SVG.
+
+The reference renders its ``/graph`` page with Bokeh
+(app/__init__.py:85-155 + templates/); Bokeh is not available in this
+environment, so the same visual contract — one line per (name, period,
+stat) series over the requested interval, datetime x-axis, legend with
+the short disambiguated labels — is rendered as a self-contained SVG
+string instead.  No JS, no external assets: the SVG embeds native
+``<title>`` tooltips per data point, so browsers get hover readouts for
+free.
+
+Styling follows a validated categorical palette (eight fixed-order hues,
+adjacent-pair colorblind-safe on the light surface; series identity is
+never color-alone — every series carries a visible ink label in the
+legend and, for up to four series, a direct label at the line's end).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from xml.sax.saxutils import escape
+
+#: fixed-order categorical slots (validated: adjacent-pair CVD ΔE >= 8,
+#: normal-vision ΔE >= 15 on the light surface).  Series beyond eight fold
+#: onto the wheel only after a warning comment in the legend would be due —
+#: callers should facet instead; the renderer never invents hues.
+PALETTE = [
+    "#2a78d6",  # blue
+    "#eb6834",  # orange
+    "#1baf7a",  # aqua
+    "#eda100",  # yellow
+    "#e87ba4",  # magenta
+    "#008300",  # green
+    "#4a3aa7",  # violet
+    "#e34948",  # red
+]
+SURFACE = "#fcfcfb"
+INK = "#0b0b0b"
+INK_SECONDARY = "#52514e"
+GRID = "#e8e7e3"
+
+
+def _epoch(v) -> float:
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    return float(v)
+
+
+def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
+    """Round tick positions covering [lo, hi] (classic nice-numbers)."""
+    if hi <= lo:
+        hi = lo + 1.0
+    raw = (hi - lo) / max(n, 1)
+    mag = 10 ** math.floor(math.log10(raw))
+    for mult in (1, 2, 2.5, 5, 10):
+        step = mult * mag
+        if step >= raw:
+            break
+    first = math.ceil(lo / step) * step
+    ticks = []
+    t = first
+    while t <= hi + step * 1e-9:
+        ticks.append(round(t, 10))
+        t += step
+    return ticks
+
+
+#: candidate time-axis steps: round minutes/hours/days
+_TIME_STEPS = [
+    60, 120, 300, 600, 900, 1800, 3600, 7200, 10800, 21600, 43200,
+    86400, 172800, 604800, 2592000,
+]
+
+
+def _nice_time_ticks(lo: float, hi: float, n: int = 6) -> list[float]:
+    """Tick positions snapped to round time intervals (minutes/hours/days)."""
+    raw = (hi - lo) / max(n, 1)
+    step = next((s for s in _TIME_STEPS if s >= raw), _TIME_STEPS[-1])
+    first = math.ceil(lo / step) * step
+    ticks = []
+    t = first
+    while t <= hi:
+        ticks.append(t)
+        t += step
+    return ticks
+
+
+def _time_label(ts: float, span: float) -> str:
+    d = _dt.datetime.fromtimestamp(ts, _dt.timezone.utc)
+    if span <= 2 * 3600:
+        return d.strftime("%H:%M")
+    if span <= 3 * 86400:
+        return d.strftime("%m-%d %H:%M")
+    return d.strftime("%Y-%m-%d")
+
+
+def render_graph_svg(data: dict, width: int = 900, height: int = 360) -> str:
+    """``graph_data`` output → a self-contained SVG document (string).
+
+    ``data`` is ``{"interval": (start, end), "series": [{"label",
+    "timestamps", "values", ...}, ...]}`` exactly as :func:`app.graph_data`
+    returns it.  One polyline per series in fixed palette order; legend
+    rendered for two or more series (a single series is named by the
+    title); per-point ``<title>`` hover readouts.
+    """
+    series = data.get("series", [])
+    start, end = (_epoch(v) for v in data.get("interval", (0, 1)))
+    if end <= start:
+        end = start + 1.0
+    span = end - start
+
+    margin_l, margin_r, margin_t, margin_b = 64, 16, 28, 40
+    legend_h = 22 if len(series) >= 2 else 0
+    plot_w = width - margin_l - margin_r
+    plot_h = height - margin_t - margin_b - legend_h
+
+    all_vals = [v for s in series for v in s["values"] if v is not None]
+    y_lo = min(all_vals) if all_vals else 0.0
+    y_hi = max(all_vals) if all_vals else 1.0
+    if y_hi == y_lo:
+        y_hi, y_lo = y_hi + 1.0, y_lo - 1.0
+    pad = (y_hi - y_lo) * 0.06
+    y_lo, y_hi = y_lo - pad, y_hi + pad
+
+    def sx(t: float) -> float:
+        return margin_l + (t - start) / span * plot_w
+
+    def sy(v: float) -> float:
+        return margin_t + (1.0 - (v - y_lo) / (y_hi - y_lo)) * plot_h
+
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}" role="img" '
+        f'font-family="system-ui, sans-serif" font-size="11">',
+        f'<rect width="{width}" height="{height}" fill="{SURFACE}"/>',
+    ]
+
+    # recessive grid + axis labels (text in ink, never series color)
+    for yt in _nice_ticks(y_lo, y_hi, 5):
+        if not (y_lo <= yt <= y_hi):
+            continue
+        y = sy(yt)
+        out.append(
+            f'<line x1="{margin_l}" y1="{y:.1f}" x2="{margin_l + plot_w}" '
+            f'y2="{y:.1f}" stroke="{GRID}" stroke-width="1"/>'
+        )
+        label = f"{yt:g}"
+        out.append(
+            f'<text x="{margin_l - 8}" y="{y + 3.5:.1f}" text-anchor="end" '
+            f'fill="{INK_SECONDARY}">{escape(label)}</text>'
+        )
+    for xt in _nice_time_ticks(start, end, 6):
+        if not (start <= xt <= end):
+            continue
+        x = sx(xt)
+        out.append(
+            f'<line x1="{x:.1f}" y1="{margin_t}" x2="{x:.1f}" '
+            f'y2="{margin_t + plot_h}" stroke="{GRID}" stroke-width="1"/>'
+        )
+        out.append(
+            f'<text x="{x:.1f}" y="{margin_t + plot_h + 16}" '
+            f'text-anchor="middle" fill="{INK_SECONDARY}">'
+            f"{escape(_time_label(xt, span))}</text>"
+        )
+    # axis line (baseline)
+    out.append(
+        f'<line x1="{margin_l}" y1="{margin_t + plot_h}" '
+        f'x2="{margin_l + plot_w}" y2="{margin_t + plot_h}" '
+        f'stroke="{INK_SECONDARY}" stroke-width="1"/>'
+    )
+
+    for i, s in enumerate(series):
+        color = PALETTE[i % len(PALETTE)]
+        pts = sorted(zip(s["timestamps"], s["values"]))
+        path = " ".join(f"{sx(t):.1f},{sy(v):.1f}" for t, v in pts)
+        out.append(
+            f'<polyline points="{path}" fill="none" stroke="{color}" '
+            f'stroke-width="2" stroke-linejoin="round" stroke-linecap="round"/>'
+        )
+        # hover readouts: native SVG tooltips, one per datapoint
+        for t, v in pts:
+            d = _dt.datetime.fromtimestamp(t, _dt.timezone.utc)
+            out.append(
+                f'<circle cx="{sx(t):.1f}" cy="{sy(v):.1f}" r="6" '
+                f'fill="transparent"><title>'
+                f"{escape(s['label'])} {d:%Y-%m-%d %H:%M:%S} = {v:g}"
+                f"</title></circle>"
+            )
+        # direct end-label for up to four series (relief for low-contrast
+        # hues; identity never rides on color alone)
+        if len(series) >= 2 and len(series) <= 4 and pts:
+            t_last, v_last = pts[-1]
+            out.append(
+                f'<text x="{min(sx(t_last) + 6, width - 4):.1f}" '
+                f'y="{sy(v_last) + 3.5:.1f}" fill="{INK}">'
+                f"{escape(s['label'])}</text>"
+            )
+
+    if len(series) >= 2:
+        x = margin_l
+        y = height - legend_h + 14
+        for i, s in enumerate(series):
+            color = PALETTE[i % len(PALETTE)]
+            out.append(
+                f'<rect x="{x}" y="{y - 8}" width="10" height="10" rx="2" '
+                f'fill="{color}"/>'
+            )
+            label = escape(s["label"])
+            out.append(f'<text x="{x + 14}" y="{y}" fill="{INK}">{label}</text>')
+            x += 14 + 7 * len(s["label"]) + 18
+
+    out.append("</svg>")
+    return "".join(out)
+
+
+def render_graph_html(data: dict, width: int = 900, height: int = 360) -> str:
+    """Minimal standalone page embedding the SVG (the reference's graph
+    page, minus Bokeh)."""
+    svg = render_graph_svg(data, width, height)
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>smalltsdb graph</title></head>"
+        f"<body style='background:{SURFACE};margin:16px'>{svg}</body></html>"
+    )
