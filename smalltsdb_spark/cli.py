@@ -134,6 +134,78 @@ def cmd_stream(args) -> None:
             q.stop()
 
 
+def cmd_rundev(args) -> None:
+    """One-process dev harness (reference rundev.py:29-55): socket daemon
+    + web app + a synthetic hour of ``local.random.diceroll`` datapoints
+    delivered over TCP + a periodic sync loop.  The reference spawns
+    flask/daemon/sync as subprocesses and pipes datapoints through ``nc``;
+    here everything shares one SparkSession and the datapoints go through
+    a real TCP connection to the same wire protocol."""
+    import itertools
+    import math
+    import random
+    import socket
+
+    from smalltsdb_spark.session import get_spark
+    from smalltsdb_spark.sources.daemon import Daemon
+    from smalltsdb_spark.tsdb import TSDB
+
+    spark = get_spark()
+    db = TSDB(spark, args.db)
+    daemon = Daemon(db.insert, _parse_address(args.address), interval=args.interval)
+
+    with daemon:
+        host, port = daemon.address
+        print(f"daemon listening on {host}:{port} (udp+tcp)")
+
+        # synthetic history: one diceroll every 5 s over the trailing
+        # window, ~10% randomly dropped (reference rundev.py:37-46)
+        rng = random.Random(args.seed)
+        now = db._now()
+        lines = []
+        for i in range(args.points):
+            if rng.randrange(10) == 0:
+                continue
+            ts = math.floor(now) - args.points * 5 + i * 5 + rng.random() / 10
+            lines.append(f"local.random.diceroll {rng.randint(1, 6)} {ts}\n")
+        with socket.create_connection(daemon.address) as s:
+            s.sendall("".join(lines).encode())
+        # wait until the daemon's async flush lands the datapoints (the
+        # insert is a real Spark write — a fixed sleep races it)
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline:
+            try:
+                if db.incoming().count() >= len(lines):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.2)
+
+        if not args.no_app:
+            from smalltsdb_spark.app import create_app
+
+            app = create_app(db)
+            app_host, app_port = _parse_address(args.app_address)
+            threading.Thread(
+                target=lambda: app.run(
+                    host=app_host, port=app_port, use_reloader=False
+                ),
+                daemon=True,
+            ).start()
+            # the reference webbrowser.open()s; headless here, so print
+            print(
+                f"web app: http://{app_host}:{app_port}/"
+                f"graph?metric=local.random.diceroll&period=tensecond&stat=avg"
+            )
+
+        for i in itertools.count(1):
+            db.sync()
+            print(f"sync #{i} done")
+            if args.iterations and i >= args.iterations:
+                return
+            time.sleep(args.repeat)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="smalltsdb_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -160,6 +232,23 @@ def main(argv=None) -> None:
     p.add_argument("--emit-metrics", action="store_true")
     p.add_argument("--repeat", type=float, default=0.0, help="re-sync every N seconds")
     p.set_defaults(func=cmd_sync)
+
+    p = sub.add_parser(
+        "rundev",
+        help="dev harness: daemon + web app + synthetic datapoints + sync loop",
+    )
+    p.add_argument("--db", required=True)
+    p.add_argument("--address", default="localhost:1111", help="daemon address")
+    p.add_argument("--app-address", default="localhost:8000", help="web app address")
+    p.add_argument("--interval", type=float, default=1.0, help="daemon flush seconds")
+    p.add_argument("--points", type=int, default=3600 // 5, help="datapoints to generate")
+    p.add_argument("--seed", type=int, default=None, help="RNG seed (default: entropy)")
+    p.add_argument("--repeat", type=float, default=5.0, help="re-sync every N seconds")
+    p.add_argument(
+        "--iterations", type=int, default=0, help="stop after N syncs (0 = forever)"
+    )
+    p.add_argument("--no-app", action="store_true", help="skip the web app thread")
+    p.set_defaults(func=cmd_rundev)
 
     args = parser.parse_args(argv)
     args.func(args)

@@ -63,3 +63,32 @@ def test_cli_sync_and_lock(spark, tsdb_dir, tmp_path):
     fcntl.flock(holder, fcntl.LOCK_UN)
     holder.close()
     cli.main(["sync", "--db", tsdb_dir, "--lock-file", lock_file])
+
+
+def test_cli_rundev(spark, tsdb_dir):
+    """rundev parity (reference rundev.py:29-55): synthetic diceroll
+    datapoints over a real TCP socket into the daemon, then a sync —
+    finalized buckets must show up under the reference's metric name."""
+    cli.main(
+        [
+            "rundev",
+            "--db",
+            tsdb_dir,
+            "--address",
+            "localhost:0",
+            "--points",
+            "24",
+            "--seed",
+            "7",
+            "--interval",
+            "0.3",
+            "--iterations",
+            "1",
+            "--no-app",
+        ]
+    )
+    db = TablesTSDB(spark, tsdb_dir)
+    assert "local.random.diceroll" in db.list_metrics()
+    rows = db.period_table("tensecond").collect()
+    assert rows and all(r.path == "local.random.diceroll" for r in rows)
+    assert all(1.0 <= r.min <= r.max <= 6.0 for r in rows)
