@@ -78,6 +78,17 @@ def main() -> None:
         .start()
     )
     _wq.awaitTermination(120)
+    # ... and the Python/Arrow workers: the first pandas-UDF stage pays
+    # ~7 s spawning one worker per core (each importing pandas/pyarrow).
+    # Spawn them all up front with a trivial mapInPandas over one task per
+    # core so no timed query carries that one-time cost.
+    def _warm_py(batches):
+        for b in batches:
+            yield b
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _warm_py, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

@@ -82,27 +82,48 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 gram.
 
-    Inverted-index candidate generation: explode grams, self-equi-join on
-    gram (this is the only join; Catalyst shuffles both sides on gram once),
-    count shared grams per pair, then Jaccard = inter / (|A| + |B| - inter).
+    Inverted-index candidate generation over ONE shuffle of the gram
+    relation: window-count per gram applies the df-cut in place (no
+    count→join-back, which would recompute the tokenize+explode subtree
+    for every consumer), then ``collect_list(doc)`` per gram REUSES the
+    window's gram partitioning (no second exchange) and ordered doc pairs
+    explode from each posting list.  The pair explosion is bounded by the
+    df-cut (``max_gram_freq`` docs per gram ⇒ ≤ f(f−1)/2 pairs per gram),
+    so no skewed stop-gram can blow up a task — the cut happens BEFORE
+    the quadratic step.  Jaccard = inter / (|A| + |B| − inter).
     """
-    # cache BEFORE the frequency cut: the raw gram relation feeds the freq
-    # aggregation AND the kept-gram join, and tokenize+explode is the
-    # expensive step — caching after the cut would run it twice (measured
-    # ~2× the whole query's cost at sf0.1)
-    grams = doc_grams(df, id_col, text_col, n).cache()
+    grams = doc_grams(df, id_col, text_col, n)
     if max_gram_freq is not None:
-        freq = grams.groupBy("gram").count().filter(F.col("count") <= max_gram_freq)
-        kept = grams.join(freq.select("gram"), "gram")
+        w = Window.partitionBy("gram")
+        kept = grams.withColumn("_df", F.count("*").over(w)).filter(
+            F.col("_df") <= max_gram_freq
+        )
     else:
         kept = grams
-    # sizes join AFTER the pair aggregation: pairs are far fewer than
-    # exploded gram-match rows, so the sz columns never ride the big join
-    sizes = kept.groupBy("doc").agg(F.count("*").alias("sz"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # posting list per gram; cached because it feeds both the per-doc
+    # sizes and the pair explosion (each posting list ≤ max_gram_freq ids,
+    # orders of magnitude smaller than the raw gram relation)
+    bygram = kept.groupBy("gram").agg(F.collect_list("doc").alias("docs")).cache()
+    sizes = (
+        bygram.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ordered (x, y) pairs from each posting list, value-compared so the
+    # nondeterministic collect_list order never matters
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x: F.transform(
+                F.filter(F.col("docs"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        bygram.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -214,10 +235,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     60 conditional sums (bit i of the token hash votes +1/-1) → assemble
     the signature long.  Ties (vote sum 0) resolve to bit 0.
     """
+    # hash materialized as a column BEFORE the aggregation: referencing
+    # md5_long(t) inside all 60 sum expressions relies on codegen CSE to
+    # avoid 60 md5s per token — hoisting guarantees exactly one
     ex = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
-    )
-    h = md5_long(F.col("t"))
+    ).select("doc", md5_long(F.col("t")).alias("_h"))
+    h = F.col("_h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
