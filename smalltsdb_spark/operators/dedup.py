@@ -184,47 +184,63 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, k, n)
 
-    # stack band keys: (doc, band_idx, band_key)
-    stacked = reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                "doc",
+    # one (doc, sig[], band_idx, band_key) row per band via a single
+    # explode — no b-way union re-scan; the full signature RIDES the band
+    # row (k longs) so scoring needs no join back to the signature table
+    sig_arr = sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws(
-                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                    "_", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
                 ).alias("band_key"),
             )
             for b in range(bands)
-        ],
+        ]
     )
-    a, b_ = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    stacked = sig_arr.select(
+        "doc", "sig", F.explode(band_structs).alias("bk")
+    ).select("doc", "sig", "bk.band_idx", "bk.band_key")
+    # posting list per band bucket → ordered in-list pairs (same shape as
+    # ngram_jaccard_pairs): ONE shuffle on the band key replaces the
+    # band-key self-join plus two signature re-joins.  A pair surviving in
+    # several bands dedups via distinct (est_jaccard is a pure function of
+    # the pair, so the triple is distinct-safe).
+    bucket = stacked.groupBy("band_idx", "band_key").agg(
+        F.collect_list(F.struct("doc", "sig")).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y["doc"] > x["doc"]),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
+                            lambda m: m,
+                        )
+                    ).alias("agree"),
+                ),
+            ),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0) for i in range(k)
     )
     return (
-        cand.join(sa, cand.id_a == F.col("sa.doc"))
-        .join(sb, cand.id_b == F.col("sb.doc"))
+        bucket.select(F.explode(pair_structs).alias("p"))
         .select(
-            "id_a",
-            "id_b",
-            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(F.col("p.agree") / F.lit(float(k)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -264,35 +280,48 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: band on 15-bit quarters (a pair within
     Hamming distance <= 3 of 60 bits must agree on >= 1 quarter; wider
     distances trade recall), verify with exact xor/bit_count."""
-    sig = simhash(df, id_col, text_col).cache()
-    chunks = reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                "doc",
-                "simhash",
+    sig = simhash(df, id_col, text_col)
+    # one (doc, simhash, q, chunk) row per 15-bit quarter via a single
+    # explode (no 4-way union re-scan), then posting lists per (q, chunk)
+    # bucket: ONE shuffle on the chunk key replaces the chunk-key
+    # self-join, and the signature rides the row so the Hamming verify
+    # needs no join back
+    quarter_structs = F.array(
+        *[
+            F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright("simhash", q * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("chunk"),
+                F.shiftright("simhash", q * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("chunk"),
             )
             for q in range(4)
-        ],
+        ]
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    chunks = sig.select(
+        "doc", "simhash", F.explode(quarter_structs).alias("qc")
+    ).select("doc", "simhash", "qc.q", "qc.chunk")
+    bucket = chunks.groupBy("q", "chunk").agg(
+        F.collect_list(F.struct("doc", "simhash")).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y["doc"] > x["doc"]),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    # long, matching the oracle's CAST(bit_count(...) AS BIGINT)
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            # long, matching the oracle's CAST(bit_count(...) AS BIGINT)
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
-        )
-        .distinct()
+        bucket.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
