@@ -18,6 +18,16 @@ def spread(df: DataFrame) -> DataFrame:
     only the input rows to unlock N× the downstream work.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # fast path: >= parallelism input files proves >= parallelism scan
+    # partitions without the DataFrame->RDD plan conversion that
+    # getNumPartitions() costs on every operator call (file listing is
+    # already cached on the DataFrame's FileIndex, so inputFiles is a
+    # driver-local lookup) — the well-partitioned 100 TB corpus never
+    # leaves this branch
+    if len(df.inputFiles()) >= parallelism:
+        return df
+    # few (or unknown) files can still split into many partitions if they
+    # are large; only this small/opaque-input path pays the RDD conversion
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
