@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.functions import md5_long_sql
-from smalltsdb_spark.operators import dedup, multimodal, similarity, spread, textstats
+from smalltsdb_spark.operators import (
+    components,
+    dedup,
+    multimodal,
+    similarity,
+    spread,
+    textstats,
+)
 from smalltsdb_spark.queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -778,3 +785,42 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("k"))
         .filter(F.col("k") <= 20)
     )
+
+
+def _clusters_oracle() -> str:
+    """Connected components as a DuckDB recursive-CTE transitive closure
+    over the SAME generated minhash-LSH pairs the Spark side uses as
+    edges: component(v) = least(v, min reachable vertex)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS t FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+    ),
+    comp AS (SELECT s, min(t) AS m FROM reach GROUP BY s)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(least(comp.m, d.doc_id), d.doc_id) AS BIGINT) AS component,
+           coalesce(least(comp.m, d.doc_id), d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.s
+    """
+
+
+@query("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-clustering step every training-data pipeline ends with:
+    near-dup pairs (minhash-LSH, same edges as dedup_minhash_lsh) are
+    collapsed into connected components via iterative min-label
+    propagation with pointer jumping (operators/components.py — O(log d)
+    rounds, per-round state one row per vertex), and every document gets
+    (component, keep) with exactly one kept canonical doc per cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+    return components.dedup_cluster_labels(docs, "doc_id", pairs)
