@@ -699,3 +699,146 @@ def rel_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 2)
     )
+
+
+@query(
+    "rel_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: selective dimension filter
+    broadcast into a 3-way join, grouped revenue, global top-10.  Both
+    date filters sit directly on their scans (pushed to parquet), the
+    filtered customer side is explicitly broadcast, and the orderkey
+    tiebreak makes LIMIT deterministic."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tsdb_gap_fill",
+    """
+    WITH agg AS (
+        SELECT event_type AS path,
+               CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS "timestamp",
+               count(*) AS n,
+               round(sum(value), 6) AS value_sum
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min("timestamp") AS lo, max("timestamp") AS hi FROM agg),
+    grid AS (
+        SELECT p.path, CAST(g.b AS BIGINT) AS "timestamp"
+        FROM (SELECT DISTINCT path FROM agg) p
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, 60)) AS b FROM bounds
+        ) g
+    )
+    SELECT grid.path, grid."timestamp",
+           coalesce(agg.n, 0) AS n,
+           round(coalesce(agg.value_sum, 0), 6) AS value_sum
+    FROM grid LEFT JOIN agg USING (path, "timestamp")
+    """,
+)
+def tsdb_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling — the dashboard-facing tsdb op the reference leaves to
+    its Bokeh client (missing buckets simply break the plotted line,
+    reference app/__init__.py graph data): every (path, minute) cell of
+    the global bucket range is emitted, zero-filled where no datapoints
+    landed.  The grid is built by exploding a sequence against the
+    broadcast 1-row bounds relation — no driver loop, no cross product of
+    data-sized inputs — and the fill join shuffles grid+agg once on the
+    (path, bucket) key.  Grid cardinality is paths × buckets, independent
+    of the raw event count, so at 100 TB the fill cost tracks the
+    *output* size (what a renderer must consume anyway), not the input."""
+    ev = events_as_incoming(spark, sf_dir)
+    agg = ev.groupBy(
+        "path",
+        (F.floor(F.col("timestamp") / 60) * 60).cast("long").alias("timestamp"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+    bounds = agg.agg(F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi"))
+    grid = (
+        agg.select("path")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "path",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(60))).alias(
+                "timestamp"
+            ),
+        )
+    )
+    return grid.join(agg, ["path", "timestamp"], "left").select(
+        "path",
+        "timestamp",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("value_sum", F.lit(0.0)), 6).alias("value_sum"),
+    )
+
+
+@query(
+    "tsdb_moving_avg",
+    """
+    WITH agg AS (
+        SELECT event_type AS path,
+               CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS "timestamp",
+               avg(value) AS bucket_avg
+        FROM events GROUP BY 1, 2
+    )
+    SELECT path, "timestamp",
+           round(avg(bucket_avg) OVER (
+               PARTITION BY path ORDER BY "timestamp"
+               RANGE BETWEEN 240 PRECEDING AND CURRENT ROW
+           ), 6) AS moving_avg
+    FROM agg
+    """,
+)
+def tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-bucket trailing moving average over the per-minute aggregate —
+    the smoothing pass a graphing client applies.  RANGE (not ROWS)
+    framing keyed on the bucket value makes gaps behave correctly: a
+    bucket after a quiet period averages only buckets inside its 4-minute
+    lookback.  One shuffle on path for the window; the frame runs on the
+    already-aggregated relation (buckets, not raw events)."""
+    ev = events_as_incoming(spark, sf_dir)
+    agg = ev.groupBy(
+        "path",
+        (F.floor(F.col("timestamp") / 60) * 60).cast("long").alias("timestamp"),
+    ).agg(F.avg("value").alias("bucket_avg"))
+    w = (
+        Window.partitionBy("path")
+        .orderBy("timestamp")
+        .rangeBetween(-240, Window.currentRow)
+    )
+    return agg.select(
+        "path",
+        "timestamp",
+        F.round(F.avg("bucket_avg").over(w), 6).alias("moving_avg"),
+    )

@@ -824,3 +824,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=16, bands=4, threshold=0.5
     )
     return components.dedup_cluster_labels(docs, "doc_id", pairs)
+
+
+@query(
+    "text_token_histogram",
+    """
+    SELECT CAST(floor(len(string_split(text, ' ')) / 25) * 25 AS BIGINT)
+               AS token_bucket,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents histogrammed into 25-token-wide
+    buckets — the first chart anyone makes before choosing a training-mix
+    length cutoff.  The bucket key is a pure expression over the scan
+    (no pre-aggregation), so the whole histogram is one map-side-combined
+    groupBy; at 100 TB the shuffle carries #buckets rows per task."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy(
+            (F.floor(ntok / 25) * 25).cast("long").alias("token_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
