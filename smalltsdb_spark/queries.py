@@ -19,6 +19,7 @@ double, value := value (FIXTURES.md §6).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -299,6 +300,28 @@ def tsdb_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate_salted(events_as_incoming(spark, sf_dir), 60),
         ("n", "min", "max", "avg", "sum"),
     )
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming lifecycle.
+
+    A stateful streaming agg commits one state-store delta file per state
+    partition per micro-batch, and the partition count is frozen into the
+    checkpoint from the session conf at first start — inheriting the batch
+    shuffle width (32) means 32+ tiny state commits per batch for a
+    5-path keyspace, which dominates these queries' wall time (~4× the
+    actual compute).  State partitions should track KEY CARDINALITY and
+    state size, not batch width: a 100 TB deployment with millions of
+    paths would raise this, the bench keyspace wants it small.  Restored
+    only after the caller's ``awaitTermination`` — the conf is read during
+    micro-batch planning, so restoring before termination would race."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @query("stream_agg_tensecond", _oracle_agg(10))
