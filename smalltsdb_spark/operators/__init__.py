@@ -17,17 +17,28 @@ def spread(df: DataFrame) -> DataFrame:
     so this never adds a shuffle at scale; when it does fire it shuffles
     only the input rows to unlock N× the downstream work.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    # fast path: >= parallelism input files proves >= parallelism scan
-    # partitions without the DataFrame->RDD plan conversion that
-    # getNumPartitions() costs on every operator call (file listing is
-    # already cached on the DataFrame's FileIndex, so inputFiles is a
-    # driver-local lookup) — the well-partitioned 100 TB corpus never
-    # leaves this branch
-    if len(df.inputFiles()) >= parallelism:
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    # fast path: a big-enough input PROVES >= parallelism scan partitions
+    # without the DataFrame->RDD plan conversion that getNumPartitions()
+    # costs on every operator call.  The proof must be byte-based, not
+    # file-count-based: Spark bin-packs small files into FilePartitions
+    # (maxPartitionBytes / openCostInBytes), so 64 tiny files on 32 cores
+    # can scan as a handful of partitions — file count proves nothing.
+    # One FilePartition holds at most maxPartitionBytes, so
+    # totalBytes >= parallelism * maxPartitionBytes guarantees enough
+    # partitions however the bytes are distributed across files; the
+    # 100 TB corpus never leaves this branch.  (Estimated plan size is
+    # driver-local: the FileIndex's cached file listing, no job.)
+    max_partition_bytes = int(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    plan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if plan_bytes >= parallelism * max_partition_bytes:
         return df
-    # few (or unknown) files can still split into many partitions if they
-    # are large; only this small/opaque-input path pays the RDD conversion
+    # small or unknown-size input: pay the RDD conversion to read the
+    # actual partition count (also covers plans whose bottom is a shuffle,
+    # where partitions = spark.sql.shuffle.partitions, not a file scan)
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)

@@ -19,12 +19,32 @@ vertex.  ``localCheckpoint`` truncates lineage each round so the plan
 does not grow with the iteration count (the standard iterative-algorithm
 requirement on Spark).  The fixpoint (label = min id of the component)
 is unique, so results are deterministic regardless of execution order.
+
+Block-manager hygiene: each round's checkpoint supersedes the previous
+round's, and superseded blocks are unpersisted immediately; the final
+labels are materialized to parquet and every checkpoint block released
+before returning, so a long-lived session (the bench runs 50+ queries in
+one session) carries ZERO residual storage from this operator.
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently pinned in the block manager."""
+    return {e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+
+
+def _unpersist_rdds(sc, ids: set[int]) -> None:
+    """Release the given RDDs' blocks (non-blocking)."""
+    for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
 
 
 def connected_components(
@@ -32,6 +52,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
+    result_path: str | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``.
 
@@ -39,21 +60,36 @@ def connected_components(
     (any orderable id type).  Vertices with no edges are absent — union
     the full vertex set afterwards if singletons matter (see
     queries_ext.dedup_clusters).
+
+    The result is returned as a scan of ``result_path`` (parquet): the
+    iterative loop's localCheckpoint blocks are all unpersisted before
+    returning, so the component assignment must live somewhere durable —
+    exactly what a 100 TB pipeline does anyway (persist cluster labels
+    once, then join them against the corpus, instead of keeping an
+    executor-memory copy pinned for the session's lifetime).  The default
+    path is a driver-local temp dir, which is correct for local[] /
+    tests; on a multi-node cluster pass a shared-filesystem URI.
     """
-    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = _persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_rdd_ids(sc) - before
+
     # materialized once: every round re-joins the edge relation, and a
     # lazy plan would recompute pair generation per round
-    und = (
-        und.union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    und, und_ids = _checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
-    labels = (
+    labels, labels_ids = _checkpoint(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_rounds):
@@ -71,7 +107,7 @@ def connected_components(
         jumped = x.join(y, F.col("x.label") == F.col("y.id")).select(
             F.col("x.id").alias("id"), F.col("y.label").alias("label")
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels, new_ids = _checkpoint(jumped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -79,13 +115,23 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the convergence probe above was this round's last read of the
+        # previous labels — release them before moving on
+        _unpersist_rdds(sc, labels_ids)
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
     else:
+        _unpersist_rdds(sc, und_ids | labels_ids)
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
-    return labels.select("id", F.col("label").alias("component"))
+    if result_path is None:
+        result_path = tempfile.mkdtemp(prefix="smalltsdb-components-")
+    labels.select("id", F.col("label").alias("component")).write.mode(
+        "overwrite"
+    ).parquet(result_path)
+    _unpersist_rdds(sc, und_ids | labels_ids)
+    return spark.read.parquet(result_path)
 
 
 def dedup_cluster_labels(
@@ -95,13 +141,17 @@ def dedup_cluster_labels(
 
     Returns (id, component, keep): component = min id over the cluster
     (singletons are their own component), keep marks the one canonical
-    row per cluster.  The components relation is tiny relative to the
-    corpus (only docs with at least one near-dup edge), so the join back
-    is broadcast."""
+    row per cluster.  The components relation holds one row per doc with
+    at least one near-dup edge — on a dup-heavy corpus that is a large
+    fraction of the corpus, so the join is NOT hint-forced to broadcast:
+    AQE picks broadcast when the measured size is actually small and a
+    shuffle join when it is not (a forced broadcast would OOM the build
+    side at exactly the scale this operator exists for).
+    """
     comp = connected_components(pairs, src, dst)
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(F.broadcast(comp), "id", "left")
+        .join(comp, "id", "left")
         .select(
             "id",
             F.coalesce("component", "id").alias("component"),

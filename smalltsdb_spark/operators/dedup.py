@@ -7,11 +7,25 @@ all-pairs cross product — dominates cost:
 - **exact**: md5 content hash → groupBy.  One shuffle on the hash; at
   100 TB the hash groupBy is the only viable exact method (no sort of raw
   text).
-- **n-gram Jaccard**: inverted-index join on shared n-grams (only pairs
-  sharing at least one gram are ever materialized), then exact Jaccard
-  from gram-set sizes.  Skew note: stop-gram-like shingles fan out
-  quadratically; ``max_gram_freq`` drops grams appearing in more than N
-  docs (standard df-cut), bounding the join fan-out.
+- **n-gram Jaccard**: inverted-index candidate generation on shared
+  n-grams (only pairs sharing at least one gram are ever materialized),
+  then exact Jaccard from gram-set sizes that RIDE the posting-list
+  structs — no join back to any per-document relation, broadcast or
+  otherwise.  Skew note: stop-gram-like shingles fan out quadratically;
+  ``max_gram_freq`` drops grams appearing in more than N docs (standard
+  df-cut, on by default), bounding the fan-out.
+
+Degenerate-bucket safety (all three gram/band/chunk methods): a bucket's
+pairs are normally enumerated in-row from its collected posting list,
+which is the fast path but concentrates f(f-1)/2 pair structs in one row.
+Buckets larger than ``bucket_cap`` members therefore fall back to a
+shuffle-merge self-join on the bucket key — the quadratic output is then
+distributed across tasks instead of materialized in one array, so a
+degenerate corpus (millions of identical signatures) degrades to the
+classic distributed pair join instead of a single-row executor OOM or the
+2^31 array-element limit.  Both branches read the same window-annotated
+relation, so the bucket-key exchange below them is planned once and
+reused (ReusedExchange).
 - **MinHash + LSH**: k minhashes per doc computed with ONE explode +
   groupBy (k min-aggregates, map-side combined), banded into b bands →
   candidates join only within equal band keys.  Error vs exact Jaccard is
@@ -43,6 +57,80 @@ from smalltsdb_spark.functions import (
 from smalltsdb_spark.operators import spread
 
 SIMHASH_BITS = 60
+
+#: per-bucket membership cap for the in-row pair-explosion fast path; a
+#: 512-member bucket explodes to ~131k pair structs (~4 MB) in one row,
+#: which is the most a single task should ever hold.  Bigger buckets take
+#: the distributed self-join fallback.
+DEFAULT_BUCKET_CAP = 512
+
+
+def _bucket_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    id_field: str,
+    cap: int,
+    count_col: str | None = None,
+) -> DataFrame:
+    """All unordered pairs of payload structs sharing a bucket key.
+
+    ``rows`` is ``(*keys, v: struct)`` where ``v.<id_field>`` orders pairs
+    (``a.<id_field> < b.<id_field>``); returns ``(a, b)`` struct columns,
+    one row per (bucket, pair) incidence — callers aggregate or distinct
+    across buckets as their semantics require.
+
+    Two physical strategies, routed by bucket membership count (computed
+    with a window over the bucket key unless the caller already has it in
+    ``count_col``):
+
+    - ``<= cap``: ``collect_list`` the bucket into one row and explode the
+      f(f-1)/2 ordered pairs in-row — one shuffle, no join, the fast path
+      for the (overwhelmingly common) small buckets;
+    - ``> cap``: shuffle-merge self-join on the bucket key, so a
+      degenerate bucket's quadratic output is spread across tasks instead
+      of concentrated in one array (executor OOM / 2^31 element limit).
+      The merge hint keeps Catalyst's size estimator from ever electing a
+      broadcast build side derived from the corpus — the exact
+      at-scale failure mode this routing exists to prevent.
+
+    Both branches filter the same window-annotated relation, so the
+    bucket-key exchange they share is planned once (ReusedExchange) and
+    the upstream (tokenize/signature) subtree runs once.
+    """
+    if count_col is None:
+        w = Window.partitionBy(*keys)
+        rows = rows.withColumn("_cnt", F.count("*").over(w))
+        count_col = "_cnt"
+    small = (
+        rows.filter(F.col(count_col) <= cap)
+        .groupBy(*keys)
+        .agg(F.collect_list("v").alias("vs"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("vs"),
+            lambda x: F.transform(
+                F.filter(F.col("vs"), lambda y: y[id_field] > x[id_field]),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
+        "p.a", "p.b"
+    )
+    big = rows.filter(F.col(count_col) > cap)
+    cond = reduce(
+        lambda acc, k: acc & (F.col(f"A.{k}") == F.col(f"B.{k}")),
+        keys[1:],
+        F.col(f"A.{keys[0]}") == F.col(f"B.{keys[0]}"),
+    ) & (F.col("A.v")[id_field] < F.col("B.v")[id_field])
+    big_pairs = (
+        big.alias("A")
+        .hint("merge")
+        .join(big.alias("B"), cond)
+        .select(F.col("A.v").alias("a"), F.col("B.v").alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -78,64 +166,57 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.15,
-    max_gram_freq: int | None = None,
+    max_gram_freq: int | None = 10_000,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 gram.
 
-    Inverted-index candidate generation over ONE shuffle of the gram
-    relation: window-count per gram applies the df-cut in place (no
-    count→join-back, which would recompute the tokenize+explode subtree
-    for every consumer), then ``collect_list(doc)`` per gram REUSES the
-    window's gram partitioning (no second exchange) and ordered doc pairs
-    explode from each posting list.  The pair explosion is bounded by the
-    df-cut (``max_gram_freq`` docs per gram ⇒ ≤ f(f−1)/2 pairs per gram),
-    so no skewed stop-gram can blow up a task — the cut happens BEFORE
-    the quadratic step.  Jaccard = inter / (|A| + |B| − inter).
+    Candidate generation is JOIN-FREE: window-count per gram applies the
+    df-cut in place, a second window counts each doc's surviving grams,
+    and that size rides the ``(doc, sz)`` posting-list struct into the
+    pair explosion — so Jaccard needs no join back to a per-document
+    sizes relation.  (A per-doc relation is corpus-sized: broadcasting it
+    is a guaranteed build-side OOM at 100 TB, and even a shuffle join
+    would re-shuffle the corpus; carrying 8 bytes per posting-list entry
+    costs almost nothing.)  Jaccard = inter / (|A| + |B| − inter), sizes
+    measured over the df-cut gram space — document the same cut in any
+    oracle.
+
+    ``max_gram_freq`` (on by default) drops stop-grams before anything
+    quadratic happens; grams between the cap and the df-cut take the
+    distributed self-join fallback (see ``_bucket_pairs``).
     """
     grams = doc_grams(df, id_col, text_col, n)
+    wg = Window.partitionBy("gram")
+    kept = grams.withColumn("_df", F.count("*").over(wg))
     if max_gram_freq is not None:
-        w = Window.partitionBy("gram")
-        kept = grams.withColumn("_df", F.count("*").over(w)).filter(
-            F.col("_df") <= max_gram_freq
-        )
-    else:
-        kept = grams
-    # posting list per gram; cached because it feeds both the per-doc
-    # sizes and the pair explosion (each posting list ≤ max_gram_freq ids,
-    # orders of magnitude smaller than the raw gram relation)
-    bygram = kept.groupBy("gram").agg(F.collect_list("doc").alias("docs")).cache()
-    sizes = (
-        bygram.select(F.explode("docs").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count("*").alias("sz"))
+        kept = kept.filter(F.col("_df") <= max_gram_freq)
+    # per-doc size AFTER the df-cut; the filter drops whole gram groups,
+    # so _df is still each gram's exact posting-list length below
+    wd = Window.partitionBy("doc")
+    sized = kept.withColumn("sz", F.count("*").over(wd))
+    rows = sized.select(
+        "gram",
+        F.struct(F.col("doc"), F.col("sz")).alias("v"),
+        F.col("_df").alias("_cnt"),
     )
-    # ordered (x, y) pairs from each posting list, value-compared so the
-    # nondeterministic collect_list order never matters
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x: F.transform(
-                F.filter(F.col("docs"), lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pr = _bucket_pairs(rows, ["gram"], "doc", bucket_cap, count_col="_cnt")
     pairs = (
-        bygram.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        pr.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
+        )
     )
     return (
-        pairs.join(
-            F.broadcast(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))),
-            "id_b",
-        )
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
@@ -175,12 +256,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 2,
     threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate pairs from banded minhash, scored by signature agreement.
 
     Two docs are candidates iff at least one band (k/bands consecutive
     minhashes) matches exactly; est_jaccard = fraction of the k minhashes
-    that agree.  Returns (id_a, id_b, est_jaccard >= threshold).
+    that agree.  Returns (id_a, id_b, est_jaccard >= threshold).  Band
+    buckets larger than ``bucket_cap`` (a near-duplicate storm: many docs
+    with an identical band) take the distributed self-join fallback
+    instead of a single collected row — see ``_bucket_pairs``.
     """
     assert k % bands == 0
     r = k // bands
@@ -206,38 +291,26 @@ def minhash_lsh_pairs(
     stacked = sig_arr.select(
         "doc", "sig", F.explode(band_structs).alias("bk")
     ).select("doc", "sig", "bk.band_idx", "bk.band_key")
-    # posting list per band bucket → ordered in-list pairs (same shape as
-    # ngram_jaccard_pairs): ONE shuffle on the band key replaces the
-    # band-key self-join plus two signature re-joins.  A pair surviving in
-    # several bands dedups via distinct (est_jaccard is a pure function of
-    # the pair, so the triple is distinct-safe).
-    bucket = stacked.groupBy("band_idx", "band_key").agg(
-        F.collect_list(F.struct("doc", "sig")).alias("ds")
+    # pairs per band bucket (capped in-row explosion / self-join fallback):
+    # ONE shuffle on the band key replaces the band-key self-join plus two
+    # signature re-joins, because the signature rides the row.  A pair
+    # surviving in several bands dedups via distinct (est_jaccard is a
+    # pure function of the pair, so the triple is distinct-safe).
+    rows = stacked.select(
+        "band_idx", "band_key", F.struct("doc", "sig").alias("v")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(F.col("ds"), lambda y: y["doc"] > x["doc"]),
-                lambda y: F.struct(
-                    x["doc"].alias("id_a"),
-                    y["doc"].alias("id_b"),
-                    F.size(
-                        F.filter(
-                            F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
-                            lambda m: m,
-                        )
-                    ).alias("agree"),
-                ),
-            ),
+    pr = _bucket_pairs(rows, ["band_idx", "band_key"], "doc", bucket_cap)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda u, v: u == v),
+            lambda m: m,
         )
     )
     return (
-        bucket.select(F.explode(pair_structs).alias("p"))
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.round(F.col("p.agree") / F.lit(float(k)), 6).alias("est_jaccard"),
+        pr.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
@@ -275,17 +348,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 12,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on 15-bit quarters (a pair within
     Hamming distance <= 3 of 60 bits must agree on >= 1 quarter; wider
-    distances trade recall), verify with exact xor/bit_count."""
+    distances trade recall), verify with exact xor/bit_count.  Chunk
+    buckets larger than ``bucket_cap`` (many identical signatures) take
+    the distributed self-join fallback — see ``_bucket_pairs``."""
     sig = simhash(df, id_col, text_col)
     # one (doc, simhash, q, chunk) row per 15-bit quarter via a single
-    # explode (no 4-way union re-scan), then posting lists per (q, chunk)
-    # bucket: ONE shuffle on the chunk key replaces the chunk-key
-    # self-join, and the signature rides the row so the Hamming verify
-    # needs no join back
+    # explode (no 4-way union re-scan), then pairs per (q, chunk) bucket:
+    # ONE shuffle on the chunk key replaces the chunk-key self-join, and
+    # the signature rides the row so the Hamming verify needs no join back
     quarter_structs = F.array(
         *[
             F.struct(
@@ -300,28 +378,17 @@ def simhash_near_pairs(
     chunks = sig.select(
         "doc", "simhash", F.explode(quarter_structs).alias("qc")
     ).select("doc", "simhash", "qc.q", "qc.chunk")
-    bucket = chunks.groupBy("q", "chunk").agg(
-        F.collect_list(F.struct("doc", "simhash")).alias("ds")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(F.col("ds"), lambda y: y["doc"] > x["doc"]),
-                lambda y: F.struct(
-                    x["doc"].alias("id_a"),
-                    y["doc"].alias("id_b"),
-                    # long, matching the oracle's CAST(bit_count(...) AS BIGINT)
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
+    rows = chunks.select("q", "chunk", F.struct("doc", "simhash").alias("v"))
+    pr = _bucket_pairs(rows, ["q", "chunk"], "doc", bucket_cap)
     return (
-        bucket.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        pr.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            # long, matching the oracle's CAST(bit_count(...) AS BIGINT)
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

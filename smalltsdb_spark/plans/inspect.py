@@ -52,6 +52,17 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", physical_plan(df)))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of user-forced broadcast hints in the analyzed logical plan.
+
+    AQE *choosing* a broadcast join at runtime (measured-small side) is
+    fine and desirable; a hint-*forced* broadcast of a corpus-derived
+    relation is a guaranteed build-side OOM at 100 TB — the distinction
+    the dedup plan tests pin."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"(?i)ResolvedHint.*broadcast", plan))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters entries across scans."""
     out = []

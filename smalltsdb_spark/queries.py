@@ -23,6 +23,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from smalltsdb_spark.operators.aggregate import aggregate, bucket
 
@@ -49,15 +50,23 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_sec`` (double epoch seconds) added.
 
-    The events parquet uses TIMESTAMP(NANOS), which Spark 4 refuses by
-    default; the runtime conf maps it to a nanosecond LongType.  The epoch
-    derivation truncates to microseconds first (``div 1000``) so it is
-    bit-identical to DuckDB's ``epoch(ts)`` (DuckDB timestamps are µs)."""
+    Handles both generator vintages of the events parquet:
+
+    - TIMESTAMP(NANOS), which Spark 4 refuses by default — the runtime
+      conf maps it to a nanosecond LongType, and the epoch derivation
+      truncates to microseconds first (``div 1000``);
+    - TIMESTAMP(MICROS) (TIMESTAMP_NTZ in Spark) — NTZ → TZ (session tz
+      is pinned UTC, session.py:53) → double is micros/1e6, the same
+      IEEE-754 division DuckDB's ``epoch(ts)`` performs (DuckDB
+      timestamps are µs), so both paths stay bit-identical to the
+      oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts_sec", F.expr("ts div 1000").cast("double") / F.lit(1e6)
-    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts_sec = F.expr("ts div 1000").cast("double") / F.lit(1e6)
+    else:
+        ts_sec = F.col("ts").cast("timestamp").cast("double")
+    return df.withColumn("ts_sec", ts_sec)
 
 
 def events_as_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:

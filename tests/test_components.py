@@ -77,6 +77,20 @@ def test_cluster_labels_singletons_and_keep(spark):
     assert all(r.k == 1 for r in keep_per_comp)
 
 
+def test_no_residual_blocks_after_run(spark):
+    """The iterative loop's localCheckpoint blocks must ALL be released by
+    return time: a long-lived session (the bench runs 50+ queries in one
+    SparkSession) must not accumulate pinned storage from clustering."""
+    from smalltsdb_spark.operators.components import _persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12)])
+    df = connected_components(e)
+    assert df.count() == 6  # result is readable after the blocks are gone
+    assert _persistent_rdd_ids(sc) - before == set()
+
+
 def test_no_fixpoint_raises(spark):
     e = _edges(spark, [(i, i + 1) for i in range(9)])
     with pytest.raises(RuntimeError, match="no fixpoint"):

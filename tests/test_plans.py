@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from smalltsdb_spark.operators.aggregate import aggregate
 from smalltsdb_spark.plans import (
+    broadcast_hint_count,
     broadcast_join_count,
     exchange_count,
     physical_plan,
@@ -122,6 +123,33 @@ def test_driver_queries_have_no_python_eval_in_hot_path(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_jaccard_bigram", "dedup_minhash_lsh", "dedup_simhash_pairs"]
+)
+def test_dedup_pair_generation_never_broadcasts_the_corpus(spark, name):
+    """Candidate generation must be join-free of any relation derived from
+    ``documents``: no forced broadcast hints anywhere (per-doc relations
+    are corpus-sized — a forced broadcast is an OOM at 100 TB), and no
+    statically-planned BroadcastExchange (sizes/signatures ride the
+    posting-list structs instead of joining back).  The oversized-bucket
+    fallback is hint('merge'), never broadcast."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert broadcast_hint_count(df) == 0
+    assert "BroadcastExchange" not in physical_plan(df)
+
+
+def test_cluster_labels_join_not_hint_forced(spark):
+    """dedup_cluster_labels: the components relation is a large fraction
+    of the corpus on dup-heavy data — the label join must leave the
+    strategy to AQE (broadcast only when measured-small), never force it."""
+    from smalltsdb_spark.operators.components import dedup_cluster_labels
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (4, 5)], "id_a long, id_b long")
+    df = dedup_cluster_labels(docs, "doc_id", pairs)
+    assert broadcast_hint_count(df) == 0
 
 
 def test_curate_pipeline_is_join_free(spark):
