@@ -171,14 +171,26 @@ def cmd_rundev(args) -> None:
         with socket.create_connection(daemon.address) as s:
             s.sendall("".join(lines).encode())
         # wait until the daemon's async flush lands the datapoints (the
-        # insert is a real Spark write — a fixed sleep races it)
+        # insert is a real Spark write — a fixed sleep races it).  Only
+        # the incoming table not existing YET is expected here; any other
+        # failure (bad db path, corrupt table) must surface immediately,
+        # not as confusingly-empty sync output a minute later.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         deadline = time.monotonic() + 60.0
-        while time.monotonic() < deadline:
+        while True:
             try:
                 if db.incoming().count() >= len(lines):
                     break
-            except Exception:
-                pass
+            except AnalysisException:
+                pass  # first flush hasn't created the table yet
+            if time.monotonic() >= deadline:
+                print(
+                    f"warning: only part of the {len(lines)} seeded datapoints "
+                    "landed within 60 s — syncing whatever arrived",
+                    file=sys.stderr,
+                )
+                break
             time.sleep(0.2)
 
         if not args.no_app:

@@ -145,11 +145,11 @@ def interval_join(
     null interval columns (both plan-shape-tested: no BroadcastNestedLoop
     / CartesianProduct at any size ratio).
 
-    ``'left'`` tags each point row with a surrogate id that both join
-    branches reference; the id is stable across the two subtree
-    evaluations when the points lineage is deterministic (scan + narrow
-    ops — the normal case).  Persist ``points`` first if it comes out of a
-    nondeterministically-ordered shuffle.
+    ``'left'`` tags each point row with a surrogate id and recovers
+    unmatched points with ONE window pass over that id — the id is
+    evaluated exactly once (a single join subtree, no re-evaluated
+    branches), so it is safe on any input lineage, including
+    nondeterministically-ordered shuffles.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -171,18 +171,32 @@ def interval_join(
     refine = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     if how == "inner":
         return p.join(i, on=["_bin"], how="inner").filter(refine).drop("_bin")
-    # surrogate key per point row: the unmatched-row recovery below must
-    # anti-join on something NULL-safe and duplicate-safe — equality over
-    # all point columns would re-emit matched rows containing a NULL (NULL
-    # never equal-matches) and collapse genuinely duplicate point rows
+    # surrogate key per point row: unmatched-row recovery must key on
+    # something NULL-safe and duplicate-safe — equality over all point
+    # columns would re-emit matched rows containing a NULL (NULL never
+    # equal-matches) and collapse genuinely duplicate point rows.  The id
+    # is referenced by exactly ONE join subtree (no anti-join back to a
+    # second evaluation of p), so monotonically_increasing_id's
+    # nondeterminism across evaluations can never split a row's identity.
     p = p.withColumn("_pid", F.monotonically_increasing_id())
-    matched = p.join(i, on=["_bin"], how="left").filter(
-        F.col(start_col).isNull() | refine
+    joined = p.join(i, on=["_bin"], how="left")
+    ok = F.col(start_col).isNotNull() & refine
+    # per point row: keep every refine-passing match; if none passed
+    # (bin-only matches, or no bin match at all), keep exactly one row
+    # with the interval columns nulled.  Ordering by _ok desc puts a
+    # passing row first iff one exists, so "_ok or row 1" selects both
+    # cases in a single window pass — one shuffle on _pid, replacing the
+    # anti-join formulation that shuffled p twice.
+    w = Window.partitionBy("_pid").orderBy(F.col("_ok").desc())
+    kept = (
+        joined.withColumn("_ok", ok)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_ok") | (F.col("_rn") == 1))
     )
-    survivors = matched.drop("_bin")
-    missing = p.join(
-        survivors.select("_pid"), ["_pid"], "left_anti"
-    ).drop("_bin")
-    for c in intervals.columns:
-        missing = missing.withColumn(c, F.lit(None))
-    return survivors.unionByName(missing).drop("_pid")
+    return kept.select(
+        *points.columns,
+        *[
+            F.when(F.col("_ok"), F.col(c)).alias(c)
+            for c in intervals.columns
+        ],
+    )

@@ -333,6 +333,13 @@ def _stream_state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+#: state partitions for the driver's streaming queries: the events
+#: keyspace is a handful of paths, so a few state partitions cover it;
+#: the batch shuffle width (32) would commit 32 near-empty state-store
+#: deltas per micro-batch instead (measured ~4x these queries' wall time)
+STREAM_STATE_PARTITIONS = 4
+
+
 @query("stream_agg_tensecond", _oracle_agg(10))
 def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2/T5: the Structured Streaming rollup (streaming/pipeline.py)
@@ -352,15 +359,16 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_as_incoming(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(staging)
     inc = spark.readStream.schema(INCOMING_SCHEMA).parquet(staging)
     sink = f"stream_agg_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_aggregate(inc, 10)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            streaming_aggregate(inc, 10)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     return _round_stats(spark.table(sink), _STATS)
 
 
@@ -398,14 +406,15 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, out, ckpt = f"{base}/src", f"{base}/onehour", f"{base}/ckpt"
 
     def run_once():
-        q = start_rollup(
-            spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
-            out,
-            ckpt,
-            int(bucket),
-            available_now=True,
-        )
-        q.awaitTermination(600)
+        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+            q = start_rollup(
+                spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+                out,
+                ckpt,
+                int(bucket),
+                available_now=True,
+            )
+            q.awaitTermination(600)
 
     inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
         "append"

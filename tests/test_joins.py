@@ -254,3 +254,30 @@ def test_interval_join_left_duplicate_point_rows_kept(spark):
     iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid long, start double, end double")
     out = interval_join(p, iv, "ts", "start", "end", 10.0, how="left").collect()
     assert len(out) == 2
+
+
+def test_interval_join_left_nondeterministic_points_lineage(spark):
+    """The left path must be correct when points come out of a
+    nondeterministically-ordered shuffle: the surrogate row id is
+    evaluated in exactly one subtree, so re-evaluation divergence (the
+    classic monotonically_increasing_id trap) cannot occur by
+    construction."""
+    from smalltsdb_spark.operators.joins import interval_join
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "pid long, ts double"
+    )
+    # repartition by a key gives a shuffle whose within-partition order is
+    # not a contract; downstream row ids may differ between evaluations
+    p = base.repartition(7, "ts")
+    iv = spark.createDataFrame(
+        [(9, 50.0, 60.0), (10, 150.0, 160.0)],
+        "iid long, start double, end double",
+    )
+    out = interval_join(p, iv, "ts", "start", "end", 10.0, how="left").collect()
+    assert len(out) == 200  # every point exactly once
+    matched = {r.pid: r.iid for r in out if r.iid is not None}
+    assert matched == {
+        **{i: 9 for i in range(50, 60)},
+        **{i: 10 for i in range(150, 160)},
+    }
