@@ -120,6 +120,78 @@ for _name, _seconds in [("tensecond", 10), ("oneminute", 60), ("onehour", 3600)]
     ORACLE[f"tsdb_agg_{_name}"] = _oracle_agg(_seconds)
 
 
+#: quantile-bracket half-width for the approx-mode self-check, and the
+#: minimum bucket size it is provable at.  For a correct sketch with
+#: accuracy A=10000, the returned element's rank is within 1 + n/A of
+#: q*n; the exact interpolated value at q-0.1 sits 0.1*n - 1.1 ranks
+#: below q*n — so for n >= 30 (0.1*n - 1.1 = 1.9 > 1 + n/A) containment
+#: in [exact(q-0.1), exact(q+0.1)] is a THEOREM, not a tolerance guess:
+#: the violation count is deterministically 0, hash-checkable against a
+#: constant oracle, yet any sketch regression >10 percentile points of
+#: rank error flips it.
+APPROX_BRACKET = 0.1
+APPROX_MIN_N = 30
+
+
+@query(
+    "tsdb_agg_onehour_approx",
+    """
+    WITH agg AS (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 3600) * 3600 AS ts,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(sum(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS buckets_checked,
+           CAST(count(*) AS BIGINT) AS buckets
+    FROM agg
+    """,
+)
+def tsdb_agg_onehour_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB scale mode — ``aggregate(exact=False)``
+    (percentile_approx: mergeable bounded-memory sketch, no per-group
+    value buffering) — with its own value-level driver signal instead of
+    riding the exact mode's row.
+
+    Every bucket's approx p50/p90/p99 is checked against the exact
+    aggregation's interpolated quantile bracket [q-0.1, q+0.1] (provable
+    containment for n >= APPROX_MIN_N, see APPROX_BRACKET); the returned
+    row is (violations, buckets_checked, buckets), hash-compared to the
+    oracle's (0, ...) — so the approx path's whole plan runs and its
+    output quality is gated, while the comparison stays exact.
+    tests/test_api_ops.py additionally pins quantitative |approx-exact|
+    error at sf0.1."""
+    from smalltsdb_spark.config import QUANTILES
+
+    inc = events_as_incoming(spark, sf_dir)
+    ap = aggregate(inc, 3600, exact=False)
+
+    brackets = []
+    for q in QUANTILES:
+        brackets += [max(0.0, q - APPROX_BRACKET), min(1.0, q + APPROX_BRACKET)]
+    ex = (
+        inc.groupBy("path", bucket("timestamp", 3600).alias("timestamp"))
+        .agg(
+            F.count("value").alias("_n"),
+            F.percentile("value", F.array(*[F.lit(b) for b in brackets])).alias("_b"),
+        )
+    )
+    j = ap.join(ex, ["path", "timestamp"])
+    bad = F.lit(False)
+    for i, q in enumerate(QUANTILES):
+        p = F.col(f"p{int(q * 100)}")
+        lo, hi = F.col("_b")[2 * i], F.col("_b")[2 * i + 1]
+        bad = bad | (p < lo - F.lit(1e-9)) | (p > hi + F.lit(1e-9))
+    checked = F.col("_n") >= APPROX_MIN_N
+    return j.agg(
+        F.sum((checked & bad).cast("long")).alias("violations"),
+        F.sum(checked.cast("long")).alias("buckets_checked"),
+        F.count("*").alias("buckets"),
+    )
+
+
 @query(
     "tsdb_get_metric",
     """
@@ -370,6 +442,72 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(600)
     return _round_stats(spark.table(sink), _STATS)
+
+
+@query(
+    "stream_ingest_e2e",
+    """
+    WITH lines AS (
+        SELECT printf('%s %.4f %.4f', event_type, value, epoch(ts)) AS line
+        FROM events
+    ),
+    parsed AS (SELECT string_split(line, ' ') AS f FROM lines),
+    inc AS (
+        SELECT f[1] AS path,
+               CAST(f[3] AS DOUBLE) AS ts,
+               CAST(f[2] AS DOUBLE) AS value
+        FROM parsed WHERE len(f) = 3
+    )
+    SELECT path,
+           floor(ts / 60) * 60 AS "timestamp",
+           round(CAST(count(value) AS DOUBLE), 6) AS n,
+           round(min(value), 6) AS "min",
+           round(max(value), 6) AS "max",
+           round(avg(value), 6) AS "avg",
+           round(sum(value), 6) AS "sum",
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM inc
+    GROUP BY 1, 2
+    """,
+)
+def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5/T5 end-to-end, value-checked: the full ingest pipeline —
+    spool files of Graphite wire lines → ``read_spool_stream`` (file
+    source + codegen parser) → ``start_ingest`` (checkpointed append to
+    the day-partitioned incoming table) → batch aggregation of what
+    landed.  The oracle serializes the SAME events to %.4f wire lines and
+    parses them back in SQL, so the check covers the parser's precision
+    contract, the streaming append path, and the aggregation in one row.
+    Spool lines are split across several files to exercise multi-file
+    micro-batch accumulation (reference daemon.py:108-197's cadence)."""
+    import glob
+    import os
+    import tempfile
+
+    from smalltsdb_spark.streaming import read_spool_stream, start_ingest
+
+    base = tempfile.mkdtemp(prefix="stream_ingest_e2e_")
+    spool, inc_path, ckpt = f"{base}/spool", f"{base}/incoming", f"{base}/ckpt"
+    ev = read_events(spark, sf_dir)
+    ev.select(
+        F.format_string(
+            "%s %.4f %.4f", F.col("event_type"), F.col("value"), F.col("ts_sec")
+        ).alias("value")
+    ).coalesce(4).write.mode("overwrite").text(spool)
+    # the daemon's spool contract names flushes *.graphite (SpoolSink);
+    # rename the text parts to match what read_spool_stream tails
+    for i, part in enumerate(sorted(glob.glob(f"{spool}/part-*"))):
+        os.rename(part, f"{spool}/{i:06d}.graphite")
+
+    q = start_ingest(
+        read_spool_stream(spark, spool), inc_path, ckpt, available_now=True
+    )
+    q.awaitTermination(600)
+
+    landed = spark.read.parquet(inc_path).select("path", "timestamp", "value")
+    return _round_stats(aggregate(landed, 60), _STATS)
 
 
 @query("stream_rollup_finality", _oracle_agg(3600))

@@ -92,3 +92,38 @@ def test_cli_rundev(spark, tsdb_dir):
     rows = db.period_table("tensecond").collect()
     assert rows and all(r.path == "local.random.diceroll" for r in rows)
     assert all(1.0 <= r.min <= r.max <= 6.0 for r in rows)
+
+
+def test_approx_percentile_error_bounds_sf01(spark):
+    """Quantitative |approx - exact| pin for the 100 TB percentile mode at
+    sf0.1: every day-bucket's approx p50/p90/p99 must land inside the
+    exact interpolated [q-0.02, q+0.02] quantile bracket — 5x tighter
+    than the driver row's provable 0.1 bracket, and checked where buckets
+    are big enough (n >= 500) that the sketch's rank-error guarantee
+    (1 + n/accuracy ranks) makes the bound provable, not empirical."""
+    from pyspark.sql import functions as F
+
+    from smalltsdb_spark.config import QUANTILES
+    from smalltsdb_spark.operators.aggregate import aggregate, bucket
+    from smalltsdb_spark.queries import events_as_incoming
+
+    inc = events_as_incoming(spark, "/root/testdata/sf0.1")
+    ap = aggregate(inc, 86400, exact=False)
+    brackets = []
+    for q in QUANTILES:
+        brackets += [max(0.0, q - 0.02), min(1.0, q + 0.02)]
+    ex = inc.groupBy("path", bucket("timestamp", 86400).alias("timestamp")).agg(
+        F.count("value").alias("_n"),
+        F.percentile("value", F.array(*[F.lit(b) for b in brackets])).alias("_b"),
+    )
+    j = ap.join(ex, ["path", "timestamp"]).filter(F.col("_n") >= 500)
+    bad = F.lit(False)
+    for i, q in enumerate(QUANTILES):
+        p = F.col(f"p{int(q * 100)}")
+        lo, hi = F.col("_b")[2 * i], F.col("_b")[2 * i + 1]
+        bad = bad | (p < lo - F.lit(1e-9)) | (p > hi + F.lit(1e-9))
+    checked, violations = j.agg(
+        F.count("*"), F.sum(bad.cast("long"))
+    ).first()
+    assert checked > 0  # the bound must actually bite
+    assert violations == 0
