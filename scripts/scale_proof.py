@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""10x scale proof for the dedup/clustering suite (VERDICT r2 item #8).
+
+Synthesizes a 10x corpus from sf0.1 documents — each replica's tokens are
+prefixed with a replica marker, so gram/signature structure is isomorphic
+WITHIN a replica and disjoint ACROSS replicas.  That keeps the per-doc
+near-dup degree constant as the corpus grows (the realistic web-corpus
+shape: duplication rate does not rise with corpus size), so a correct
+posting-list cost model must scale ~linearly in documents; a super-linear
+blowup falsifies it.
+
+Runs ngram-Jaccard pairs, minhash-LSH pairs, and the full
+clusters pipeline at 1x and 10x and prints docs/sec for each.  Results
+recorded in SCALE.md.
+
+Usage: python scripts/scale_proof.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.operators import dedup
+from smalltsdb_spark.operators.components import dedup_cluster_labels
+from smalltsdb_spark.session import get_spark
+
+
+def replicate(docs, replicas: int, id_offset: int = 1_000_000):
+    """replicas x docs with disjoint ids and gram-disjoint text."""
+    parts = []
+    for r in range(replicas):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * id_offset)).alias("doc_id"),
+                # prefix every token with a replica marker: token/gram
+                # multisets stay isomorphic within a replica, disjoint
+                # across replicas
+                F.regexp_replace(
+                    F.concat(F.lit(f"r{r}x"), F.col("text")),
+                    " ",
+                    f" r{r}x",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # a real 10x corpus arrives pre-partitioned; materialize the synthetic
+    # one the same way so the timing measures the operators, not the union
+    return out.repartition(32).localCheckpoint(eager=True)
+
+
+def run_suite(docs, n_docs: int) -> dict[str, float]:
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    out = {}
+    t0 = time.perf_counter()
+    noop(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.15,
+                                   max_gram_freq=100))
+    out["jaccard_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    noop(dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4,
+                                 threshold=0.5))
+    out["minhash_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4,
+                                    threshold=0.5)
+    noop(dedup_cluster_labels(docs, "doc_id", pairs))
+    out["clusters_sec"] = round(time.perf_counter() - t0, 2)
+    for k in list(out):
+        out[k.replace("_sec", "_docs_per_sec")] = round(n_docs / out[k], 1)
+    out["n_docs"] = n_docs
+    return out
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-proof", master="local[32]",
+                      shuffle_partitions=32)
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = base.count()
+
+    one = replicate(base, 1)
+    ten = replicate(base, replicas)
+    # warm JVM + python workers so fixed startup cost hits neither run
+    one.limit(10).count()
+
+    r1 = run_suite(one, n)
+    r10 = run_suite(ten, n * replicas)
+    ratios = {
+        k.replace("_sec", ""): round(r10[k] / r1[k], 2)
+        for k in ("jaccard_sec", "minhash_sec", "clusters_sec")
+    }
+    print(json.dumps({"sf0.1": r1, f"{replicas}x": r10,
+                      "time_ratio_at_10x_data": ratios}))
+
+
+if __name__ == "__main__":
+    main()

@@ -773,18 +773,92 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen by md5-hash order — the balanced-per-class sample every
     training-mix build needs, reproducible across runs/engines (unlike
     sampleBy's Bernoulli draws).  One window shuffle on the stratum key;
-    at 100 TB swap row_number for a per-stratum hash-threshold refine if
-    strata are hot (same idea as the skew notes in aggregate_salted)."""
-    docs = _t(spark, sf_dir, "documents")
+    ``stratified_sample(..., hot_strata=True)`` is the 100 TB variant
+    that never sorts a whole stratum through one reducer."""
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    hot_strata: bool = False,
+    slack: float = 4.0,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, smallest-md5 first.
+
+    Output (id, stratum, k) with k = 1..per-stratum rank; both modes are
+    EXACTLY equal (property-tested), they differ only physically:
+
+    - default: one ``row_number`` window — the whole corpus shuffles on
+      the stratum key and each stratum is sorted by ONE reducer.  Fine
+      when strata are balanced; a hot stratum (80% of a 100 TB corpus in
+      one language) serializes on a single task.
+    - ``hot_strata=True``: hash-threshold refine.  md5 prefixes are
+      ~uniform, so the k-th smallest hash of an n-row stratum sits near
+      rank-fraction k/n of the hash space; keeping rows whose 32-bit
+      prefix < ceil(slack*k/n * 2^32) passes ~slack*k candidates per
+      stratum.  If >= min(k, n) rows survive, the true top-k provably
+      survived (a cut row's prefix >= threshold > every survivor's ⇒ all
+      survivors order before it), so ranking the tiny candidate set
+      equals ranking the full stratum; the rare shortfall stratum
+      (P ~ e^-slack·k tail) falls back to the full window, restricted to
+      just those strata.  Cost: one map-side-combined count shuffle + a
+      stratum-count-sized join (AQE broadcasts it) + a window over
+      ~slack*k rows per stratum — no corpus-wide sort anywhere.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.alias("_h"), id_col)
+    if not hot_strata:
+        return (
+            docs.select(id_col, stratum_col, F.row_number().over(w).alias("k"))
+            .filter(F.col("k") <= k)
+        )
+
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    thr = F.ceil(F.lit(float(k) * slack) * F.lit(2.0**32) / F.col("_n")).cast("long")
+    cand = (
+        docs.select(stratum_col, id_col, h.alias("_h"))
+        .withColumn("_p", F.conv(F.substring("_h", 1, 8), 16, 10).cast("long"))
+        .join(counts.withColumn("_t", thr), stratum_col)
+        .filter(F.col("_p") < F.col("_t"))
     )
-    return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("k"))
-        .filter(F.col("k") <= 20)
+    wc = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ws = Window.partitionBy(stratum_col)
+    ranked = cand.select(
+        stratum_col,
+        id_col,
+        "_n",
+        F.row_number().over(wc).alias("k"),
+        F.count("*").over(ws).alias("_survivors"),
     )
+    complete = ranked.filter(
+        (F.col("_survivors") >= F.least(F.lit(k), F.col("_n")))
+        & (F.col("k") <= k)
+    ).select(id_col, stratum_col, "k")
+    # shortfall strata (didn't yield min(k, n) candidates): exact fallback
+    # via the full window, restricted to just those strata — correctness
+    # never depends on the tail bound.  Start from counts, not ranked: a
+    # stratum with ZERO survivors is absent from ranked entirely.
+    surv = ranked.groupBy(stratum_col).agg(F.max("_survivors").alias("_s"))
+    short = (
+        counts.join(surv, stratum_col, "left")
+        .filter(
+            F.coalesce(F.col("_s"), F.lit(0)) < F.least(F.lit(k), F.col("_n"))
+        )
+        .select(stratum_col)
+    )
+    fallback = (
+        docs.join(short, stratum_col)
+        .select(id_col, stratum_col, F.row_number().over(w).alias("k"))
+        .filter(F.col("k") <= k)
+    )
+    return complete.unionByName(fallback)
 
 
 def _clusters_oracle() -> str:
