@@ -58,23 +58,36 @@ def replicate(docs, replicas: int, id_offset: int = 1_000_000):
 
 
 def run_suite(docs, n_docs: int) -> dict[str, float]:
+    """Best-of-2 per operator: the first run of each carries whole-stage
+    codegen JIT compilation (seconds — bigger than the 1x data cost
+    itself), which would otherwise masquerade as super/sub-linear
+    scaling."""
+
     def noop(df):
         df.write.mode("overwrite").format("noop").save()
 
+    def jaccard():
+        noop(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                       threshold=0.15, max_gram_freq=100))
+
+    def minhash():
+        noop(dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4,
+                                     threshold=0.5))
+
+    def clusters():
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16,
+                                        bands=4, threshold=0.5)
+        noop(dedup_cluster_labels(docs, "doc_id", pairs))
+
     out = {}
-    t0 = time.perf_counter()
-    noop(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.15,
-                                   max_gram_freq=100))
-    out["jaccard_sec"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    noop(dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4,
-                                 threshold=0.5))
-    out["minhash_sec"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4,
-                                    threshold=0.5)
-    noop(dedup_cluster_labels(docs, "doc_id", pairs))
-    out["clusters_sec"] = round(time.perf_counter() - t0, 2)
+    for name, fn in [("jaccard", jaccard), ("minhash", minhash),
+                     ("clusters", clusters)]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_sec"] = round(best, 2)
     for k in list(out):
         out[k.replace("_sec", "_docs_per_sec")] = round(n_docs / out[k], 1)
     out["n_docs"] = n_docs

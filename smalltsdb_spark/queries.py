@@ -405,10 +405,15 @@ def _stream_state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-#: state partitions for the driver's streaming queries: the events
-#: keyspace is a handful of paths, so a few state partitions cover it;
-#: the batch shuffle width (32) would commit 32 near-empty state-store
-#: deltas per micro-batch instead (measured ~4x these queries' wall time)
+#: state partitions for the driver's streaming queries.  The state key is
+#: (path, window) — ~10k entries at sf0.1 — so a handful of partitions
+#: covers it and avoids 32 near-empty state-store commits per micro-batch.
+#: A/B at sf0.1 (4 vs 16 vs 32) shows the choice is inside run-to-run
+#: noise at this shape — the pin is about the CONTRACT (state partitions
+#: track key cardinality and are frozen into the checkpoint at first
+#: start, so they must be chosen deliberately, not inherited from the
+#: batch shuffle width; a 100 TB deployment with millions of paths raises
+#: this the same way).
 STREAM_STATE_PARTITIONS = 4
 
 
