@@ -88,3 +88,75 @@ def test_word_ngrams_short_doc_empty(spark):
     rows = df.select(word_ngrams(tokens("t"), 3).alias("g")).collect()
     assert rows[0].g == []
     assert rows[1].g == ["a b c"]
+
+
+def _corpus_with_storm(spark, n_unique=30, n_storm=40):
+    """n_unique distinct docs plus a near-duplicate storm: n_storm copies
+    of one document with tiny suffixes — every gram/band/chunk bucket the
+    storm touches exceeds a small cap."""
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+            for i in range(n_unique)]
+    rows += [
+        (1000 + j, "storm common text shared by every copy token" + str(j % 3))
+        for j in range(n_storm)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("cap", [1, 3, 10**9])
+def test_jaccard_bucket_cap_invariant(spark, cap):
+    """The distributed self-join fallback must be EXACTLY the in-row
+    explosion: any cap (even one that routes every bucket to the
+    fallback) yields the identical pair set with identical scores."""
+    docs = _corpus_with_storm(spark)
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.1, bucket_cap=10**9
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.1, bucket_cap=cap
+        ).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
+@pytest.mark.parametrize("cap", [1, 3, 10**9])
+def test_minhash_bucket_cap_invariant(spark, cap):
+    docs = _corpus_with_storm(spark)
+    ref = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=16, bands=4, threshold=0.3,
+            bucket_cap=10**9,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=16, bands=4, threshold=0.3,
+            bucket_cap=cap,
+        ).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
+@pytest.mark.parametrize("cap", [1, 3, 10**9])
+def test_simhash_bucket_cap_invariant(spark, cap):
+    docs = _corpus_with_storm(spark)
+    ref = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=20, bucket_cap=10**9
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=20, bucket_cap=cap
+        ).collect()
+    }
+    assert got == ref and len(ref) > 0
