@@ -248,6 +248,66 @@ def minhash_signatures(
     return grams.groupBy("doc").agg(*aggs)
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+) -> DataFrame:
+    """The persistable LSH index: one (doc, sig, band_idx, band_key) row
+    per band, via a single explode — no b-way union re-scan.  The full
+    signature RIDES the band row (k longs) so any later scoring needs no
+    join back to a signature table.
+
+    This is the relation an incremental pipeline materializes once per
+    corpus (at scale: ``storage.write_bucketed_table`` on ``band_key``,
+    so every future batch joins against it exchange-free on the corpus
+    side) and appends to as batches arrive."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n)
+    sig_arr = sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_arr.select(
+        "doc", "sig", F.explode(band_structs).alias("bk")
+    ).select("doc", "sig", "bk.band_idx", "bk.band_key")
+
+
+def _score_band_pairs(pr: DataFrame, k: int, threshold: float) -> DataFrame:
+    """(a, b) struct pairs → (id_a, id_b, est_jaccard >= threshold),
+    distinct across the bands a pair co-occurred in (est_jaccard is a
+    pure function of the pair, so the triple is distinct-safe)."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda u, v: u == v),
+            lambda m: m,
+        )
+    )
+    return (
+        pr.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -266,55 +326,76 @@ def minhash_lsh_pairs(
     buckets larger than ``bucket_cap`` (a near-duplicate storm: many docs
     with an identical band) take the distributed self-join fallback
     instead of a single collected row — see ``_bucket_pairs``.
-    """
-    assert k % bands == 0
-    r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
 
-    # one (doc, sig[], band_idx, band_key) row per band via a single
-    # explode — no b-way union re-scan; the full signature RIDES the band
-    # row (k longs) so scoring needs no join back to the signature table
-    sig_arr = sig.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    stacked = sig_arr.select(
-        "doc", "sig", F.explode(band_structs).alias("bk")
-    ).select("doc", "sig", "bk.band_idx", "bk.band_key")
-    # pairs per band bucket (capped in-row explosion / self-join fallback):
-    # ONE shuffle on the band key replaces the band-key self-join plus two
-    # signature re-joins, because the signature rides the row.  A pair
-    # surviving in several bands dedups via distinct (est_jaccard is a
-    # pure function of the pair, so the triple is distinct-safe).
+    Pairs per band bucket over ONE shuffle on the band key (the signature
+    rides the row), replacing the band-key self-join plus two signature
+    re-joins.
+    """
+    stacked = minhash_band_table(df, id_col, text_col, k, bands, n)
     rows = stacked.select(
         "band_idx", "band_key", F.struct("doc", "sig").alias("v")
     )
     pr = _bucket_pairs(rows, ["band_idx", "band_key"], "doc", bucket_cap)
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda u, v: u == v),
-            lambda m: m,
+    return _score_band_pairs(pr, k, threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch, without recomputing the
+    corpus: the daily-ingest dedup workflow ("which incoming documents
+    duplicate each other or anything already ingested?").
+
+    ``corpus_bands`` is a previously materialized :func:`minhash_band_table`
+    (ids must be disjoint from the batch's).  Returns the union of
+
+    - **new-vs-corpus**: equi-join of the batch's band table against the
+      corpus's on (band_idx, band_key), scored from the signatures riding
+      both sides.  Per-batch cost is the batch's signature pass plus one
+      key-partitioned join — the corpus is never re-tokenized or
+      re-hashed, and if the corpus table was written bucketed on
+      band_key, never re-shuffled either.  A storm key fans out as join
+      rows across tasks (never a collected array), and AQE's skew-join
+      splitting handles hot keys — so no cap is needed on this side.
+    - **new-vs-new**: the regular capped in-bucket pairing over the
+      batch's own band table.
+
+    Ordering: id_a < id_b in every pair, whichever side each id came
+    from, so the result is a plain pair relation.
+    """
+    new_bands = minhash_band_table(new_docs, id_col, text_col, k, bands, n)
+
+    nc = (
+        new_bands.alias("N")
+        .join(corpus_bands.alias("C"), ["band_idx", "band_key"])
+        .select(
+            F.struct(
+                F.least(F.col("N.doc"), F.col("C.doc")).alias("doc"),
+                F.when(F.col("N.doc") < F.col("C.doc"), F.col("N.sig"))
+                .otherwise(F.col("C.sig"))
+                .alias("sig"),
+            ).alias("a"),
+            F.struct(
+                F.greatest(F.col("N.doc"), F.col("C.doc")).alias("doc"),
+                F.when(F.col("N.doc") < F.col("C.doc"), F.col("C.sig"))
+                .otherwise(F.col("N.sig"))
+                .alias("sig"),
+            ).alias("b"),
         )
     )
-    return (
-        pr.select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
+    rows = new_bands.select(
+        "band_idx", "band_key", F.struct("doc", "sig").alias("v")
     )
+    nn = _bucket_pairs(rows, ["band_idx", "band_key"], "doc", bucket_cap)
+    return _score_band_pairs(nc.unionByName(nn), k, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

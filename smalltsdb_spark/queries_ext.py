@@ -150,6 +150,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_incremental",
+    f"""
+    SELECT id_a, id_b, est_jaccard FROM ({_minhash_oracle()})
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup workflow: documents with doc_id % 5 == 0
+    play the incoming batch, the rest the already-ingested corpus (band
+    table materialized once, operators/dedup.minhash_band_table).  The
+    incremental operator returns every near-dup pair involving a batch
+    doc — new-vs-corpus via an equi-join against the persisted band
+    table (the corpus is never re-tokenized/re-hashed), new-vs-new via
+    the regular capped bucket pairing.  Oracle: the full-corpus LSH pair
+    relation filtered to pairs touching the batch — incremental must
+    equal recompute-from-scratch restricted to the batch's pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_bands = dedup.minhash_band_table(corpus, "doc_id", "text", k=16, bands=4)
+    return dedup.minhash_lsh_pairs_incremental(
+        batch, corpus_bands, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+
+
 def _simhash_oracle() -> str:
     nbits = dedup.SIMHASH_BITS
     votes = ",\n               ".join(

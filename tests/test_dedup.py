@@ -160,3 +160,29 @@ def test_simhash_bucket_cap_invariant(spark, cap):
         ).collect()
     }
     assert got == ref and len(ref) > 0
+
+
+@pytest.mark.parametrize("cap", [2, 10**9])
+def test_minhash_incremental_equals_full_filtered(spark, cap):
+    """Incremental (batch vs persisted corpus band table) must equal the
+    from-scratch pair relation restricted to pairs touching the batch —
+    including under the storm-bucket fallback."""
+    docs = _corpus_with_storm(spark)
+    batch = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    bands_tbl = dedup.minhash_band_table(corpus, "doc_id", "text", k=16, bands=4)
+    inc = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs_incremental(
+            batch, bands_tbl, "doc_id", "text", k=16, bands=4,
+            threshold=0.3, bucket_cap=cap,
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=16, bands=4, threshold=0.3
+        ).collect()
+        if r.id_a % 2 == 0 or r.id_b % 2 == 0
+    }
+    assert inc == full and len(full) > 0
