@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import FP_MOD, FP_MUL, md5_long, tokens
+from smalltsdb_spark.functions import FP_MOD, FP_MUL, md5_long, tokens, word_ngrams
 from smalltsdb_spark.operators import spread
 
 # Tiny stopword lists — enough signal for the heuristic; deterministic.
@@ -103,6 +103,48 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         scores["de"].alias("score_de"),
         scores["fr"].alias("score_fr"),
         lang.alias("lang_pred"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics (Gopher-style quality rules):
+    boilerplate and degenerate generation show up as token/n-gram
+    repetition long before any model-based scorer sees them.
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — overall
+      repetitiveness;
+    - ``top_token_frac``: occurrences of the most frequent token /
+      |tokens| (the "single token dominates the document" rule);
+    - ``dup_bigram_frac``: 1 − |distinct bigrams| / |bigrams| — phrase
+      loops that token-level stats miss.
+
+    All pure array expressions in ONE projection — no explode, no
+    shuffle, codegen end to end.  The top-token count is
+    O(distinct × len) per row, bounded by document length (not corpus
+    size) — the per-row cost model that holds at any corpus scale.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    dup_tok = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(t)) / n.cast("double"), 6
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda tok: F.size(F.filter(t, lambda x: x == tok)),
+        )
+    )
+    top_frac = F.round(top_cnt / n.cast("double"), 6)
+    bg = word_ngrams(t, 2)
+    nb = F.size(bg)
+    dup_bg = F.when(nb > 0, F.round(
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / nb.cast("double"), 6
+    )).otherwise(F.lit(0.0))
+    return spread(df).select(
+        F.col(id_col),
+        dup_tok.alias("dup_token_frac"),
+        top_frac.alias("top_token_frac"),
+        dup_bg.alias("dup_bigram_frac"),
     )
 
 

@@ -558,6 +558,37 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, w,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1]) AS bg
+        FROM t
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+               AS dup_token_frac,
+           round(list_max(list_transform(list_distinct(w),
+                     tok -> len(list_filter(w, x -> x = tok))))::DOUBLE
+                 / len(w), 6) AS top_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (token/top-token/bigram
+    repetition fractions) — pure array expressions, one projection, no
+    shuffle (operators/textstats.repetition_stats)."""
+    return textstats.repetition_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
     "text_fingerprint",
     f"""
     WITH t AS (

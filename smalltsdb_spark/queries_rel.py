@@ -163,6 +163,38 @@ def rel_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_distinct_users_approx",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups
+    FROM events
+    """,
+)
+def rel_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count mode — approx_count_distinct (HLL++
+    sketch, mergeable map-side, no expand) — with its own value-gated
+    driver row, same self-check pattern as tsdb_agg_onehour_approx:
+    per group |approx − exact| must be within 3x the configured rsd
+    (0.05), a bound the sketch's error distribution clears with wide
+    margin on fixed data; the returned (violations, n_groups) row is
+    hash-exact against a constant oracle, so a sketch regression >15%
+    flips the row red while the comparison stays exact."""
+    ev = read_events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("_approx"),
+    )
+    bad = (
+        F.abs(F.col("_approx") - F.col("_exact"))
+        > F.lit(0.15) * F.col("_exact")
+    )
+    return g.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.count("*").alias("n_groups"),
+    )
+
+
+@query(
     "rel_interval_join",
     """
     SELECT a.event_id, count(b.event_id) AS n_following

@@ -42,3 +42,38 @@ def test_fingerprint_order_sensitive(spark):
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]  # same token set, different order
     assert all(0 <= v < 1_000_000_007 for v in fp.values())
+
+
+def test_repetition_stats_crafted(spark):
+    from smalltsdb_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "a b c d"),          # no repetition
+            (3, "x"),                # single token: no bigrams
+            (4, "a b a b a b"),      # phrase loop: bigram dup high
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in repetition_stats(docs, "doc_id", "text").collect()}
+    assert r[1].dup_token_frac == 0.75 and r[1].top_token_frac == 1.0
+    assert r[1].dup_bigram_frac == round(1 - 1 / 3, 6)
+    assert r[2].dup_token_frac == 0.0 and r[2].top_token_frac == 0.25
+    assert r[2].dup_bigram_frac == 0.0
+    assert r[3].dup_token_frac == 0.0 and r[3].top_token_frac == 1.0
+    assert r[3].dup_bigram_frac == 0.0  # zero bigrams -> defined as 0
+    assert r[4].top_token_frac == 0.5
+    assert r[4].dup_bigram_frac == round(1 - 2 / 5, 6)
+
+
+def test_repetition_stats_no_shuffle_no_python(spark):
+    """One projection: no exchange beyond the input spread, no Python."""
+    from smalltsdb_spark.operators.textstats import repetition_stats
+    from smalltsdb_spark.plans import exchange_count, physical_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = repetition_stats(docs, "doc_id", "text")
+    assert exchange_count(df) <= 1  # the spread repartition only
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
