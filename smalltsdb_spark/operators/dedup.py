@@ -398,6 +398,50 @@ def minhash_lsh_pairs_incremental(
     return _score_band_pairs(nc.unionByName(nn), k, threshold)
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 2,
+    max_gram_freq: int | None = 10_000,
+) -> DataFrame:
+    """Decontamination: corpus documents sharing >= ``min_shared``
+    distinct n-grams with any eval-set document.
+
+    The training-data hygiene step every eval-honest pipeline runs
+    (Gopher/GPT-style 8-13-gram overlap): before training, drop corpus
+    docs that leak test material.  Returns
+    (corpus_id, eval_id, shared_grams) for every contaminated pair.
+
+    Shape: the eval side is tiny relative to the corpus (thousands of
+    docs vs billions), so the corpus gram relation SEMI-joins the
+    eval-gram set — only corpus grams that appear in ANY eval doc survive
+    (at 100 TB the eval gram set broadcasts; we leave the strategy to
+    AQE, which broadcasts when measured-small).  Then one groupBy on the
+    surviving (corpus_id, eval_id) incidence counts shared grams.  The
+    df-cut (``max_gram_freq`` over the EVAL side) drops stop-grams before
+    the join so a common phrase in the eval set cannot fan out across the
+    whole corpus.
+    """
+    cg = doc_grams(corpus, id_col, text_col, n).withColumnRenamed("doc", "corpus_id")
+    eg = doc_grams(eval_docs, id_col, text_col, n).withColumnRenamed("doc", "eval_id")
+    if max_gram_freq is not None:
+        w = Window.partitionBy("gram")
+        eg = (
+            eg.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_gram_freq)
+            .drop("_df")
+        )
+    return (
+        cg.join(eg, "gram")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document from token-frequency-weighted bit votes.
 

@@ -176,6 +176,37 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_contamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+        FROM toks
+    ),
+    cg AS (SELECT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 7 <> 0),
+    eg AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0)
+    SELECT corpus_id, eval_id, count(*) AS shared_grams
+    FROM cg JOIN eg USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.ngram_contamination):
+    documents with doc_id % 7 == 0 play the held-out eval set; the query
+    returns every (corpus doc, eval doc) pair sharing >= 2 distinct
+    trigrams — the pairs a training pipeline drops before training."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    return dedup.ngram_contamination(
+        corpus, eval_docs, "doc_id", "text", n=3, min_shared=2
+    )
+
+
 def _simhash_oracle() -> str:
     nbits = dedup.SIMHASH_BITS
     votes = ",\n               ".join(

@@ -186,3 +186,37 @@ def test_minhash_incremental_equals_full_filtered(spark, cap):
         if r.id_a % 2 == 0 or r.id_b % 2 == 0
     }
     assert inc == full and len(full) > 0
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret eval answer is forty two exactly"),
+            (2, "a completely unrelated training document here"),
+            (3, "the secret eval answer differs from forty two"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.corpus_id, r.eval_id): r.shared_grams
+        for r in dedup.ngram_contamination(
+            corpus, evals, "doc_id", "text", n=3, min_shared=2
+        ).collect()
+    }
+    # doc 1 contains the full eval text -> shares all 5 eval trigrams;
+    # doc 3 shares "the secret eval", "secret eval answer" (prefix) = 2;
+    # doc 2 shares none
+    assert got == {(1, 100): 5, (3, 100): 2}
+
+
+def test_ngram_contamination_no_broadcast_hint(spark):
+    from smalltsdb_spark.plans import broadcast_hint_count
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    evals = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    df = dedup.ngram_contamination(corpus, evals, "doc_id", "text")
+    assert broadcast_hint_count(df) == 0
