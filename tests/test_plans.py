@@ -140,6 +140,15 @@ def test_dedup_pair_generation_never_broadcasts_the_corpus(spark, name):
     assert "BroadcastExchange" not in physical_plan(df)
 
 
+def test_incremental_minhash_not_hint_forced(spark):
+    """Batch-vs-corpus dedup: the corpus band table is corpus-sized, so
+    the band-key join must never be hint-forced to broadcast (statically
+    electing one at tiny SF is fine — that's Catalyst sizing, which AQE
+    re-checks at scale)."""
+    df = QUERIES["dedup_minhash_incremental"](spark, SF_DIR)
+    assert broadcast_hint_count(df) == 0
+
+
 def test_cluster_labels_join_not_hint_forced(spark):
     """dedup_cluster_labels: the components relation is a large fraction
     of the corpus on dup-heavy data — the label join must leave the
