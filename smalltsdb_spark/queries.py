@@ -515,7 +515,75 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_stats(aggregate(landed, 60), _STATS)
 
 
-@query("stream_rollup_finality", _oracle_agg(3600))
+@query(
+    "stream_first_seen",
+    """
+    SELECT event_type AS path,
+           round(min(epoch(ts)), 6) AS "timestamp",
+           floor(value / 10) * 10 AS value
+    FROM events
+    GROUP BY event_type, floor(value / 10) * 10
+    """,
+)
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming on-arrival dedup (streaming/stateful.first_seen_stream)
+    driven across TWO micro-batch runs: batch 1 stages the first half of
+    events (value coarsened to 10-wide bins so keys actually repeat),
+    batch 2 stages the second half PLUS copies of batch-1 rows.  The
+    state store must drop every key batch 1 already emitted — so the
+    final table equals the global first-occurrence per (path, bin),
+    which is exactly the group-by-min oracle.  A state failure re-emits
+    batch-1 keys and flips rows_match."""
+    import math
+    import tempfile
+
+    from smalltsdb_spark.streaming.stateful import first_seen_stream
+
+    inc = events_as_incoming(spark, sf_dir).select(
+        "path",
+        "timestamp",
+        (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
+    )
+    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+    t_split = (t_min + t_max) / 2
+
+    base = tempfile.mkdtemp(prefix="stream_first_seen_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    def run_once():
+        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+            q = (
+                first_seen_stream(
+                    spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+                    key_cols=["path", "value"],
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+
+    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    (
+        inc.filter(F.col("timestamp") >= t_split)
+        .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_once()
+
+    return spark.read.parquet(out).select(
+        "path", F.round("timestamp", 6).alias("timestamp"), "value"
+    )
 def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T4 at the driver level: the APPEND-mode (finality) rollup driven
     across TWO micro-batch runs with late data — the semantics

@@ -134,6 +134,79 @@ def ewma_scores_batch(incoming: DataFrame, alpha: float = 0.125) -> DataFrame:
     )
 
 
+def first_seen_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen dedup: emit each key's FIRST row (by ``ts_col``
+    within its arrival micro-batch), drop every later occurrence across
+    all micro-batches — the on-arrival dedup a training-data ingest
+    pipeline runs so duplicates never land in storage at all (the batch
+    dedup operators then only handle NEAR-duplicates).
+
+    State is one counter per key, sharded by the state store across
+    key-hash partitions.  ``ttl_minutes`` arms a processing-time timeout
+    that expires idle keys — the bounded-state mode for unbounded key
+    spaces (an exact seen-set over 100 TB of content hashes does not fit;
+    TTL turns the guarantee into "exact within the window", which is the
+    standard contract for streaming dedup — cf. dropDuplicates
+    withWatermark).  Output schema == input schema.
+
+    Batch twin: :func:`first_seen_batch` (pure window, no Python) — equal
+    output when each key's first row arrives in the earliest micro-batch,
+    pinned by tests/test_stateful.py.
+    """
+    schema = stream.schema
+    cols = [f.name for f in schema.fields]
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        if len(rows) and not state.exists:
+            first = rows.sort_values(ts_col).head(1)
+            state.update((1,))
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
+            yield first[cols]
+        else:
+            if state.exists and ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def first_seen_batch(
+    df: DataFrame, key_cols: list[str], ts_col: str = "timestamp"
+) -> DataFrame:
+    """Batch twin of :func:`first_seen_stream`: one window pass, pure JVM
+    (row_number over the key ordered by time, remaining columns as the
+    deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c not in key_cols and c != ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *others)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def top_anomalies(scored: DataFrame, k: int = 10) -> DataFrame:
     """Top-k |zscore| rows — the 'what should I look at' query."""
     return (

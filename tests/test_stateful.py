@@ -101,3 +101,60 @@ def test_stream_rejects_nothing_on_empty_batch(spark):
         "'p' as path", "cast(value as double) as timestamp", "cast(value as double) as value"
     )
     ewma_scores_stream(inc)  # must analyze without error
+
+
+def test_first_seen_stream_equals_batch_and_drops_across_batches(spark, tmp_path):
+    """Cross-micro-batch dedup: keys emitted in batch 1 must be dropped in
+    batch 2 by STATE, and the surviving rows must equal the batch twin."""
+    from smalltsdb_spark.streaming.stateful import (
+        first_seen_batch,
+        first_seen_stream,
+    )
+
+    rows = [
+        ("a", 1.0, 10.0), ("a", 2.0, 10.0),   # dup within batch 1
+        ("a", 1.5, 20.0),
+        ("b", 2.5, 10.0),
+    ]
+    rows2 = [
+        ("a", 3.0, 10.0),                     # dup ACROSS batches -> state
+        ("a", 3.5, 30.0),                     # new key in batch 2
+        ("b", 4.0, 10.0),                     # dup across batches
+    ]
+    inc_all = spark.createDataFrame(rows + rows2, INCOMING_SCHEMA)
+    expect = {
+        (r.path, r.value): r.timestamp
+        for r in first_seen_batch(
+            inc_all, key_cols=["path", "value"]
+        ).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, INCOMING_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema(INCOMING_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*/")
+    q = (
+        first_seen_stream(stream, key_cols=["path", "value"])
+        .writeStream.format("memory")
+        .queryName("fs_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_after_b1 = spark.table("fs_t").count()
+        spark.createDataFrame(rows2, INCOMING_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.path, r.value): r.timestamp for r in spark.table("fs_t").collect()
+        }
+    finally:
+        q.stop()
+    assert n_after_b1 == 3  # (a,10) (a,20) (b,10)
+    assert got == expect    # batch-2 dups dropped, (a,30) added
