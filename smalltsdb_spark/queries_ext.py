@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import md5_long_sql
+from smalltsdb_spark.functions import md5_long_sql, tokens
 from smalltsdb_spark.operators import (
     components,
     dedup,
@@ -636,6 +636,56 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint (token-hash fold)."""
     return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ext_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 512 AS chunk_id
+    FROM c
+    """,
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the training-prep step that
+    assembles documents into fixed-budget training sequences: within each
+    language, documents (in deterministic doc_id order) are assigned to
+    consecutive chunks by running token count, chunk_id =
+    floor(tokens-before-this-doc / 512).  A doc straddling a boundary
+    starts in the chunk where its first token lands (the streaming-pack
+    convention).  One window shuffle on the stratum key; at 100 TB the
+    stratum is (source, shard) so no single timeline serializes."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(tokens("text")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512))
+        .cast("long")
+        .alias("chunk_id"),
+    )
 
 
 # ---------------------------------------------------------------------------
