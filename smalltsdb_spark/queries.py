@@ -584,6 +584,9 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "path", F.round("timestamp", 6).alias("timestamp"), "value"
     )
+
+
+@query("stream_rollup_finality", _oracle_agg(3600))
 def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T4 at the driver level: the APPEND-mode (finality) rollup driven
     across TWO micro-batch runs with late data — the semantics
