@@ -79,3 +79,12 @@ def test_query_matches_oracle(name, spark, ddb):
     right = normalize(ddb_rows, ddb_cols)
     mismatches = [(a, b) for a, b in zip(left, right) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_registry_complete():
+    """Every query has an oracle and none silently fall out of the
+    registry (a dropped @query decorator also drops its parametrized
+    parity test, so the count itself must be pinned)."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) == set(oracles)
+    assert len(qs) >= 57
