@@ -688,6 +688,72 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w, len(w) AS n,
+               unnest(range(0, greatest((len(w) - 32 + 24 - 1) // 24, 0) + 1))
+                   AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(w, chunk_idx * 24 + 1,
+                                      least(chunk_idx * 24 + 32, n)), ' ')
+               AS chunk_text,
+           least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS chunk_tokens
+    FROM c
+    WHERE chunk_idx * 24 < n
+    """,
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the other half of sequence prep: long
+    documents split into 32-token windows with stride 24 (8-token
+    overlap), each chunk re-joined to text.  Pure array expressions + one
+    explode; per-row fanout is ceil((len−size)/stride)+1, bounded by
+    document length — no shuffle, no Python.  The last chunk is the
+    remainder (never padded); a doc shorter than one window is a single
+    chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 32, 24
+    w = tokens("text")
+    n = F.size(w)
+    last = F.greatest(
+        F.floor((n - size + stride - 1) / stride).cast("int"), F.lit(0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("_w"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * stride < F.col("_n"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "_w",
+                    F.col("chunk_idx") * stride + 1,
+                    F.least(
+                        F.lit(size),
+                        F.col("_n") - F.col("chunk_idx") * stride,
+                    ),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            (
+                F.least(F.col("chunk_idx") * stride + size, F.col("_n"))
+                - F.col("chunk_idx") * stride
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
