@@ -5,11 +5,15 @@ struct; decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the (CPU-heavy) per-item work parallelizes
 per-partition and never round-trips through the driver.
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container, so :func:`decode_media` raises ``NotImplementedError`` and the
-pipeline uses :func:`fake_decode_features` — a deterministic byte-level
-stand-in with the same schema/partitioning/batch shape, keeping every
-Spark-side contract real and testable.
+Decoding: :func:`decode_media` REALLY decodes the header-plus-raw formats
+that need no codec library — RIFF/WAVE PCM audio and uncompressed BMP
+images (pure struct + numpy) — and raises ``NotImplementedError`` for
+compressed codecs (JPEG/PNG/MP4...), whose libraries are not in this
+container; :func:`decode_media_stats` is the pipeline-safe Arrow stage
+(undecodable rows come back flagged, never crash the task).
+:func:`fake_decode_features` remains the deterministic byte-level
+stand-in the oracle-checked driver row uses, since the documents-derived
+payloads are utf-8 text, not media containers.
 """
 
 from __future__ import annotations
@@ -62,15 +66,96 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def decode_media(data: bytes, kind: str):
-    """Real codec hook — requires PIL/librosa/av, absent in this container.
+def decode_wav(data: bytes) -> dict:
+    """REAL decode of RIFF/WAVE PCM audio — pure struct + numpy, no codec
+    library (the format is a chunked header plus raw samples).  Returns
+    sample_rate, n_channels, bits, duration_s, and RMS amplitude."""
+    import struct
 
-    Swap this in on a cluster with the media libraries installed; the
-    surrounding mapInPandas plumbing is unchanged.
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt, samples = None, None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            samples = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM (format 1) WAV is supported")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    arr = np.frombuffer(samples, dtype=dtype).astype(np.float64)
+    if bits == 8:
+        arr -= 128.0  # 8-bit WAV is unsigned, centered at 128
+    n_frames = len(arr) // max(n_ch, 1)
+    rms = float(np.sqrt(np.mean(arr**2))) if len(arr) else 0.0
+    return {
+        "format": "wav",
+        "sample_rate": int(rate),
+        "n_channels": int(n_ch),
+        "bits": int(bits),
+        "duration_s": round(n_frames / rate, 6) if rate else 0.0,
+        "rms": round(rms, 6),
+    }
+
+
+def decode_bmp(data: bytes) -> dict:
+    """REAL decode of an uncompressed BMP image — struct + numpy header
+    parse plus the raw (4-byte-row-aligned, bottom-up) pixel array.
+    Returns width, height, bpp, and mean pixel value."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    width = struct.unpack("<i", data[18:22])[0]
+    height = struct.unpack("<i", data[22:26])[0]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise NotImplementedError("only uncompressed (BI_RGB) BMP is supported")
+    row_bytes = (width * (bpp // 8) + 3) // 4 * 4
+    h = abs(height)
+    px = np.frombuffer(
+        data[pix_off : pix_off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)[:, : width * (bpp // 8)]
+    return {
+        "format": "bmp",
+        "width": int(width),
+        "height": int(h),
+        "bits": int(bpp),
+        "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+    }
+
+
+def decode_media(data: bytes, kind: str) -> dict:
+    """Decode a media payload by sniffing its magic bytes.
+
+    REAL for the header-plus-raw formats that need no codec library:
+    RIFF/WAVE PCM audio and uncompressed BMP images.  Compressed codecs
+    (JPEG/PNG/MP4/FLAC...) require PIL/librosa/av, absent in this
+    container — those raise ``NotImplementedError`` (swap in the real
+    libraries on a cluster that has them; the mapInPandas plumbing
+    around this function is unchanged either way).
     """
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise NotImplementedError(
-        "media codecs (PIL/librosa/av) are not available in this environment; "
-        "use fake_decode_features for the deterministic stand-in"
+        f"no dependency-free decoder for this {kind} payload; compressed "
+        "codecs (JPEG/PNG/MP4/...) need PIL/librosa/av"
     )
 
 
@@ -124,6 +209,54 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched real decode over the binary column.
+
+    Rows whose payload has no dependency-free decoder come back with
+    ``decoded = false`` and null stats instead of failing the task — the
+    production contract for a mixed-format corpus (a single corrupt or
+    exotic payload must never kill a 100 TB decode stage; count the
+    failures, don't crash on them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                try:
+                    d = decode_media(bytes(data), kind)
+                except (NotImplementedError, ValueError, KeyError, IndexError):
+                    d = None
+                out["media_id"].append(mid)
+                out["decoded"].append(d is not None)
+                d = d or {}
+                out["format"].append(d.get("format"))
+                out["sample_rate"].append(d.get("sample_rate"))
+                out["duration_s"].append(d.get("duration_s"))
+                out["rms"].append(d.get("rms"))
+                out["width"].append(d.get("width"))
+                out["height"].append(d.get("height"))
+                out["mean_pixel"].append(d.get("mean_pixel"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -70,3 +70,78 @@ def test_resize_never_upscales(spark):
     # source is 5x5 (n_chars%640+1), max_side larger → dimensions unchanged
     assert (r.width, r.height) == (5, 5)
     assert len(r.data) == 25  # short payload zero-padded to w*h
+
+
+def _wav_bytes(rate=8000, freq=440.0, seconds=0.1, amp=10000):
+    """Synthesize a PCM16 mono WAV with pure struct/numpy."""
+    import struct
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _bmp_bytes(width=4, height=3):
+    """Synthesize an uncompressed 24-bit BMP (value = x+y per channel)."""
+    import struct
+
+    import numpy as np
+
+    row = (width * 3 + 3) // 4 * 4
+    px = np.zeros((height, row), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            px[y, x * 3 : x * 3 + 3] = (x + y) % 256
+    body = px.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + dib + body
+
+
+def test_decode_wav_real():
+    from smalltsdb_spark.operators.multimodal import decode_wav
+
+    d = decode_wav(_wav_bytes(rate=8000, seconds=0.1, amp=10000))
+    assert d["format"] == "wav" and d["sample_rate"] == 8000
+    assert d["n_channels"] == 1 and d["bits"] == 16
+    assert d["duration_s"] == 0.1
+    # RMS of a sine is amp/sqrt(2), tolerance for int16 quantization
+    assert abs(d["rms"] - 10000 / 2**0.5) < 50
+
+
+def test_decode_bmp_real():
+    from smalltsdb_spark.operators.multimodal import decode_bmp
+
+    d = decode_bmp(_bmp_bytes(4, 3))
+    assert d["format"] == "bmp" and (d["width"], d["height"]) == (4, 3)
+    assert d["bits"] == 24
+    # mean over (x+y) for x<4,y<3: sum=30 over 12 px = 2.5
+    assert d["mean_pixel"] == 2.5
+
+
+def test_decode_media_stats_mixed_formats(spark):
+    """The decode stage must decode WAV/BMP for real and skip (not crash
+    on) payloads with no dependency-free decoder."""
+    from smalltsdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media_stats,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes()), None),
+        (2, "image", bytearray(_bmp_bytes(4, 3)), None),
+        (3, "video", bytearray(b"\x00\x01\x02 not a real codec"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media_stats(media).collect()}
+    assert got[1].decoded and got[1].format == "wav" and got[1].sample_rate == 8000
+    assert got[2].decoded and got[2].format == "bmp" and got[2].mean_pixel == 2.5
+    assert not got[3].decoded and got[3].format is None
