@@ -274,41 +274,35 @@ def _kmeans(X: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
     return C
 
 
-def ivf_topk(
+def ivf_train(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
-    dim: int | None = None,
     seed: int = 42,
     train_sample: int = 100_000,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: the classic ANN index shape.
+) -> np.ndarray:
+    """k-means centroids over a ≤``train_sample``-row driver-side sample.
 
-    Build: k-means centroids over a ≤``train_sample``-row driver-side
-    sample of the corpus (deterministic when the corpus fits the cap, as
-    all fixtures do); every corpus vector assigned to its nearest
-    centroid by an Arrow-batched pandas_udf — the "inverted lists" are
-    just a ``_list`` column, so the index IS a partitionable DataFrame
-    (at 100 TB: partition/bucket by centroid and the probe join prunes to
-    nprobe/n_centroids of the data).
-
-    Probe: each query scores only its ``nprobe`` nearest centroids' lists
-    (centroid distances driver-side — the centroid table is tiny by
-    construction).  Output schema matches :func:`cosine_topk`; recall < 1
-    by construction, tunable via ``nprobe``/``n_centroids``.
-    """
-    spark = corpus.sparkSession
-    # id-ordered training sample: deterministic regardless of file layout /
-    # partitioning, so the generated-literal oracle (queries_ext._ivf_oracle)
-    # reproduces the identical centroids from the same parquet
+    Id-ordered sample: deterministic regardless of file layout /
+    partitioning, so the generated-literal oracle (queries_ext._ivf_oracle)
+    reproduces the identical centroids from the same parquet."""
     train_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
     )
-    C = _kmeans(_as_matrix(r[1] for r in train_rows), n_centroids, seed)
+    return _kmeans(_as_matrix(r[1] for r in train_rows), n_centroids, seed)
+
+
+def ivf_assign(vecs: DataFrame, id_col: str, vec_col: str, C: np.ndarray) -> DataFrame:
+    """Assign vectors to their nearest trained centroid.
+
+    Returns (neighbor_id, _v, _list, _n) — the inverted-list index AS a
+    DataFrame: persist it (at 100 TB, bucketed by ``_list`` so the probe
+    join prunes to nprobe/n_centroids of the data) and APPEND each new
+    batch's assignment to it — centroids stay fixed, so ingesting a batch
+    never re-reads the corpus (the incremental-ANN workflow;
+    :func:`ivf_topk` is the one-shot composition).
+    """
     c_norm2 = np.einsum("ij,ij->i", C, C)
 
     # ONE Python op per corpus row (list assignment + norm together);
@@ -328,8 +322,8 @@ def ivf_topk(
             {"list": np.argmin(d, axis=1).astype(np.int32), "norm": _row_norms(V)}
         )
 
-    assigned = (
-        _spread(corpus, id_col, vec_col)
+    return (
+        _spread(vecs, id_col, vec_col)
         .select(
             F.col("_id").alias("neighbor_id"),
             "_v",
@@ -343,6 +337,46 @@ def ivf_topk(
         )
     )
 
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    train_sample: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic ANN index shape.
+
+    Build: :func:`ivf_train` centroids + :func:`ivf_assign` inverted
+    lists; probe: :func:`ivf_probe`.  Output schema matches
+    :func:`cosine_topk`; recall < 1 by construction, tunable via
+    ``nprobe``/``n_centroids``.
+    """
+    C = ivf_train(corpus, id_col, vec_col, n_centroids, seed, train_sample)
+    assigned = ivf_assign(corpus, id_col, vec_col, C)
+    return ivf_probe(assigned, C, queries, id_col, vec_col, k, nprobe, dim)
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    C: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k over an IVF index: each query scores only its ``nprobe``
+    nearest centroids' lists (centroid distances driver-side — the
+    centroid table is tiny by construction)."""
+    spark = assigned.sparkSession
+    c_norm2 = np.einsum("ij,ij->i", C, C)
     q_ids, Q, Qn = _collect_vectors(queries, id_col, vec_col)
     if len(q_ids):
         dq = (

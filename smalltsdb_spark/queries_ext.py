@@ -395,12 +395,16 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE_CACHE: dict[str, str] = {}
+_IVF_ORACLE_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(train_where: str = "") -> str:
     """Generated-constant oracle for the IVF ANN (lazy — registered as a
     callable, resolved by ``__spark_entry__.oracle_sql``).
+
+    ``train_where`` restricts the k-means TRAINING sample (the incremental
+    variant trains on the pre-existing corpus only); assignment and
+    scoring always cover every embedding.
 
     The centroids are deterministic given (data, seed): ``ivf_topk`` trains
     on the id-ORDERED sample, so this generator reads the same parquet with
@@ -425,8 +429,8 @@ def _ivf_oracle() -> str:
         or os.environ.get("SMALLTSDB_PARITY_SF")
         or "/root/testdata/sf0.01"
     )
-    if sf_dir in _IVF_ORACLE_CACHE:
-        return _IVF_ORACLE_CACHE[sf_dir]
+    if (sf_dir, train_where) in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[(sf_dir, train_where)]
     n_centroids, nprobe, k, seed, train_sample = 16, 4, 5, 42, 100_000
 
     con = duckdb.connect()
@@ -436,7 +440,7 @@ def _ivf_oracle() -> str:
             for r in con.execute(
                 f"SELECT CAST(embedding AS DOUBLE[]) "
                 f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
-                f"ORDER BY vec_id LIMIT {train_sample}"
+                f"{train_where} ORDER BY vec_id LIMIT {train_sample}"
             ).fetchall()
         ]
     )
@@ -508,7 +512,7 @@ def _ivf_oracle() -> str:
     )
     SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
     """
-    _IVF_ORACLE_CACHE[sf_dir] = sql
+    _IVF_ORACLE_CACHE[(sf_dir, train_where)] = sql
     return sql
 
 
@@ -522,6 +526,33 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
         k=5, n_centroids=16, nprobe=4, dim=64,
+    )
+
+
+def _ivf_inc_oracle() -> str:
+    return _ivf_oracle("WHERE vec_id % 4 <> 0")
+
+
+@query("sim_ivf_incremental", _ivf_inc_oracle)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest: embeddings with vec_id % 4 == 0 play a new
+    batch arriving AFTER the index was built.  Centroids are trained on
+    the pre-existing corpus only (ivf_train); the batch is assigned to
+    those FIXED centroids (ivf_assign) and appended to the inverted-list
+    index — the corpus is never re-read, the index never rebuilt — then
+    queries probe the unioned index (ivf_probe).  Oracle: same generated
+    centroid literals, trained on the corpus-only id-ordered sample,
+    assignment/scoring over all vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    C = similarity.ivf_train(corpus, "vec_id", "embedding", n_centroids=16, seed=42)
+    index = similarity.ivf_assign(corpus, "vec_id", "embedding", C).unionByName(
+        similarity.ivf_assign(batch, "vec_id", "embedding", C)
+    )
+    return similarity.ivf_probe(
+        index, C, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, nprobe=4, dim=64,
     )
 
 
