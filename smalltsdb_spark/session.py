@@ -47,6 +47,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # JIT code cache: the JVM default (240m) fills up after a few dozen
+        # distinct whole-stage-codegen queries in one session (the bench
+        # runs 59), after which HotSpot disables compilation and previously
+        # sub-second plans run interpreted 10x slower.  Harmless when
+        # already-running JVMs ignore it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
