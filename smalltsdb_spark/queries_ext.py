@@ -669,6 +669,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+#: training-mix targets for the weighted-sample driver row: fractions of a
+#: 200-doc output budget per language (languages absent from the map are
+#: excluded entirely — the curation contract).
+MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+MIX_TOTAL = 200
+
+
+def weighted_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    total: int,
+) -> DataFrame:
+    """Deterministic target-mix sampling — the training-mix builder:
+    draw ~``total`` rows distributed across strata by ``weights``
+    (strata not in the map are dropped), reproducibly.
+
+    Per stratum the keep-rate is ``w*total/n``; a row survives iff its
+    md5 32-bit prefix falls under ``ceil(w*total*2^32/n)`` — the same
+    scan-level hash-threshold as ext_sample_hash, so re-running on the
+    same data always picks the same rows, and adding rows to a stratum
+    only dilutes (never reshuffles) the selection.  Output size per
+    stratum is binomial around the target (exact in expectation);
+    oversubscribed strata (target >= n) are kept whole.  Cost: one
+    map-side-combined count shuffle + a stratum-cardinality join (AQE
+    broadcasts it) + a scan-level filter — no sort, no window.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w * total) * 2.0**32) for s, w in weights.items()],
+        f"{stratum_col} string, _wt double",
+    )
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    thr = F.least(F.ceil(F.col("_wt") / F.col("_n")), F.lit(2**32)).cast("long")
+    pref = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rates = wdf.join(counts, stratum_col).select(stratum_col, thr.alias("_t"))
+    return (
+        docs.join(rates, stratum_col)
+        .filter(pref < F.col("_t"))
+        .select(id_col, stratum_col)
+    )
+
+
+def _weighted_oracle() -> str:
+    wt_rows = ", ".join(
+        f"('{s}', {float(w * MIX_TOTAL) * 2.0**32!r})" for s, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+    WITH wt(lang, w) AS (VALUES {wt_rows}),
+    n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (
+        SELECT wt.lang, least(CAST(ceil(w / n) AS BIGINT), 4294967296) AS t
+        FROM wt JOIN n USING (lang)
+    )
+    SELECT doc_id, d.lang
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.t
+    """
+
+
+@query("ext_sample_weighted", _weighted_oracle())
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix sampling: ~200 docs at 50% en / 30% de / 20% fr
+    regardless of the corpus's own language distribution (other
+    languages excluded) — deterministic hash-threshold per stratum, no
+    sort or window anywhere."""
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", MIX_WEIGHTS, MIX_TOTAL
+    )
+
+
 @query(
     "ext_pack_sequences",
     """
