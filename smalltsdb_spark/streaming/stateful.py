@@ -154,6 +154,13 @@ def first_seen_stream(
     standard contract for streaming dedup — cf. dropDuplicates
     withWatermark).  Output schema == input schema.
 
+    Lifecycle note for TTL mode: a processing-time timeout makes the
+    engine schedule timeout-check batches indefinitely, so the query
+    never self-quiesces — ``processAllAvailable`` blocks and an
+    ``availableNow`` trigger does not terminate promptly.  TTL is for
+    genuinely always-on queries (explicit ``stop()``); use
+    ``ttl_minutes=None`` for drain-and-stop/batch-replay runs.
+
     Batch twin: :func:`first_seen_batch` (pure window, no Python) — equal
     output when each key's first row arrives in the earliest micro-batch,
     pinned by tests/test_stateful.py.

@@ -158,3 +158,41 @@ def test_first_seen_stream_equals_batch_and_drops_across_batches(spark, tmp_path
         q.stop()
     assert n_after_b1 == 3  # (a,10) (a,20) (b,10)
     assert got == expect    # batch-2 dups dropped, (a,30) added
+
+
+def test_first_seen_ttl_plumbing(spark, tmp_path):
+    """TTL mode: the ProcessingTimeTimeout wiring must run a full
+    lifecycle (setTimeoutDuration on create and on refresh) and produce
+    the same first-seen output; actual expiry is wall-clock-dependent and
+    not asserted here."""
+    from smalltsdb_spark.streaming.stateful import first_seen_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [("a", 1.0, 10.0), ("a", 2.0, 10.0), ("b", 3.0, 20.0)]
+    spark.createDataFrame(rows, INCOMING_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    import time as _time
+
+    stream = spark.readStream.schema(INCOMING_SCHEMA).parquet(str(src) + "/*/")
+    # with ProcessingTimeTimeout armed the engine schedules timeout-check
+    # batches forever, so neither availableNow nor processAllAvailable
+    # quiesces (documented on first_seen_stream) — poll the sink, then stop
+    q = (
+        first_seen_stream(stream, key_cols=["path", "value"], ttl_minutes=5)
+        .writeStream.format("memory")
+        .queryName("fs_ttl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            if spark.table("fs_ttl").count() >= 2:
+                break
+            _time.sleep(0.5)
+        got = {(r.path, r.value) for r in spark.table("fs_ttl").collect()}
+    finally:
+        q.stop()
+    assert got == {("a", 10.0), ("b", 20.0)}
