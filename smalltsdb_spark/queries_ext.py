@@ -10,10 +10,10 @@ oracle → the driver records the weaker rows-only check, as designed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import md5_long_sql, tokens
+from smalltsdb_spark.functions import md5_long_sql, tokens, word_ngrams
 from smalltsdb_spark.operators import (
     components,
     dedup,
@@ -204,6 +204,52 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
     return dedup.ngram_contamination(
         corpus, eval_docs, "doc_id", "text", n=3, min_shared=2
+    )
+
+
+@query(
+    "text_vocab_overlap",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+    grams AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1]))) AS gram
+        FROM toks
+    ),
+    spread AS (
+        SELECT gram, count(*) AS n_sources FROM grams GROUP BY gram
+    )
+    SELECT source,
+           count(*) AS n_grams,
+           sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS unique_grams,
+           round(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS unique_frac
+    FROM grams JOIN spread USING (gram)
+    GROUP BY source
+    """,
+)
+def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition analysis: per source, how much bigram
+    vocabulary is UNIQUE to it vs shared with other sources — the
+    source-diversity signal a data-mix curator reads before weighting
+    sources (a source with near-zero unique vocabulary adds volume, not
+    coverage).  Two hash shuffles (gram spread count, per-source rollup),
+    both map-side combined; no joins back to documents."""
+    toks = spread(_t(spark, sf_dir, "documents")).select(
+        "source",
+        F.explode(F.array_distinct(word_ngrams(tokens("text"), 2))).alias("gram"),
+    )
+    grams = toks.distinct()
+    wg = Window.partitionBy("gram")
+    annotated = grams.withColumn("n_sources", F.count("*").over(wg))
+    return annotated.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("n_sources") == 1).cast("long")).alias("unique_grams"),
+        F.round(
+            F.sum((F.col("n_sources") == 1).cast("long")) / F.count("*"), 6
+        ).alias("unique_frac"),
     )
 
 

@@ -87,4 +87,4 @@ def test_registry_complete():
     parity test, so the count itself must be pinned)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(qs) == set(oracles)
-    assert len(qs) >= 60
+    assert len(qs) >= 61
