@@ -224,8 +224,8 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_grams,
            sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS unique_grams,
-           round(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS unique_frac
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS unique_frac
     FROM grams JOIN spread USING (gram)
     GROUP BY source
     """,
@@ -236,7 +236,13 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-diversity signal a data-mix curator reads before weighting
     sources (a source with near-zero unique vocabulary adds volume, not
     coverage).  Two hash shuffles (gram spread count, per-source rollup),
-    both map-side combined; no joins back to documents."""
+    both map-side combined; no joins back to documents.
+
+    ``unique_frac`` is a RAW IEEE-754 division (no ``round``): correctly
+    rounded double division of the same integer inputs is bit-identical
+    in every engine, whereas ``round(x, 6)`` implementations drift
+    across DuckDB versions (HALF_UP vs half-even vs string-based) — the
+    suspected cause of the round-3 driver-only hash miss."""
     toks = spread(_t(spark, sf_dir, "documents")).select(
         "source",
         F.explode(F.array_distinct(word_ngrams(tokens("text"), 2))).alias("gram"),
@@ -244,12 +250,11 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.distinct()
     wg = Window.partitionBy("gram")
     annotated = grams.withColumn("n_sources", F.count("*").over(wg))
+    uniq = F.sum((F.col("n_sources") == 1).cast("long"))
     return annotated.groupBy("source").agg(
         F.count("*").alias("n_grams"),
-        F.sum((F.col("n_sources") == 1).cast("long")).alias("unique_grams"),
-        F.round(
-            F.sum((F.col("n_sources") == 1).cast("long")) / F.count("*"), 6
-        ).alias("unique_frac"),
+        uniq.alias("unique_grams"),
+        (uniq.cast("double") / F.count("*").cast("double")).alias("unique_frac"),
     )
 
 
@@ -794,7 +799,7 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id, lang,
-               len(string_split(text, ' '))::BIGINT AS n_tokens
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents
     ),
     c AS (
@@ -806,7 +811,7 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // 512 AS chunk_id
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id
     FROM c
     """,
 )
