@@ -30,11 +30,18 @@ def spread(df: DataFrame) -> DataFrame:
     # partitions however the bytes are distributed across files; the
     # 100 TB corpus never leaves this branch.  (Estimated plan size is
     # driver-local: the FileIndex's cached file listing, no job.)
-    max_partition_bytes = int(
-        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-    )
+    conf = spark._jsparkSession.sessionState().conf()
+    max_partition_bytes = int(conf.filesMaxPartitionBytes())
     plan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if plan_bytes >= parallelism * max_partition_bytes:
+    # UNKNOWN stats must not fast-path: leaves without file statistics
+    # (LogicalRDD from localCheckpoint/createDataFrame) report
+    # sizeInBytes = spark.sql.defaultSizeInBytes (Long.MaxValue by
+    # default), and any plan containing such a leaf reports at least
+    # that — exactly the single-partition checkpointed inputs spread
+    # exists to fix.  Only a big-enough estimate BELOW that sentinel
+    # proves real scanned bytes.
+    default_size = int(conf.defaultSizeInBytes())
+    if default_size > plan_bytes >= parallelism * max_partition_bytes:
         return df
     # small or unknown-size input: pay the RDD conversion to read the
     # actual partition count (also covers plans whose bottom is a shuffle,

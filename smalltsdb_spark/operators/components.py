@@ -29,10 +29,44 @@ one session) carries ZERO residual storage from this operator.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: driver-local scratch dirs created for label materialization when the
+#: caller gave no result_path; removed at interpreter exit so repeated
+#: calls in a long session (bench runs 50+ queries) cannot leak disk
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def _default_result_path(spark) -> str:
+    """Scratch location for the materialized labels.
+
+    ``spark.smalltsdb.scratch`` (any Hadoop-visible URI) takes priority —
+    on a real multi-node cluster a driver-local tempdir would be
+    unreadable by executors, so deployments set this to shared storage.
+    The driver-local fallback serves local[*] sessions and is
+    atexit-cleaned.
+    """
+    base = spark.conf.get("spark.smalltsdb.scratch", None)
+    if base:
+        import uuid
+
+        return f"{base.rstrip('/')}/components-{uuid.uuid4().hex}"
+    path = tempfile.mkdtemp(prefix="smalltsdb-components-")
+    _SCRATCH_DIRS.append(path)
+    return path
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -126,7 +160,7 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
     if result_path is None:
-        result_path = tempfile.mkdtemp(prefix="smalltsdb-components-")
+        result_path = _default_result_path(spark)
     labels.select("id", F.col("label").alias("component")).write.mode(
         "overwrite"
     ).parquet(result_path)

@@ -355,7 +355,9 @@ def minhash_lsh_pairs_incremental(
     duplicate each other or anything already ingested?").
 
     ``corpus_bands`` is a previously materialized :func:`minhash_band_table`
-    (ids must be disjoint from the batch's).  Returns the union of
+    (ids should be disjoint from the batch's; same-id rows on both sides
+    are excluded from new-vs-corpus pairing rather than surfacing as
+    degenerate self-pairs).  Returns the union of
 
     - **new-vs-corpus**: equi-join of the batch's band table against the
       corpus's on (band_idx, band_key), scored from the signatures riding
@@ -376,6 +378,11 @@ def minhash_lsh_pairs_incremental(
     nc = (
         new_bands.alias("N")
         .join(corpus_bands.alias("C"), ["band_idx", "band_key"])
+        # an id present on BOTH sides (violated disjointness) must not
+        # produce a degenerate self-pair (a.doc == b.doc, est_jaccard 1.0
+        # — passes any threshold); the join-level filter makes the
+        # docstring contract structural instead of advisory
+        .filter(F.col("N.doc") != F.col("C.doc"))
         .select(
             F.struct(
                 F.least(F.col("N.doc"), F.col("C.doc")).alias("doc"),

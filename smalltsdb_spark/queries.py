@@ -292,7 +292,8 @@ def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tsdb_parse_lines",
     """
     WITH lines AS (
-        SELECT printf('%s %.4f %.4f', event_type, value, epoch(ts)) AS line
+        SELECT printf('%s %.4f %.4f', event_type, round(value, 4),
+                      round(epoch(ts), 4)) AS line
         FROM events
         UNION ALL SELECT 'garbage'
         UNION ALL SELECT 'too many fields here 1 2'
@@ -310,13 +311,19 @@ def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tsdb_parse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 + F5: the Graphite wire-format parser (reference daemon.py:16-30)
     as a pure DataFrame transform — serialize events to plaintext
-    ``"<path> <value> <timestamp>"`` lines (fixed %.4f so both engines
-    format identically), parse back with split + cast, reject lines that
+    ``"<path> <value> <timestamp>"`` lines (round(x,4) *before* %.4f:
+    Java's Formatter rounds format ties HALF_UP while C printf rounds
+    them half-even, so the tie-break must happen in round(), where both
+    engines agree on away-from-zero), parse back with split + cast,
+    reject lines that
     don't have exactly 3 fields, and aggregate the parsed values."""
     ev = read_events(spark, sf_dir)
     lines = ev.select(
         F.format_string(
-            "%s %.4f %.4f", F.col("event_type"), F.col("value"), F.col("ts_sec")
+            "%s %.4f %.4f",
+            F.col("event_type"),
+            F.round(F.col("value"), 4),
+            F.round(F.col("ts_sec"), 4),
         ).alias("line")
     )
     bad = spark.createDataFrame(
@@ -453,7 +460,8 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_ingest_e2e",
     """
     WITH lines AS (
-        SELECT printf('%s %.4f %.4f', event_type, value, epoch(ts)) AS line
+        SELECT printf('%s %.4f %.4f', event_type, round(value, 4),
+                      round(epoch(ts), 4)) AS line
         FROM events
     ),
     parsed AS (SELECT string_split(line, ' ') AS f FROM lines),
@@ -484,7 +492,9 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day-partitioned incoming table) → batch aggregation of what
     landed.  The oracle serializes the SAME events to %.4f wire lines and
     parses them back in SQL, so the check covers the parser's precision
-    contract, the streaming append path, and the aggregation in one row.
+    contract, the streaming append path, and the aggregation in one row
+    (values round(x,4)ed in-engine before %.4f on BOTH sides — see
+    tsdb_parse_lines on the Java-vs-C format-tie divergence this removes).
     Spool lines are split across several files to exercise multi-file
     micro-batch accumulation (reference daemon.py:108-197's cadence)."""
     import glob
@@ -498,7 +508,10 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     ev.select(
         F.format_string(
-            "%s %.4f %.4f", F.col("event_type"), F.col("value"), F.col("ts_sec")
+            "%s %.4f %.4f",
+            F.col("event_type"),
+            F.round(F.col("value"), 4),
+            F.round(F.col("ts_sec"), 4),
         ).alias("value")
     ).coalesce(4).write.mode("overwrite").text(spool)
     # the daemon's spool contract names flushes *.graphite (SpoolSink);

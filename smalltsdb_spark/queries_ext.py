@@ -187,9 +187,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     ),
     cg AS (SELECT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 7 <> 0),
-    eg AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0)
+    eg AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0),
+    -- mirror the operator's eval-side df-cut (max_gram_freq=10000):
+    -- invisible at fixture scale, but the oracle must model the real
+    -- operator so a scale run can't silently diverge
+    egc AS (
+        SELECT eval_id, gram FROM (
+            SELECT eval_id, gram,
+                   count(*) OVER (PARTITION BY gram) AS gram_df
+            FROM eg
+        ) t WHERE gram_df <= 10000
+    )
     SELECT corpus_id, eval_id, count(*) AS shared_grams
-    FROM cg JOIN eg USING (gram)
+    FROM cg JOIN egc USING (gram)
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """,

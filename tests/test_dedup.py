@@ -188,6 +188,19 @@ def test_minhash_incremental_equals_full_filtered(spark, cap):
     assert inc == full and len(full) > 0
 
 
+def test_minhash_incremental_overlapping_ids_no_self_pairs(spark):
+    """An id on BOTH sides (violated disjointness) must not surface as a
+    degenerate self-pair (a == b, est_jaccard 1.0) — the new-vs-corpus
+    join filters same-id matches structurally (r3 ADVICE, low)."""
+    docs = _corpus_with_storm(spark)
+    bands_tbl = dedup.minhash_band_table(docs, "doc_id", "text", k=16, bands=4)
+    pairs = dedup.minhash_lsh_pairs_incremental(
+        docs, bands_tbl, "doc_id", "text", k=16, bands=4, threshold=0.3
+    ).collect()
+    assert len(pairs) > 0
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
 def test_ngram_contamination(spark):
     corpus = spark.createDataFrame(
         [

@@ -201,3 +201,31 @@ def test_bucketed_table_aggregates_without_shuffle(spark, tmp_path):
         assert exchange_count(j) == 0, physical_plan(j)
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_inc_t")
+
+
+def test_spread_repartitions_unknown_stats_input(spark):
+    """spread() exists to give single-partition inputs cluster-wide
+    parallelism.  A localCheckpointed (LogicalRDD) input has NO file
+    statistics — its sizeInBytes is the defaultSizeInBytes sentinel
+    (Long.MaxValue), which must be treated as UNKNOWN, not huge: the
+    byte-based fast path returning it unrepartitioned would silently
+    serialize all downstream per-row work (r3 ADVICE, medium)."""
+    from smalltsdb_spark.operators import spread
+
+    one = spark.range(1000).coalesce(1).localCheckpoint()
+    assert one.rdd.getNumPartitions() == 1
+    out = spread(one)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_spread_passes_through_wide_input(spark):
+    """An input already at cluster parallelism passes through with no
+    repartition (the 100 TB case must not add a shuffle)."""
+    from smalltsdb_spark.operators import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000, numPartitions=par)
+    assert spread(wide) is wide
