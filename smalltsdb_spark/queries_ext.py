@@ -22,6 +22,7 @@ from smalltsdb_spark.operators import (
     spread,
     textstats,
 )
+from smalltsdb_spark.operators.packing import pack_sequences
 from smalltsdb_spark.queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -826,32 +827,59 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing — the training-prep step that
-    assembles documents into fixed-budget training sequences: within each
-    language, documents (in deterministic doc_id order) are assigned to
-    consecutive chunks by running token count, chunk_id =
+    """Token-budget sequence packing (operators/packing.pack_sequences):
+    within each language, documents (in deterministic doc_id order) are
+    assigned to consecutive chunks by running token count, chunk_id =
     floor(tokens-before-this-doc / 512).  A doc straddling a boundary
     starts in the chunk where its first token lands (the streaming-pack
-    convention).  One window shuffle on the stratum key; at 100 TB the
-    stratum is (source, shard) so no single timeline serializes."""
+    convention).  One window shuffle on the stratum key; see
+    ext_pack_sharded for the 100 TB sharded-stratum mode."""
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     n_tokens = F.size(tokens("text")).cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-    return t.select(
+    return pack_sequences(t, "doc_id", "n_tokens", 512, ["lang"])
+
+
+@query(
+    "ext_pack_sharded",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % 8 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def ext_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-stratum sequence packing — the 100 TB mode: each language
+    stratum splits into 8 independent (lang, shard) timelines, so the
+    running-sum window has #langs x 8 partitions instead of #langs and no
+    single task serializes the corpus.  Chunks are keyed (lang, shard,
+    chunk_id); per-shard packing semantics are byte-identical to
+    single-stratum packing of that shard's subset (equality-tested in
+    tests/test_sampling.py).  The shard here is ``doc_id % 8`` so the
+    oracle can reproduce it; production uses packing.add_shard
+    (xxhash64) for skew-proof bucketing."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("long")
+    t = docs.select(
         "doc_id",
         "lang",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512))
-        .cast("long")
-        .alias("chunk_id"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+        n_tokens.alias("n_tokens"),
     )
+    return pack_sequences(t, "doc_id", "n_tokens", 512, ["lang", "shard"])
 
 
 @query(
