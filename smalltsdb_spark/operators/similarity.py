@@ -414,6 +414,88 @@ def ivf_probe(
     )
 
 
+def ivf_probe_distributed(
+    assigned: DataFrame,
+    C: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_probe` for corpus-sized query sets: queries stay a
+    DataFrame end-to-end — no driver collect anywhere.
+
+    :func:`ivf_probe` collects the query vectors driver-side, which is
+    the right contract for retrieval (queries ≪ corpus) and the wrong
+    one for batch scoring (a million-query embedding join).  Here the
+    query side runs the same Arrow-batched centroid kernel the corpus
+    side ran at build time (:func:`ivf_assign`'s shape, generalized to
+    the ``nprobe`` nearest lists), explodes to (query, probe-list) rows,
+    and meets the inverted lists in a plain ``_list`` equi-join: both
+    sides are DataFrames, so Catalyst/AQE picks broadcast vs shuffle
+    from measured sizes, and with BOTH tables bucketed by ``_list`` the
+    join is exchange-free.  Scoring and ranking stay JVM-side,
+    identical to :func:`ivf_probe` — results are equal row-for-row for
+    any ``nprobe`` (equality-tested at nprobe=4 and the exhaustive
+    nprobe=n_centroids in tests/test_similarity.py).
+
+    Per-query cost is unchanged (nprobe/n_centroids of the corpus); the
+    win is that query fan-out is cluster-parallel instead of a driver
+    loop, and the shuffle is bounded by |queries| × nprobe rows on the
+    probe side.
+    """
+    c_norm2 = np.einsum("ij,ij->i", C, C)
+    np_ = min(int(nprobe), len(C))
+
+    @F.pandas_udf("lists array<int>, norm double")
+    def probe_info(v: pd.Series) -> pd.DataFrame:
+        V = _as_matrix(v)
+        d = (
+            np.einsum("ij,ij->i", V, V)[:, None]
+            - 2.0 * (V @ C.T)
+            + c_norm2[None, :]
+        )
+        order = np.argsort(d, axis=1, kind="stable")[:, :np_].astype(np.int32)
+        return pd.DataFrame({"lists": list(order), "norm": _row_norms(V)})
+
+    probes = (
+        _spread(queries, id_col, vec_col)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("_qv"),
+            probe_info(F.col("_v")).alias("_i"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            F.explode(F.col("_i.lists")).alias("_list"),
+            F.col("_i.norm").alias("_qn"),
+        )
+    )
+
+    cand = (
+        assigned.join(probes, "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim),
+                6,
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,

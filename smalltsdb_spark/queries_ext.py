@@ -618,6 +618,24 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_distributed", _ivf_oracle)
+def sim_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-scoring IVF probe: queries stay a DataFrame end-to-end
+    (similarity.ivf_probe_distributed) — the million-query variant where
+    a driver-side collect of the query set would be the bottleneck.
+    Query-side centroid assignment runs the same Arrow-batched kernel
+    the corpus side ran at build time, then a plain _list equi-join;
+    results are row-identical to ivf_probe (same oracle as
+    sim_ivf_ann)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=16, seed=42)
+    index = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    return similarity.ivf_probe_distributed(
+        index, C, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, nprobe=4, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

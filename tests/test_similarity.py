@@ -128,3 +128,46 @@ def test_empty_queries_yield_empty_results(spark):
         ).count()
         == 0
     )
+
+
+@pytest.mark.parametrize("nprobe", [4, 16])
+def test_ivf_probe_distributed_equals_driver_probe(spark, nprobe):
+    """The batch-scoring probe (queries stay a DataFrame) must be
+    row-identical to the driver-side probe — at nprobe=4 (real pruning)
+    and nprobe=n_centroids (exhaustive, == brute force)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=16, seed=42)
+    index = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    driver = {
+        tuple(r)
+        for r in similarity.ivf_probe(
+            index, C, queries, "vec_id", "embedding", k=5, nprobe=nprobe, dim=64
+        ).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in similarity.ivf_probe_distributed(
+            index, C, queries, "vec_id", "embedding", k=5, nprobe=nprobe, dim=64
+        ).collect()
+    }
+    assert len(driver) > 0
+    assert dist == driver
+
+
+def test_ivf_probe_distributed_no_driver_collect(spark):
+    """The query side must reach the _list join as a PLAN (Arrow-batched
+    centroid kernel + explode), not as driver-collected literals: the
+    executed plan carries a Python eval node on the probe branch and no
+    LocalTableScan of query rows."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=16, seed=42)
+    index = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    out = similarity.ivf_probe_distributed(
+        index, C, queries, "vec_id", "embedding", k=5, nprobe=4, dim=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two Arrow kernels: corpus-side assign_info + query-side probe_info
+    assert plan.count("ArrowEvalPython") >= 2
+    assert "LocalTableScan" not in plan
