@@ -94,8 +94,100 @@ def run_suite(docs, n_docs: int) -> dict[str, float]:
     return out
 
 
+def replicate_emb(emb, replicas: int, dim: int = 64, id_offset: int = 10_000_000):
+    """replicas x embeddings with disjoint ids and scrambled geometry.
+
+    Each replica r > 0 applies a deterministic per-replica sign-flip
+    pattern — an orthogonal transform, so WITHIN a replica every
+    pairwise cosine (and thus the near-dup/topk structure) is exactly
+    preserved, while ACROSS replicas similarities are scrambled: per-row
+    near-dup degree stays constant as the corpus grows, the same
+    realistic shape the document replication uses."""
+    import random
+
+    parts = []
+    for r in range(replicas):
+        rng = random.Random(1234 + r)
+        mask = [
+            1.0 if (r == 0 or rng.random() < 0.5) else -1.0 for _ in range(dim)
+        ]
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * id_offset)).alias("vec_id"),
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(m) for m in mask]),
+                    lambda x, s: (x * s).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).localCheckpoint(eager=True)
+
+
+def run_sim_suite(emb, queries, n_vecs: int) -> dict[str, float]:
+    """Best-of-2 per operator (see run_suite on why)."""
+    from smalltsdb_spark.operators import similarity
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def lsh():
+        noop(similarity.lsh_topk(emb, queries, "vec_id", "embedding",
+                                 k=5, nbits=8, tables=4, dim=64))
+
+    def ivf():
+        noop(similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                 k=5, n_centroids=16, nprobe=4, dim=64))
+
+    def neardup():
+        noop(similarity.embedding_near_dup_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.9, n_blocks=8))
+
+    out = {}
+    for name, fn in [("lsh_topk", lsh), ("ivf_topk", ivf),
+                     ("neardup_blocked", neardup)]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_sec"] = round(best, 2)
+    for k in list(out):
+        out[k.replace("_sec", "_vecs_per_sec")] = round(n_vecs / out[k], 1)
+    out["n_vecs"] = n_vecs
+    return out
+
+
+def main_sim(replicas: int):
+    spark = get_spark(app_name="scale-proof-sim", master="local[32]",
+                      shuffle_partitions=32)
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = base.count()
+    one = replicate_emb(base, 1)
+    big = replicate_emb(base, replicas)
+    # queries: 25 vectors from the base replica, same set at every scale
+    queries = one.filter(F.col("vec_id") < 25).localCheckpoint(eager=True)
+    one.limit(10).count()
+
+    r1 = run_sim_suite(one, queries, n)
+    rN = run_sim_suite(big, queries, n * replicas)
+    ratios = {
+        k.replace("_sec", ""): round(rN[k] / r1[k], 2)
+        for k in ("lsh_topk_sec", "ivf_topk_sec", "neardup_blocked_sec")
+    }
+    print(json.dumps({"sf0.1": r1, f"{replicas}x": rN,
+                      f"time_ratio_at_{replicas}x_data": ratios}))
+
+
 def main():
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "sim"]
+    replicas = int(args[0]) if args else 10
+    if "sim" in sys.argv[1:]:
+        main_sim(replicas)
+        return
     spark = get_spark(app_name="scale-proof", master="local[32]",
                       shuffle_partitions=32)
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -155,10 +155,67 @@ class BaseTSDB:
             df = df.limit(limit)
         return df
 
+    def query_timeout(self, timeout: float | None):
+        """Bound a query's wall time (reference TODO tsdb.py:349
+        ``interrupt()``, done the Spark way): actions inside the block
+        run under a dedicated job group; a watchdog calls
+        ``cancelJobGroup`` (interrupt-on-cancel, so executor task
+        threads are interrupted, not abandoned) when the deadline
+        passes, and the failed action is re-raised as ``TimeoutError``.
+
+        Cancellation is cooperative and job-scoped — other queries on
+        the same SparkSession are untouched, which is exactly what the
+        reference's connection-level ``interrupt()`` could not offer.
+        """
+        import contextlib
+        import threading
+        import uuid
+
+        @contextlib.contextmanager
+        def guard():
+            if timeout is None:
+                yield
+                return
+            sc = self.spark.sparkContext
+            group = f"smalltsdb-timeout-{uuid.uuid4().hex}"
+            fired = threading.Event()
+
+            def cancel():
+                fired.set()
+                sc.cancelJobGroup(group)
+
+            sc.setJobGroup(group, f"smalltsdb query (timeout={timeout}s)", True)
+            watchdog = threading.Timer(timeout, cancel)
+            watchdog.daemon = True
+            watchdog.start()
+            try:
+                yield
+            except Exception as exc:
+                if fired.is_set():
+                    raise TimeoutError(
+                        f"query exceeded {timeout}s and was cancelled "
+                        f"(job group {group})"
+                    ) from exc
+                raise
+            finally:
+                watchdog.cancel()
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+        return guard()
+
     def get_metric(
-        self, path, period, stat, interval, *, limit: int | None = None, offset: int = 0
+        self,
+        path,
+        period,
+        stat,
+        interval,
+        *,
+        limit: int | None = None,
+        offset: int = 0,
+        timeout: float | None = None,
     ) -> list[tuple[float, float]]:
-        with self.timer("get_metric"):
+        with self.timer("get_metric"), self.query_timeout(timeout):
             df = self.get_metric_df(path, period, stat, interval, limit=limit, offset=offset)
             return [tuple(r) for r in df.collect()]
 
@@ -273,9 +330,19 @@ class TablesTSDB(BaseTSDB):
         storage.overwrite_partitions(kept.unionByName(new_rows), path)
         new_rows.unpersist()
 
-    def sync(self, concurrent: bool = True) -> None:
+    def sync(self, concurrent: bool = True, timeout: float | None = None) -> None:
         """Advance finalized aggregates for every period, then apply
         retention to incoming (reference tsdb.py:305-420).
+
+        ``timeout`` bounds the whole sync via :meth:`query_timeout`
+        (reference TODO tsdb.py:349).  The per-period workers run under
+        the same job group — ``InheritableThread`` propagates the
+        group's thread-local JVM properties, which plain threads would
+        not under pinned-thread mode — so one cancel reaches every
+        period's jobs.  A timed-out sync leaves aggregates consistent:
+        each period's upsert is an atomic partition overwrite that
+        either fully commits or not at all, and a later sync resumes
+        from the surviving high-water marks.
 
         The per-period jobs are independent (SURVEY.md §3.2 — the
         reference's sequential loop is a single-core artifact), so by
@@ -292,9 +359,7 @@ class TablesTSDB(BaseTSDB):
         concurrent path reproduces the same labels via per-thread timers
         (the shared Timer's prefix stack is not thread-safe).
         """
-        import threading
-
-        from pyspark import StorageLevel
+        from pyspark import InheritableThread, StorageLevel
 
         now = self._now()
         incoming = self.incoming().persist(StorageLevel.MEMORY_AND_DISK)
@@ -314,7 +379,7 @@ class TablesTSDB(BaseTSDB):
                     )
 
         try:
-            with self.timer("sync", "all") as timings:
+            with self.timer("sync", "all") as timings, self.query_timeout(timeout):
                 if concurrent:
                     stack = list(self.timer._prefix_stack)  # includes 'sync'
                     subs = []
@@ -323,7 +388,7 @@ class TablesTSDB(BaseTSDB):
                         t._prefix_stack = list(stack)
                         subs.append(t)
                     threads = [
-                        threading.Thread(target=run_period, args=(n, s, t))
+                        InheritableThread(target=run_period, args=(n, s, t))
                         for (n, s), t in zip(self.periods, subs)
                     ]
                     for th in threads:

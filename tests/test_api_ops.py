@@ -127,3 +127,44 @@ def test_approx_percentile_error_bounds_sf01(spark):
     ).first()
     assert checked > 0  # the bound must actually bite
     assert violations == 0
+
+
+def test_query_timeout_cancels_slow_query(spark, tsdb_dir):
+    """A deliberately slow read must abort with TimeoutError in ~timeout
+    seconds (not run to completion), and the session must stay usable —
+    cancellation is job-group-scoped, not session-wide."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_B_INPUT)
+    db.sync()
+
+    @F.udf("double")
+    def crawl(v):
+        _time.sleep(120)
+        return v
+
+    real_df = db.get_metric_df("two", "tensecond", "avg", (0, 100))
+    slowed = real_df.withColumn("avg", crawl("avg"))
+    db.get_metric_df = lambda *a, **k: slowed
+
+    t0 = _time.perf_counter()
+    with pytest.raises(TimeoutError):
+        db.get_metric("two", "tensecond", "avg", (0, 100), timeout=2.0)
+    assert _time.perf_counter() - t0 < 60  # cancelled, not slept out
+
+    # the session survives: an untimed query on the same handle works
+    del db.get_metric_df  # restore the class method
+    assert db.get_metric("two", "tensecond", "n", (0, 100))
+
+
+def test_sync_accepts_timeout(spark, tsdb_dir):
+    """sync(timeout=...) with headroom completes normally (the watchdog
+    disarms) — and the timeout knob exists on the API (reference TODO
+    tsdb.py:349)."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_B_INPUT)
+    db.sync(timeout=300.0)
+    assert db.get_metric("two", "tensecond", "n", (0, 100))
