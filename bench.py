@@ -166,6 +166,53 @@ def main() -> None:
     big.unpersist()
     shutil.rmtree(sync_dir, ignore_errors=True)
 
+    # Bucketed-table path: the write-once/read-many co-location claim,
+    # with a number.  Same workload — orders ⋈ lineitem on orderkey plus
+    # a per-order rollup (the TPC-H co-location shape) — over flat
+    # parquet tables (join + agg each shuffle) vs both tables bucketed
+    # by orderkey (exchange-free; plan pinned by tests/test_plans).
+    # Broadcast is disabled for the pair: at 100 TB neither side
+    # broadcasts, and the thing under test is shuffle vs co-location.
+    from smalltsdb_spark.storage import write_bucketed_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li.write.mode("overwrite").format("parquet").saveAsTable("bench_li_flat")
+    od.write.mode("overwrite").format("parquet").saveAsTable("bench_od_flat")
+    write_bucketed_table(li, "bench_li_bkt", int(cpus), "l_orderkey")
+    write_bucketed_table(od, "bench_od_bkt", int(cpus), "o_orderkey")
+
+    def order_rollup(li_tbl: str, od_tbl: str):
+        l, o = spark.table(li_tbl), spark.table(od_tbl)
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum("l_extendedprice").alias("revenue"),
+                F.max("o_totalprice").alias("totalprice"),
+            )
+        )
+
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, pair in [
+            ("flat_agg_join", ("bench_li_flat", "bench_od_flat")),
+            ("bucketed_agg_join", ("bench_li_bkt", "bench_od_bkt")),
+        ]:
+            best = math.inf
+            for _ in range(2):
+                isolate()
+                t0 = time.perf_counter()
+                noop_sink(order_rollup(*pair))
+                best = min(best, time.perf_counter() - t0)
+            timings[label] = round(best, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        for t in ("bench_li_flat", "bench_od_flat", "bench_li_bkt", "bench_od_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     result = {
         "metric": "suite_total_wall_sec",
         "value": round(sum(timings.values()), 3),

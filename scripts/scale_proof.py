@@ -142,9 +142,15 @@ def run_sim_suite(emb, queries, n_vecs: int) -> dict[str, float]:
         noop(similarity.ivf_topk(emb, queries, "vec_id", "embedding",
                                  k=5, n_centroids=16, nprobe=4, dim=64))
 
+    # block count scales with the corpus so the per-task GEMM stays
+    # bounded (~2.5k x 2.5k, ~50 MB result): n_blocks is the operator's
+    # documented memory knob — a FIXED block count at 100x data means
+    # (n/8)^2 ~ 5 GB per task x 32 workers, which OOMs the host
+    n_blocks = max(8, -(-n_vecs // 2500))
+
     def neardup():
         noop(similarity.embedding_near_dup_pairs_blocked(
-            emb, "vec_id", "embedding", threshold=0.9, n_blocks=8))
+            emb, "vec_id", "embedding", threshold=0.9, n_blocks=n_blocks))
 
     out = {}
     for name, fn in [("lsh_topk", lsh), ("ivf_topk", ivf),

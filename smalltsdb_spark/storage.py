@@ -146,7 +146,11 @@ def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:
 
 
 def write_bucketed_table(
-    df: DataFrame, name: str, buckets: int = 64, bucket_col: str = "path"
+    df: DataFrame,
+    name: str,
+    buckets: int = 64,
+    bucket_col: str = "path",
+    sort_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Materialize as a Hive-bucketed + sorted managed table.
 
@@ -160,12 +164,20 @@ def write_bucketed_table(
     shuffle + N shuffle-free scans — the Spark analog of the reference's
     persistent ``(path, timestamp)`` index ordering (tsdb.py:288-298).
     Bucketed tables require the table catalog (``saveAsTable``), not bare
-    parquet paths; sorting within buckets by (path, timestamp) also gives
-    row-group min/max locality for time-range scans.
+    parquet paths; in-bucket sorting (default: ``(bucket_col,
+    "timestamp")`` when the column exists, the time-series layout) also
+    gives row-group min/max locality for range scans and lets sort-merge
+    joins skip their sort.
     """
+    if sort_cols is None:
+        sort_cols = (
+            (bucket_col, "timestamp")
+            if "timestamp" in df.columns
+            else (bucket_col,)
+        )
     (
         df.write.bucketBy(buckets, bucket_col)
-        .sortBy(bucket_col, "timestamp")
+        .sortBy(*sort_cols)
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(name)

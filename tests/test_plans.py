@@ -203,6 +203,33 @@ def test_bucketed_table_aggregates_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_inc_t")
 
 
+def test_bucketed_two_table_join_without_shuffle(spark):
+    """Both sides bucketed by the join key (the TPC-H orders/lineitem
+    co-location bench.py times): join + per-key rollup must plan with
+    ZERO exchanges — the write-time shuffle is the only one that ever
+    happens.  Broadcast disabled: the thing under test is co-location."""
+    from smalltsdb_spark.storage import write_bucketed_table
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed_table(li, "bkt_li_t", 4, "l_orderkey")
+    write_bucketed_table(od, "bkt_od_t", 4, "o_orderkey")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, o = spark.table("bkt_li_t"), spark.table("bkt_od_t")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice").alias("revenue"))
+        )
+        assert exchange_count(j) == 0, physical_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.sql("DROP TABLE IF EXISTS bkt_li_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_od_t")
+
+
 def test_spread_repartitions_unknown_stats_input(spark):
     """spread() exists to give single-partition inputs cluster-wide
     parallelism.  A localCheckpointed (LogicalRDD) input has NO file
