@@ -33,7 +33,7 @@ import atexit
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: driver-local scratch dirs created for label materialization when the
@@ -190,5 +190,47 @@ def dedup_cluster_labels(
             "id",
             F.coalesce("component", "id").alias("component"),
             (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+        )
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    quality_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """:func:`dedup_cluster_labels` with a QUALITY-aware canonical pick.
+
+    min-id keep is the textbook convention but throws away information:
+    when a cluster holds a long original and a truncated scrape, the
+    pipeline should keep the best copy, not the lowest id.  Here keep
+    marks the cluster's max-``quality_col`` row (ties broken by min id,
+    so the choice is deterministic and degenerates to min-id keep when
+    quality is constant).
+
+    Shape: the same left join against the components relation plus ONE
+    window over ``component`` — the window's partition count is the
+    number of clusters, its rows per partition the cluster sizes (near-
+    dup clusters are near-cliques of bounded size, so no skewed
+    partition; a pathological mega-cluster would already have blown the
+    pair generation's bucket caps long before this stage).
+    """
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
+        .join(comp, "id", "left")
+        .select("id", "_q", F.coalesce("component", "id").alias("component"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), "id")
+    return (
+        labeled.withColumn("_rank", F.row_number().over(w))
+        .select(
+            "id",
+            "component",
+            F.col("_q").alias("quality"),
+            (F.col("_rank") == 1).alias("keep"),
         )
     )

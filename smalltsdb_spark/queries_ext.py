@@ -1316,6 +1316,151 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.dedup_cluster_labels(docs, "doc_id", pairs)
 
 
+def _keep_best_oracle() -> str:
+    """Quality-aware canonical selection over the same recursive-CTE
+    transitive closure _clusters_oracle uses."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS t FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+    ),
+    comp AS (SELECT s, min(t) AS m FROM reach GROUP BY s),
+    labeled AS (
+        SELECT d.doc_id AS id,
+               CAST(d.n_chars AS BIGINT) AS quality,
+               CAST(coalesce(least(comp.m, d.doc_id), d.doc_id) AS BIGINT)
+                   AS component
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.s
+    )
+    SELECT id, component, quality,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY quality DESC, id) = 1 AS keep
+    FROM labeled
+    """
+
+
+@query("dedup_keep_best", _keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (components.dedup_keep_best): same
+    connected components as dedup_clusters, but keep marks each
+    cluster's HIGHEST-quality document (n_chars as the quality signal
+    here; ties broken by min id) instead of the lowest id — keep the
+    long original, drop the truncated scrape.  One extra window over
+    component vs dedup_cluster_labels; cluster sizes are bounded by the
+    pair generation's bucket caps, so no skewed partition."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+    return components.dedup_keep_best(
+        docs.withColumn("n_chars", F.col("n_chars").cast("long")),
+        "doc_id",
+        pairs,
+        "n_chars",
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM freq),
+    scored AS (
+        SELECT toks.doc_id,
+               ln(CAST(freq.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+        FROM toks JOIN freq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the cheapest member of the
+    model-based quality family (CCNet-style): score each document by the
+    mean log-probability of its tokens under the corpus's own unigram
+    distribution.  Gibberish and boilerplate-heavy documents sit in the
+    tails; the score feeds quality-weighted sampling (ext_sample_*).
+
+    Shape: one vocabulary groupBy (map-side combined), one toks⋈vocab
+    equi-join on the word — the vocabulary is orders of magnitude
+    smaller than the corpus, so AQE broadcasts it when measured-small (at
+    100 TB, df-cut the vocab first) — and the 1-row total rides a
+    broadcast cross join.  round(6) on the avg kills parallel-vs-serial
+    summation noise (the module's standard aggregate contract)."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    """
+    WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM toks
+    ),
+    counts AS (SELECT source, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+    ranked AS (
+        SELECT source, gram, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, gram) AS rank
+        FROM counts
+    )
+    SELECT source, gram, n, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters: the 20 most frequent bigrams of every
+    source (deterministic ties: count desc, then gram) — the boilerplate
+    detector a curator reads before writing strip rules (navigation
+    chrome, cookie banners, license headers all surface here).
+
+    Shape: explode → one map-side-combined groupBy on (source, gram) →
+    one top-k window per source; the window input is the COUNTED
+    relation (vocab-sized), never the raw gram stream, and at 100 TB
+    the per-source partial top-k is exactly what TakeOrderedAndProject
+    does per partition."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "source", F.explode(word_ngrams(tokens("text"), 2)).alias("gram")
+    )
+    counts = grams.groupBy("source", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("source", "gram", "n", "rank")
+    )
+
+
 @query(
     "text_token_histogram",
     """
