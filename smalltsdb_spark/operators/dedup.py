@@ -524,3 +524,67 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicated_segments(
+    df: DataFrame, id_col: str, text_col: str, width: int = 20
+) -> DataFrame:
+    """Substring-level duplication profile: fixed-width token segments.
+
+    Exact-substring dedup (the signal behind suffix-array dedup of
+    training corpora) approximated at segment granularity: each document
+    is cut into non-overlapping ``width``-token segments (trailing
+    partial segment included), each segment hashed, and a segment is
+    *duplicated* when its hash occurs in >= 2 distinct documents.  The
+    per-document output — how much of the document is made of spans that
+    exist verbatim elsewhere — is the boilerplate/template detector that
+    document-level hashing (exact_duplicates) cannot see: two documents
+    sharing a 200-token license header but nothing else look unrelated to
+    whole-doc hashes and near-identical here.
+
+    Returns (id, n_segments, dup_segments, dup_frac) with ``dup_frac`` a
+    raw IEEE-754 division (bit-identical across engines for identical
+    integer inputs; no ``round``).
+
+    Scale shape: explode to one row per segment (corpus token count /
+    width rows), ONE groupBy on the 60-bit segment hash for the
+    cross-document spread, one hash-partitioned join back (both sides
+    already clustered on ``h`` — AQE plans the exchange once), one
+    groupBy on the document id.  No self-join, nothing quadratic: cost
+    is linear in corpus size regardless of how duplicated it is, unlike
+    pair-producing methods.  A segment shared by f documents costs f
+    rows, not f², because the profile is per-document, not per-pair.
+    """
+    tok = tokens(text_col)
+    # ceil(len/width) segments; sequence(0, nseg-1) is safe because every
+    # document has >= 1 token (split of "" is [""]), so nseg >= 1
+    base = spread(df).select(
+        F.col(id_col),
+        tok.alias("_w"),
+        F.ceil(F.size(tok) / F.lit(width)).cast("int").alias("_nseg"),
+    )
+    pos = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("_nseg") - 1)).alias("_s"),
+        "_w",
+    ).select(
+        F.col(id_col),
+        md5_long(
+            F.concat_ws(
+                " ", F.slice("_w", F.col("_s") * width + 1, F.lit(width))
+            )
+        ).alias("h"),
+    )
+    docs_per_hash = (
+        pos.distinct().groupBy("h").agg(F.count("*").alias("n_docs"))
+    )
+    dup = F.sum((F.col("n_docs") > 1).cast("long"))
+    return (
+        pos.join(docs_per_hash, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            dup.alias("dup_segments"),
+            (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+        )
+    )

@@ -1489,3 +1489,157 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave: substring-level dedup, novelty, TF-IDF, profiling
+# ---------------------------------------------------------------------------
+
+#: segment width (tokens) for substring-level duplication profiling
+SEGMENT_WIDTH = 20
+
+
+@query(
+    "dedup_segments",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    w[(s*{SEGMENT_WIDTH}+1):(s*{SEGMENT_WIDTH}+{SEGMENT_WIDTH})],
+                    ' ')), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(len(w) / {SEGMENT_WIDTH}.0)
+                                          AS BIGINT))) AS s
+              FROM toks)
+    ),
+    spread AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS dup_segments,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM pos JOIN spread USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (dedup.duplicated_segments):
+    how much of each document is made of 20-token spans that occur
+    verbatim in other documents — the license-header / boilerplate signal
+    whole-document hashing cannot see.  Linear in corpus size (no pair
+    join); ``dup_frac`` is a raw IEEE division, no ``round``."""
+    return dedup.duplicated_segments(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", width=SEGMENT_WIDTH
+    )
+
+
+@query(
+    "text_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1]))) AS gram
+        FROM toks
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty_frac
+    FROM grams JOIN firsts USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: the fraction of each document's distinct
+    bigrams that the document INTRODUCES to the corpus (no lower doc_id
+    contains them) — the marginal-contribution curve a curator reads to
+    decide when more data from a source stops adding coverage (novelty
+    decays toward 0 as the corpus saturates).
+
+    Shape: distinct (doc, gram) explode → one groupBy on the gram for
+    its first holder → one hash-partitioned join back on the gram → one
+    groupBy on the doc.  Linear; the gram relation is the same posting
+    list every dedup operator builds, so at 100 TB this shares its
+    shuffle key (and any bucketed materialization) with the dedup
+    family."""
+    grams = dedup.doc_grams(_t(spark, sf_dir, "documents"), "doc_id", "text", 2)
+    firsts = grams.groupBy("gram").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("novel_grams"),
+            (novel.cast("double") / F.count("*").cast("double")).alias(
+                "novelty_frac"
+            ),
+        )
+        .withColumnRenamed("doc", "doc_id")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, round(s, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's 3 most characteristic
+    terms (tf·ln(N/df), ties by term) — the per-document topic signal
+    used for mix analysis and topic-balanced sampling.
+
+    Shape: one (doc, term) groupBy for tf, one term groupBy for df
+    (computed over the ALREADY-AGGREGATED tf relation, so the df pass
+    never re-reads the token stream), a join on the term — vocab-sized
+    build side, AQE broadcasts when measured-small — and a corpus-wide
+    doc count riding a broadcast 1-row cross join.  The top-k window runs
+    over the counted relation, never the raw token stream.  The rank
+    orders on the RAW double score (identical ln inputs both engines);
+    only the displayed score is rounded."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", F.round("s", 6).alias("tfidf"), "rank"
+        )
+    )

@@ -233,3 +233,39 @@ def test_ngram_contamination_no_broadcast_hint(spark):
     evals = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
     df = dedup.ngram_contamination(corpus, evals, "doc_id", "text")
     assert broadcast_hint_count(df) == 0
+
+
+def test_duplicated_segments(spark):
+    # width=3 segments; doc 1 and 2 share their first 3-token span
+    # verbatim ("shared header line"); each has a distinct tail segment.
+    docs = spark.createDataFrame(
+        [
+            (1, "shared header line unique tail one"),
+            (2, "shared header line other ending two"),
+            (3, "totally different text with no overlap here"),  # 7 tokens -> 3 segs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.duplicated_segments(docs, "doc_id", "text", width=3).collect()
+    }
+    assert rows[1].n_segments == 2 and rows[2].n_segments == 2
+    assert rows[1].dup_segments == 1 and rows[2].dup_segments == 1
+    assert rows[1].dup_frac == pytest.approx(0.5)
+    # trailing partial segment is its own span, not dropped
+    assert rows[3].n_segments == 3 and rows[3].dup_segments == 0
+
+
+def test_duplicated_segments_internal_repeat_not_cross_doc(spark):
+    # the same span repeated WITHIN one doc is not "duplicated" — the
+    # signal is cross-document spread, counted over distinct docs
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z p q r")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.duplicated_segments(docs, "doc_id", "text", width=3).collect()
+    }
+    assert rows[1].n_segments == 2 and rows[1].dup_segments == 0
