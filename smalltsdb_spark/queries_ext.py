@@ -1643,3 +1643,112 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", "tf", "df", F.round("s", 6).alias("tfidf"), "rank"
         )
     )
+
+
+@query(
+    "rel_fuzzy_join",
+    """
+    WITH nm AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+    p AS (SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS blk FROM nm)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    primitive: near-identical part names (typos, variant spellings) with
+    their support counts, candidates generated by a BLOCK KEY (the noun
+    token) so the quadratic levenshtein refine runs only within blocks,
+    never across the full name dictionary.
+
+    Scale shape: the join input is the *aggregated* name dictionary
+    (distinct names + counts), orders of magnitude smaller than the
+    rows; the self-join shuffles on the block key, and the per-block
+    fan-out is bounded by block size — the standard blocking/refine
+    split every record-linkage system uses.  Levenshtein is JVM codegen
+    (built-in), not a UDF; at 100 TB, add a second blocking pass
+    (length bucket) if blocks skew."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), 2))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("b.n_parts").alias("n_b"),
+        )
+    )
+
+
+#: documents-table columns profiled by ext_profile (name, is_numeric)
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("ext_profile", _profile_oracle())
+def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column null count, exact distinct count,
+    and min/max — the data-quality report card run before any pipeline
+    stage trusts a new snapshot (a lang column that suddenly has nulls,
+    or a doc_id whose distinct count != row count, fails ingestion).
+
+    Scale shape: ONE scan, one aggregation node — all five columns'
+    stats are computed in a single pass (Spark plans the multi-distinct
+    via Expand, one shuffle), then the 1-row × 20-column result is
+    reshaped to rows by exploding an in-row struct array.  Nothing
+    corpus-sized moves; min/max are computed in the native type and only
+    CAST to string for the uniform report schema."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = docs.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
