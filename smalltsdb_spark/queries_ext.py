@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.functions import md5_long_sql, tokens, word_ngrams
+from smalltsdb_spark.functions import md5_long, md5_long_sql, tokens, word_ngrams
 from smalltsdb_spark.operators import (
     components,
     dedup,
@@ -1752,3 +1752,121 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+@query(
+    "stream_topk_tokens",
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    r AS (SELECT token, n,
+                 row_number() OVER (ORDER BY n DESC, token) AS rank
+          FROM c)
+    SELECT token, n, rank FROM r WHERE rank <= 20
+    """,
+)
+def stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters over a document feed: running token
+    counts via a Structured Streaming stateful aggregation, final top-20
+    read off the sink — the live boilerplate/vocabulary monitor a
+    continuous ingestion pipeline runs beside the batch curator.
+
+    Driven to completion with one staged file + availableNow + update
+    mode (one micro-batch, each key emitted exactly once — the
+    stream_agg_tensecond pattern, queries.py:427), so the result equals
+    the batch count and the same SQL oracle applies: value-level
+    correctness for the streaming token-count path.  State key = token
+    (vocab-sized); the top-k window runs on the SINK table (counted,
+    vocab-sized), never inside the stream.  At 100 TB/day, state stays
+    vocab-sized, and the final rank is a TakeOrderedAndProject over
+    per-partition partial top-20s."""
+    import tempfile
+    import uuid
+
+    from smalltsdb_spark.queries import (
+        STREAM_STATE_PARTITIONS,
+        _stream_state_partitions,
+    )
+
+    staging = tempfile.mkdtemp(prefix="stream_topk_src_")
+    docs = _t(spark, sf_dir, "documents")
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    feed = spark.readStream.schema(docs.schema).parquet(staging)
+    counts = (
+        feed.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        spark.table(sink)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("token", "n", "rank")
+    )
+
+
+#: permille thresholds for the deterministic corpus split: 980/10/10
+SPLIT_SALT = "split"
+
+
+@query(
+    "ext_dataset_split",
+    f"""
+    WITH b AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{SPLIT_SALT}'),
+                               1, 15))::BIGINT % 1000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (980/10/10 permille) by
+    salted content-free id hash — the split every training pipeline
+    needs: stable under corpus growth (a document's split never changes
+    when neighbors are added or removed, unlike modulo-on-row-number or
+    random splits), reproducible across engines, and audit-friendly
+    (the per-(split, lang) doc/token masses ARE the audit).
+
+    Scale shape: the split key is a pure scan-level expression — no
+    shuffle to assign, one map-side-combined groupBy for the audit
+    rollup.  Writing the actual splits is a partitionBy('split') write
+    off the same expression; nothing is ever sorted or sampled."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), SPLIT_SALT) % 1000
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokens("text")).alias("nt"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
