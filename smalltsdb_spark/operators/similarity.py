@@ -604,3 +604,87 @@ def embedding_near_dup_pairs_blocked(
     return e.groupBy("b1", "b2").applyInPandas(
         score_pair, "id_a long, id_b long, sim double"
     )
+
+
+def kmeans_assign(
+    vecs: DataFrame, id_col: str, vec_col: str, C: np.ndarray
+) -> DataFrame:
+    """(id, cluster, dist2) nearest-centroid assignment for a FIXED
+    centroid matrix — one Arrow-batched GEMM per partition (the
+    ivf_assign kernel, extended to also emit the squared distance).
+    Ties (exactly equidistant centroids) go to the lowest index, matching
+    ``np.argmin`` and the oracle's ``ORDER BY dist, j`` rank."""
+    c_norm2 = np.einsum("ij,ij->i", C, C)
+
+    @F.pandas_udf("cluster int, dist2 double")
+    def assign2(v: pd.Series) -> pd.DataFrame:
+        V = _as_matrix(v)
+        d = (
+            np.einsum("ij,ij->i", V, V)[:, None]
+            - 2.0 * (V @ C.T)
+            + c_norm2[None, :]
+        )
+        a = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype(np.int32),
+                "dist2": d[np.arange(len(a)), a],
+            }
+        )
+
+    return (
+        _spread(vecs, id_col, vec_col)
+        .select(F.col("_id").alias(id_col), "_v", assign2(F.col("_v")).alias("_a"))
+        .select(id_col, "_v", F.col("_a.cluster").alias("cluster"),
+                F.col("_a.dist2").alias("dist2"))
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    decimals: int = 6,
+) -> tuple[np.ndarray, DataFrame]:
+    """Distributed Lloyd's k-means: the corpus NEVER leaves the cluster.
+
+    Per iteration: one Arrow-batched assignment pass (GEMM per
+    partition), one map-side-combined (cluster, dim) groupBy for the
+    per-dimension means — the shuffle carries at most k·dim rows per
+    task — and a k×dim driver collect (the only driver-side data,
+    bounded by the model size, not the corpus; the same boundary every
+    distributed ML system draws).  Contrast with :func:`_kmeans`, which
+    trains driver-side on a bounded SAMPLE for IVF coarse quantizers:
+    this one trains on the full corpus.
+
+    Determinism contract: init = the k lowest-id vectors (seedless,
+    layout-independent); each iteration's means are rounded to
+    ``decimals`` before becoming the next centroids, so an oracle that
+    replays the loop in float64 (any summation order agrees to ~1e-13,
+    far inside round-6) reproduces the centroids exactly.  Empty
+    clusters keep their previous centroid.
+
+    Returns (final centroids, final assignment DataFrame).
+    """
+    first = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    C = _as_matrix(r[1] for r in first)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = kmeans_assign(corpus, id_col, vec_col, C)
+        mean_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("_v")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = C.copy()
+        for r in mean_rows:
+            nxt[r["cluster"]][r["pos"]] = round(float(r["m"]), decimals)
+        C = nxt
+    return C, kmeans_assign(corpus, id_col, vec_col, C)

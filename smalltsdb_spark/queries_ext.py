@@ -1870,3 +1870,119 @@ def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+_KMEANS_ORACLE_CACHE: dict[str, str] = {}
+
+#: sim_kmeans hyperparameters (shared by the query and its oracle)
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def _kmeans_fit_oracle() -> str:
+    """Generated-constant oracle for the distributed k-means: replays the
+    same Lloyd loop in float64 numpy — init = k lowest-id vectors, per-
+    iteration means rounded to 6 decimals with the SAME Python ``round``
+    the Spark loop applies, empty clusters keep their previous centroid
+    — so the final centroids are equal BY CONSTRUCTION (any float64
+    summation order agrees to ~1e-13, far inside round-6).  The final
+    corpus assignment and rollup then run as plain SQL over the rendered
+    centroid literals (the sim_ivf_ann precedent: matrix-form distance
+    with ``ORDER BY dist, j`` first-index tie-break, matching
+    ``np.argmin``)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _KMEANS_ORACLE_CACHE:
+        return _KMEANS_ORACLE_CACHE[sf_dir]
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"ORDER BY vec_id"
+            ).fetchall()
+        ]
+    )
+    con.close()
+
+    C = X[: KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = (
+            np.einsum("ij,ij->i", X, X)[:, None]
+            - 2.0 * (X @ C.T)
+            + np.einsum("ij,ij->i", C, C)[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        nxt = C.copy()
+        for j in range(KMEANS_K):
+            members = X[assign == j]
+            if len(members):
+                nxt[j] = [round(float(v), 6) for v in members.mean(axis=0)]
+        C = nxt
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    cn2 = np.einsum("ij,ij->i", C, C)
+    cent_rows = ",\n        ".join(
+        f"({j}, {vec_lit(C[j])}, {repr(float(cn2[j]))})" for j in range(KMEANS_K)
+    )
+    sql = f"""
+    WITH cent(j, cv, cn2) AS (VALUES
+        {cent_rows}
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+        SELECT vec_id, j,
+               list_dot_product(v, v) - 2.0 * list_dot_product(v, cv) + cn2
+                   AS dist
+        FROM c CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, j, dist FROM (
+            SELECT vec_id, j, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, j) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT j AS cluster_id, count(*) AS n_vecs,
+           round(avg(dist), 6) AS avg_dist2
+    FROM assigned GROUP BY j
+    """
+    _KMEANS_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("sim_kmeans", _kmeans_fit_oracle)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering of the embedding corpus
+    (similarity.kmeans_fit): 2 full Lloyd iterations where the corpus
+    never leaves the cluster — per iteration one Arrow-batched GEMM
+    assignment pass and one map-side-combined (cluster, dim) groupBy for
+    the means; the driver sees only k×dim numbers per iteration (the
+    model, not the data).  Output: per-cluster size and mean squared
+    distance — the corpus-structure report used for topic balancing and
+    IVF list sizing.  At 100 TB this is the exact shape (assignment
+    pass + bounded model collect) every distributed ML trainer uses;
+    iteration count scales the cost linearly, nothing is quadratic."""
+    from smalltsdb_spark.operators.similarity import kmeans_fit
+
+    _, assigned = kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    return assigned.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+    )

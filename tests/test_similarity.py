@@ -171,3 +171,36 @@ def test_ivf_probe_distributed_no_driver_collect(spark):
     # two Arrow kernels: corpus-side assign_info + query-side probe_info
     assert plan.count("ArrowEvalPython") >= 2
     assert "LocalTableScan" not in plan
+
+
+def test_kmeans_fit_separates_obvious_clusters(spark):
+    """Two tight blobs far apart; k=2 must put each blob in its own
+    cluster regardless of which blob seeds which centroid, and the
+    final assignment's dist2 must be small within blobs."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + 0.01 * i, 0.0]))          # blob A
+        rows.append((100 + i, [0.0, 10.0 + 0.01 * i]))    # blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C, assigned = similarity.kmeans_fit(df, "vec_id", "embedding", k=2, iters=3)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    blob_a = {got[i] for i in range(10)}
+    blob_b = {got[100 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert C.shape == (2, 2)
+    max_d2 = max(r.dist2 for r in assigned.collect())
+    assert max_d2 < 0.01  # within-blob spread only
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
+    """k exceeds the number of distinct points: surplus centroids keep
+    their (initial) positions instead of NaN-ing the means."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    C, assigned = similarity.kmeans_fit(df, "vec_id", "embedding", k=3, iters=2)
+    assert C.shape == (3, 2)
+    import numpy as np
+    assert not np.isnan(C).any()
+    assert assigned.count() == 3
