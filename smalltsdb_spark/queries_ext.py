@@ -1613,21 +1613,23 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (tf·ln(N/df), ties by term) — the per-document topic signal
     used for mix analysis and topic-balanced sampling.
 
-    Shape: one (doc, term) groupBy for tf, one term groupBy for df
-    (computed over the ALREADY-AGGREGATED tf relation, so the df pass
-    never re-reads the token stream), a join on the term — vocab-sized
-    build side, AQE broadcasts when measured-small — and a corpus-wide
-    doc count riding a broadcast 1-row cross join.  The top-k window runs
-    over the counted relation, never the raw token stream.  The rank
-    orders on the RAW double score (identical ln inputs both engines);
-    only the displayed score is rounded."""
+    Shape: ONE pass over the token stream — one (doc, term) groupBy for
+    tf, then df as a window count over the ALREADY-AGGREGATED tf
+    relation (a term-keyed shuffle of vocab·docs-per-term rows; a
+    separate ``tf.groupBy(term)`` branch would make Catalyst re-expand
+    the whole explode+aggregate lineage a second time, doubling the
+    token-stream cost — measured in the r4 plan audit), and a corpus
+    doc count riding a broadcast 1-row cross join (its scan prunes to
+    the doc_id column).  The top-k window runs over the counted
+    relation, never the raw token stream.  The rank orders on the RAW
+    double score (identical ln inputs both engines); only the displayed
+    score is rounded."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    n = _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "s",
