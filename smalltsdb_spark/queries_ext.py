@@ -1988,3 +1988,130 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.round(F.avg("dist2"), 6).alias("avg_dist2"),
     )
+
+
+@query(
+    "rel_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch(ts) AS t FROM events),
+    s1 AS (SELECT user_id, min(t) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t_click
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND t >= t_view GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t_purchase
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND t >= t_click GROUP BY e.user_id)
+    SELECT s1.user_id, t_view, t_click, t_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): per user, the
+    first view, the first click AT OR AFTER that view, and the first
+    purchase at or after that click — the sequential-pattern query
+    behind every conversion/retention report, where a purchase BEFORE
+    the view must not count.
+
+    Shape: three min-aggregations, each joined to the previous step's
+    timestamps — every shuffle keys on user_id, so AQE plans one
+    exchange per side and reuses the partitioning across all three
+    steps; the step relations shrink monotonically (funnel!), so each
+    successive join is smaller.  No window over the full event stream
+    and no self-join on time ranges."""
+    from smalltsdb_spark.queries import read_events
+
+    e = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts_sec").alias("t")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+
+
+@query(
+    "tsdb_anomaly_mad",
+    """
+    WITH e AS (SELECT event_type AS path, value FROM events),
+    med AS (SELECT path, round(quantile_cont(value, 0.5), 6) AS med
+            FROM e GROUP BY path),
+    stats AS (
+        SELECT e.path, min(med) AS med,
+               round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+               count(*) AS n_points
+        FROM e JOIN med USING (path) GROUP BY e.path
+    )
+    SELECT e.path, min(stats.med) AS med, min(mad) AS mad,
+           min(n_points) AS n_points,
+           sum(CASE WHEN abs(value - stats.med) > 4.4478 * mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM e JOIN stats USING (path)
+    GROUP BY e.path
+    """,
+)
+def tsdb_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly profile per path: median, median
+    absolute deviation, and the count of points beyond the classic
+    3σ-equivalent threshold (3·1.4826·MAD) — the batch counterpart of
+    the streaming EWMA detector (stream_ewma_anomaly), immune to the
+    outliers it hunts, unlike mean/stddev z-scores.
+
+    Shape: two exact-percentile aggregations and one conditional count,
+    each keyed on the path; the tiny per-path stat relations broadcast
+    back onto the stream (AQE-chosen), so the events scan is read three
+    times but shuffled at most once per aggregation — at 100 TB swap
+    the exact median for percentile_approx exactly as the A5 scale mode
+    does.  Both med and mad are rounded to 6 BEFORE the threshold
+    comparison so the outlier boundary is bit-identical across
+    engines."""
+    from smalltsdb_spark.queries import read_events
+
+    e = read_events(spark, sf_dir).select(
+        F.col("event_type").alias("path"), "value"
+    )
+    med = e.groupBy("path").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    stats = (
+        e.join(med, "path")
+        .groupBy("path")
+        .agg(
+            F.min("med").alias("med"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+            F.count("*").alias("n_points"),
+        )
+    )
+    return (
+        e.join(stats, "path")
+        .groupBy("path")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.min("n_points").alias("n_points"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(4.4478) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
