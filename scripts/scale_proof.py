@@ -188,11 +188,78 @@ def main_sim(replicas: int):
                       f"time_ratio_at_{replicas}x_data": ratios}))
 
 
+def run_pipeline_suite(docs, emb, n_docs: int) -> dict[str, float]:
+    """Best-of-2 per operator (see run_suite on why): the round-4
+    pipeline-prep family — all linear by construction (no pair joins),
+    so the proof target is time ratio ~ data ratio or better."""
+    from smalltsdb_spark.operators import similarity, textstats
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def segments():
+        noop(dedup.duplicated_segments(docs, "doc_id", "text", width=20))
+
+    def novelty():
+        noop(textstats.novelty(docs, "doc_id", "text", n=2))
+
+    def tfidf():
+        noop(textstats.tfidf_topk(docs, "doc_id", "text", k=3))
+
+    def kmeans():
+        _, assigned = similarity.kmeans_fit(
+            emb, "vec_id", "embedding", k=8, iters=2
+        )
+        noop(
+            assigned.groupBy("cluster").agg(
+                F.count("*").alias("n"), F.avg("dist2").alias("d")
+            )
+        )
+
+    out = {}
+    for name, fn in [("segments", segments), ("novelty", novelty),
+                     ("tfidf", tfidf), ("kmeans", kmeans)]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_sec"] = round(best, 2)
+    for k in list(out):
+        out[k.replace("_sec", "_docs_per_sec")] = round(n_docs / out[k], 1)
+    out["n_docs"] = n_docs
+    return out
+
+
+def main_pipeline(replicas: int):
+    spark = get_spark(app_name="scale-proof-pipeline", master="local[32]",
+                      shuffle_partitions=32)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = docs.count()
+    one, em1 = replicate(docs, 1), replicate_emb(emb, 1)
+    big, emN = replicate(docs, replicas), replicate_emb(emb, replicas)
+    one.limit(10).count()
+
+    r1 = run_pipeline_suite(one, em1, n)
+    rN = run_pipeline_suite(big, emN, n * replicas)
+    ratios = {
+        k.replace("_sec", ""): round(rN[k] / r1[k], 2)
+        for k in ("segments_sec", "novelty_sec", "tfidf_sec", "kmeans_sec")
+    }
+    print(json.dumps({"sf0.1": r1, f"{replicas}x": rN,
+                      f"time_ratio_at_{replicas}x_data": ratios}))
+
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "sim"]
+    args = [a for a in sys.argv[1:] if a not in ("sim", "pipeline")]
     replicas = int(args[0]) if args else 10
     if "sim" in sys.argv[1:]:
         main_sim(replicas)
+        return
+    if "pipeline" in sys.argv[1:]:
+        main_pipeline(replicas)
         return
     spark = get_spark(app_name="scale-proof", master="local[32]",
                       shuffle_partitions=32)

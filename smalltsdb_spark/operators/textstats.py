@@ -164,3 +164,70 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, h: (acc * FP_MUL + h) % F.lit(FP_MOD),
     )
     return spread(df).select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def novelty(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Corpus-order novelty: per document, the fraction of its distinct
+    n-grams no lower-id document contains (see queries_ext.text_novelty
+    for the curation rationale).  Linear: distinct (doc, gram) explode →
+    the gram's first holder as a WINDOW min over the gram partition →
+    one doc groupBy.  The window, not a groupBy+join-back: using the
+    gram relation twice makes Catalyst re-expand the whole
+    explode+distinct lineage per use — measured 10× slower at sf0.1
+    (9.3 s → 0.9 s) — while the window annotates first_doc in place on
+    the single pass."""
+    from pyspark.sql import Window
+
+    from smalltsdb_spark.operators.dedup import doc_grams
+
+    grams = doc_grams(df, id_col, text_col, n)
+    annotated = grams.withColumn(
+        "first_doc", F.min("doc").over(Window.partitionBy("gram"))
+    )
+    novel = F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+    return (
+        annotated.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("novel_grams"),
+            (novel.cast("double") / F.count("*").cast("double")).alias(
+                "novelty_frac"
+            ),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (tf·ln(N/df), ties by term).
+
+    ONE pass over the token stream: df is a window count over the
+    already-aggregated tf relation (a separate ``tf.groupBy(term)``
+    branch makes Catalyst re-expand the explode+aggregate lineage a
+    second time — measured in the r4 plan audit); the corpus doc count
+    rides a broadcast 1-row cross join whose scan prunes to the id
+    column."""
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df", F.round("s", 6).alias("tfidf"), "rank"
+        )
+    )

@@ -47,6 +47,28 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+#: atexit-cleaned scratch dirs for streaming staging/checkpoint trees —
+#: the driver queries stage inputs and state under tempdirs, and a long
+#: session (bench runs 70+ queries) must not leak driver disk (the same
+#: hygiene operators/components.py applies to its label scratch)
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _SCRATCH_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_sec`` (double epoch seconds) added.
 
@@ -431,13 +453,12 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger, update mode exposing every bucket.  With all data in hand the
     result equals the batch aggregation — so the same SQL oracle applies,
     giving the streaming path full value-level correctness coverage."""
-    import tempfile
     import uuid
 
     from smalltsdb_spark.schemas import INCOMING_SCHEMA
     from smalltsdb_spark.streaming import streaming_aggregate
 
-    staging = tempfile.mkdtemp(prefix="stream_agg_src_")
+    staging = _scratch_dir("stream_agg_src_")
     # one staged file ⇒ availableNow runs one micro-batch ⇒ update mode
     # emits each bucket exactly once (no per-batch re-emission dups)
     events_as_incoming(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(staging)
@@ -499,11 +520,10 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch accumulation (reference daemon.py:108-197's cadence)."""
     import glob
     import os
-    import tempfile
 
     from smalltsdb_spark.streaming import read_spool_stream, start_ingest
 
-    base = tempfile.mkdtemp(prefix="stream_ingest_e2e_")
+    base = _scratch_dir("stream_ingest_e2e_")
     spool, inc_path, ckpt = f"{base}/spool", f"{base}/incoming", f"{base}/ckpt"
     ev = read_events(spark, sf_dir)
     ev.select(
@@ -548,7 +568,6 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the group-by-min oracle.  A state failure re-emits
     batch-1 keys and flips rows_match."""
     import math
-    import tempfile
 
     from smalltsdb_spark.streaming.stateful import first_seen_stream
 
@@ -560,7 +579,7 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     t_split = (t_min + t_max) / 2
 
-    base = tempfile.mkdtemp(prefix="stream_first_seen_")
+    base = _scratch_dir("stream_first_seen_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
 
     def run_once():
@@ -616,7 +635,6 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode emits each bucket exactly once across runs and late rows
     are dropped — which is exactly the oracle."""
     import math
-    import tempfile
 
     from smalltsdb_spark.schemas import INCOMING_SCHEMA
     from smalltsdb_spark.streaming import start_rollup
@@ -629,7 +647,7 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
     clock_ts = math.floor(t_max / bucket) * bucket + 2.5 * bucket
 
-    base = tempfile.mkdtemp(prefix="stream_finality_")
+    base = _scratch_dir("stream_finality_")
     src, out, ckpt = f"{base}/src", f"{base}/onehour", f"{base}/ckpt"
 
     def run_once():

@@ -1567,21 +1567,7 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     list every dedup operator builds, so at 100 TB this shares its
     shuffle key (and any bucketed materialization) with the dedup
     family."""
-    grams = dedup.doc_grams(_t(spark, sf_dir, "documents"), "doc_id", "text", 2)
-    firsts = grams.groupBy("gram").agg(F.min("doc").alias("first_doc"))
-    novel = F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
-    return (
-        grams.join(firsts, "gram")
-        .groupBy("doc")
-        .agg(
-            F.count("*").alias("n_grams"),
-            novel.alias("novel_grams"),
-            (novel.cast("double") / F.count("*").cast("double")).alias(
-                "novelty_frac"
-            ),
-        )
-        .withColumnRenamed("doc", "doc_id")
-    )
+    return textstats.novelty(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
 
 
 @query(
@@ -1624,27 +1610,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, never the raw token stream.  The rank orders on the RAW
     double score (identical ln inputs both engines); only the displayed
     score is rounded."""
-    docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n = _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "s",
-            F.col("tf")
-            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "doc_id", "term", "tf", "df", F.round("s", 6).alias("tfidf"), "rank"
-        )
-    )
+    return textstats.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
 @query(
@@ -1783,15 +1749,15 @@ def stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized), never inside the stream.  At 100 TB/day, state stays
     vocab-sized, and the final rank is a TakeOrderedAndProject over
     per-partition partial top-20s."""
-    import tempfile
     import uuid
 
     from smalltsdb_spark.queries import (
         STREAM_STATE_PARTITIONS,
+        _scratch_dir,
         _stream_state_partitions,
     )
 
-    staging = tempfile.mkdtemp(prefix="stream_topk_src_")
+    staging = _scratch_dir("stream_topk_src_")
     docs = _t(spark, sf_dir, "documents")
     docs.coalesce(1).write.mode("overwrite").parquet(staging)
     feed = spark.readStream.schema(docs.schema).parquet(staging)

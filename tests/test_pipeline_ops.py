@@ -1,0 +1,148 @@
+"""Semantics tests for the round-4 pipeline operators on crafted inputs
+(the parity sweep checks them against DuckDB; these pin the *intent*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.functions import md5_long
+from smalltsdb_spark.operators import textstats
+
+
+def _funnel(spark, rows):
+    import smalltsdb_spark.queries_ext as qx
+
+    # build an events-shaped frame and run the same step logic the query
+    # uses, but from a local relation (the query reads parquet)
+    e = spark.createDataFrame(rows, "user_id long, event_type string, t double")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return {r.user_id: (r.t_view, r.t_click, r.t_purchase) for r in out.collect()}
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # user 1: clean funnel
+        (1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),
+        # user 2: purchase BEFORE the view — must not count as converted
+        (2, "purchase", 5.0), (2, "view", 10.0), (2, "click", 20.0),
+        # user 3: click before view — click must not count, so no step 2/3
+        (3, "click", 5.0), (3, "view", 10.0), (3, "purchase", 30.0),
+    ]
+    got = _funnel(spark, rows)
+    assert got[1] == (10.0, 20.0, 30.0)
+    assert got[2] == (10.0, 20.0, None)
+    assert got[3] == (10.0, None, None)
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # ties are inclusive: a click at exactly the view time advances
+    got = _funnel(spark, [(1, "view", 10.0), (1, "click", 10.0)])
+    assert got[1] == (10.0, 10.0, None)
+
+
+def test_dataset_split_stable_under_growth(spark):
+    """A document's split must not change when the corpus grows — the
+    property hash assignment has and row_number()/random() do not."""
+    docs1 = spark.createDataFrame(
+        [(i, "x", "en") for i in range(50)], "doc_id long, text string, lang string"
+    )
+    docs2 = spark.createDataFrame(
+        [(i, "x", "en") for i in range(200)], "doc_id long, text string, lang string"
+    )
+
+    def assign(df):
+        bucket = md5_long(F.col("doc_id").cast("string"), "split") % 1000
+        split = (
+            F.when(bucket < 980, "train").when(bucket < 990, "valid").otherwise("test")
+        )
+        return {r.doc_id: r.s for r in df.select("doc_id", split.alias("s")).collect()}
+
+    a1, a2 = assign(docs1), assign(docs2)
+    assert all(a2[i] == a1[i] for i in range(50))
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank a corpus-wide term with the
+    same tf."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common unique unique"),
+            (2, "common common other other"),
+            (3, "common common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    top = textstats.tfidf_topk(docs, "doc_id", "text", k=1)
+    got = {r.doc_id: r.term for r in top.collect()}
+    assert got[1] == "unique" and got[2] == "other" and got[3] == "filler"
+    # the corpus-wide term has idf = ln(1) = 0 -> never the top pick
+    assert "common" not in got.values()
+
+
+def test_novelty_first_doc_owns_grams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # introduces all 3 bigrams
+            (2, "a b c d"),          # introduces nothing
+            (3, "a b x y"),          # introduces 2 of 3 ("b x", "x y")
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.novelty(docs, "doc_id", "text").collect()}
+    assert got[1].novelty_frac == 1.0
+    assert got[2].novelty_frac == 0.0
+    assert got[3].novel_grams == 2 and got[3].n_grams == 3
+
+
+def test_mad_robust_to_outliers(spark):
+    """The MAD threshold flags the planted outlier; mean/std would have
+    been dragged by it — median/MAD are not."""
+    vals = [10.0 + 0.1 * i for i in range(99)] + [10_000.0]
+    e = spark.createDataFrame(
+        [("p", v) for v in vals], "path string, value double"
+    )
+    med = e.groupBy("path").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    stats = (
+        e.join(med, "path")
+        .groupBy("path")
+        .agg(
+            F.min("med").alias("med"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+        )
+    )
+    out = (
+        e.join(stats, "path")
+        .groupBy("path")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(4.4478) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .collect()[0]
+    )
+    assert out.n_outliers == 1
