@@ -136,6 +136,7 @@ def decode_bmp(data: bytes) -> dict:
         "height": int(h),
         "bits": int(bpp),
         "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+        "_pixels": px.reshape(h, width, bpp // 8),
     }
 
 
@@ -219,6 +220,7 @@ def decode_png(data: bytes) -> dict:
         "height": int(height),
         "bits": int(depth * channels),
         "mean_pixel": round(float(out.mean()), 6) if out.size else 0.0,
+        "_pixels": out.reshape(height, width, channels),
     }
 
 
@@ -414,3 +416,120 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> 
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+#: perceptual-hash geometry: 8x8 grid = 64 bits, banded into 4x16-bit
+#: chunks for candidate generation (two images within Hamming distance
+#: max_hamming <= 16 share at least one exact chunk by pigeonhole when
+#: distance < 4 bits per chunk... candidate recall is the standard
+#: banding trade-off, same as dedup.simhash_near_pairs)
+AHASH_BITS = 64
+AHASH_CHUNKS = 4
+
+
+def average_hash(pixels) -> int:
+    """Classic perceptual average-hash of a decoded pixel array
+    ``(h, w, channels)``: grayscale by channel mean, downsample to an
+    8x8 grid by block mean-pooling (np.array_split keeps the blocks
+    deterministic for any image size), threshold at the grid mean.
+    Returns a 64-bit value as a SIGNED int64 (two's complement), so the
+    JVM xor/bit_count Hamming arithmetic works on LongType unchanged."""
+    import numpy as np
+
+    gray = pixels.astype(np.float64).mean(axis=2)
+    rows = [r for r in np.array_split(gray, 8, axis=0) if r.size]
+    grid = np.array(
+        [[c.mean() for c in np.array_split(r, 8, axis=1) if c.size] for r in rows]
+    )
+    # degenerate tiny images: pad by repeating edge blocks
+    while grid.shape[0] < 8:
+        grid = np.vstack([grid, grid[-1:]])
+    while grid.shape[1] < 8:
+        grid = np.hstack([grid, grid[:, -1:]])
+    bits = (grid > grid.mean()).astype(np.uint8).reshape(-1)
+    h = 0
+    for i, b in enumerate(bits):
+        h |= int(b) << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def ahash_images(media: DataFrame) -> DataFrame:
+    """(media_id, decoded, ahash) over every decodable image payload —
+    the REAL perceptual hash over REALLY decoded pixels (BMP/PNG; the
+    container's codec boundary is decode_media's).  Arrow-batched; rows
+    without a dependency-free decoder come back decoded=false, null
+    hash (the decode_media_stats failure contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_ok, out_hash = [], [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                try:
+                    d = decode_media(bytes(data), kind)
+                    px = d.get("_pixels")
+                    h = average_hash(px) if px is not None else None
+                except (NotImplementedError, ValueError, KeyError, IndexError):
+                    h = None
+                out_id.append(mid)
+                out_ok.append(h is not None)
+                out_hash.append(h)
+            yield pd.DataFrame(
+                {"media_id": out_id, "decoded": out_ok, "ahash": out_hash}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 10, bucket_cap: int = 512
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: average-hash each decodable
+    image, band the 64-bit hash into 4 sixteen-bit chunks, pair within
+    equal chunks, verify by exact Hamming distance — the image analog of
+    dedup.simhash_near_pairs, and the same scale shape: candidates come
+    from chunk-equality buckets (capped in-row explosion with the
+    distributed self-join fallback), never an all-pairs product.  The
+    only Python stage is the per-image decode+hash; banding, pairing and
+    the xor/bit_count verify are JVM codegen."""
+    from smalltsdb_spark.operators.dedup import _bucket_pairs
+
+    sig = ahash_images(media).filter(F.col("decoded")).select("media_id", "ahash")
+    chunks = sig.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("ahash"), 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for q in range(AHASH_CHUNKS)
+                ]
+            )
+        ).alias("qc"),
+    ).select("media_id", "ahash", "qc.q", "qc.chunk")
+    rows = chunks.select("q", "chunk", F.struct("media_id", "ahash").alias("v"))
+    pr = _bucket_pairs(rows, ["q", "chunk"], "media_id", bucket_cap)
+    return (
+        pr.select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -236,3 +236,57 @@ def test_decode_png_in_decode_stage(spark):
     assert got.decoded and got.format == "png"
     assert (got.width, got.height) == (4, 3)
     assert got.mean_pixel == 17.0
+
+
+def test_average_hash_properties():
+    """Identical images hash equal; a small perturbation moves few bits;
+    an inverted image is far."""
+    import numpy as np
+
+    from smalltsdb_spark.operators.multimodal import average_hash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 16, 1)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0, 0] = (int(tweaked[0, 0, 0]) + 3) % 256
+    inverted = (255 - base).astype(np.uint8)
+
+    h0, h1, h2 = (average_hash(a) for a in (base, tweaked, inverted))
+    assert h0 == average_hash(base)          # deterministic
+    assert bin((h0 ^ h1) & (2**64 - 1)).count("1") <= 4
+    assert bin((h0 ^ h2) & (2**64 - 1)).count("1") >= 32
+    # signed-int64 packing contract (LongType-safe)
+    for h in (h0, h1, h2):
+        assert -(2**63) <= h < 2**63
+
+
+def test_image_near_dup_pairs(spark):
+    """The perceptual pair pipeline on real decoded PNGs: near-identical
+    images pair up, a structurally different image does not, and an
+    undecodable payload is skipped, not fatal."""
+    import numpy as np
+
+    from smalltsdb_spark.operators.multimodal import image_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(16, 16, 1)).astype(np.uint8)
+    near = base.copy()
+    near[3, 3, 0] = (int(near[3, 3, 0]) + 2) % 256
+    far = rng.randint(0, 256, size=(16, 16, 1)).astype(np.uint8)
+
+    rows = [
+        (1, "image", bytearray(_png_bytes(base, [0] * 16)), None),
+        (2, "image", bytearray(_png_bytes(near, [1] * 16)), None),
+        (3, "image", bytearray(_png_bytes(far, [4] * 16)), None),
+        (4, "image", bytearray(b"JFIFnotdecodable"), None),
+        (5, "audio", bytearray(b"RIFFxxxxWAVE"), None),  # filtered out pre-UDF
+    ]
+    from smalltsdb_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(media, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
