@@ -417,6 +417,70 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> 
 
     return media.mapInPandas(run, FRAME_SCHEMA)
 
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic 8x8 24-bit BMP payload for a document id — a REAL,
+    spec-valid BMP container (14-byte file header + BITMAPINFOHEADER +
+    raw BGR rows, 24 bytes/row so the 4-byte row alignment is free)
+    whose gray pixel values follow a closed-form both engines can
+    compute::
+
+        base = doc_id - doc_id % 4
+        v(k) = (base*31 + k*17 + (40 if k == (doc_id % 4) * 9 else 0)) % 256
+
+    Documents sharing ``base`` (groups of 4 consecutive ids) are
+    near-duplicates of each other — identical except for one +40
+    perturbed pixel per member — so the perceptual-hash pipeline has
+    true positives to find, and the oracle SQL can re-derive every
+    pixel, mean, threshold bit, and packed hash without touching the
+    binary.  ``k`` is in DECODED row order (decode_bmp keeps file row
+    order), so the formula indexes the same pixel on both sides."""
+    import struct
+
+    pix = bytearray()
+    base = doc_id - doc_id % 4
+    hot = (doc_id % 4) * 9
+    for k in range(64):
+        v = (base * 31 + k * 17 + (40 if k == hot else 0)) % 256
+        pix += bytes([v, v, v])
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + pix)
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows whose payloads are the deterministic
+    BMPs of :func:`synth_bmp_payload` — the fixture generator for the
+    oracle-checked REAL-decode driver rows (mm_image_ahash /
+    mm_image_near_dups).  Payload build is Arrow-batched per partition;
+    nothing round-trips through the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "data": [synth_bmp_payload(i) for i in ids],
+                }
+            )
+
+    body = docs.select("doc_id").mapInPandas(
+        run, T.StructType(MEDIA_SCHEMA.fields[:3])
+    )
+    return body.withColumn(
+        "meta",
+        F.struct(
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ),
+    )
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -995,6 +995,103 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared oracle CTE re-deriving the synth_bmp_payload pixels, per-image
+#: mean, and threshold bits entirely in SQL (integer arithmetic + one
+#: exact avg of 64 small ints — bit-identical across engines).  The 0..63
+#: pixel index comes from an explicit 8x8 VALUES cross join, not
+#: range()/generate_series, to stay off version-sensitive DuckDB idioms.
+_AHASH_BITS_CTE = """
+    gridk AS (
+        SELECT a.i * 8 + b.i AS k
+        FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) a(i)
+        CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(i)
+    ),
+    px AS (
+        SELECT doc_id, k,
+               CAST(((doc_id - doc_id % 4) * 31 + k * 17
+                     + CASE WHEN k = (doc_id % 4) * 9 THEN 40 ELSE 0 END)
+                    % 256 AS DOUBLE) AS v
+        FROM documents CROSS JOIN gridk
+        WHERE doc_id % 3 = 0
+    ),
+    bits AS (
+        SELECT px.doc_id, k, CASE WHEN v > m.mean_v THEN 1 ELSE 0 END AS b
+        FROM px JOIN (SELECT doc_id, avg(v) AS mean_v FROM px GROUP BY doc_id) m
+          USING (doc_id)
+    )
+"""
+
+
+@query(
+    "mm_image_ahash",
+    f"""
+    WITH {_AHASH_BITS_CTE}
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN b = 1 THEN
+                 CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (CAST(1 AS BIGINT) << k) END
+               ELSE 0 END) AS BIGINT) AS ahash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REALLY decoded pixels, value-checked
+    end to end: deterministic 8x8 BMP containers are synthesized per
+    image document, decoded by the dependency-free BMP decoder, and
+    hashed by multimodal.average_hash — while the oracle re-derives the
+    exact 64 pixel values, the float mean, the threshold bits, and the
+    signed-int64 packing in pure SQL.  The full binary decode path (BMP
+    header parse, bottom-up row order, channel-mean grayscale) sits
+    between the two, so a green row certifies the codec, not just the
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = multimodal.synth_bmp_media(docs)
+    return multimodal.ahash_images(media).select("media_id", "ahash")
+
+
+@query(
+    "mm_image_near_dups",
+    f"""
+    WITH {_AHASH_BITS_CTE},
+    chunks AS (
+        SELECT doc_id,
+               CASE WHEN k < 16 THEN 0 WHEN k < 32 THEN 1
+                    WHEN k < 48 THEN 2 ELSE 3 END AS q,
+               CAST(sum(CAST(b AS BIGINT) << (k % 16)) AS BIGINT) AS chunk
+        FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM chunks a JOIN chunks b
+          ON a.q = b.q AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN bits x ON x.doc_id = c.id_a
+        JOIN bits y ON y.doc_id = c.id_b AND y.k = x.k
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+    """,
+)
+def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs over the same synthesized
+    BMP corpus: hash → 4x16-bit chunk banding → bucket pairing → exact
+    Hamming verify (multimodal.image_near_dup_pairs).  The oracle models
+    the CANDIDATE GENERATION too — a pair must share an equal 16-bit
+    chunk to be considered, exactly like the banded Spark plan — so the
+    driver row pins the retrieval semantics, not just the distance
+    arithmetic.  Groups of 4 consecutive doc_ids are true near-dups by
+    construction (one perturbed pixel each); cross-group collisions of
+    the cycling pixel pattern supply harder cases."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = multimodal.synth_bmp_media(docs)
+    return multimodal.image_near_dup_pairs(media, max_hamming=10)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data pipeline)
 # ---------------------------------------------------------------------------

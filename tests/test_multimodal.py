@@ -290,3 +290,61 @@ def test_image_near_dup_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+
+
+def test_synth_bmp_round_trip():
+    """synth_bmp_payload is a spec-valid BMP whose decoded pixels follow
+    the closed-form formula the oracle SQL re-derives."""
+    import numpy as np
+
+    from smalltsdb_spark.operators.multimodal import (
+        average_hash,
+        decode_bmp,
+        synth_bmp_payload,
+    )
+
+    for doc_id in (0, 3, 7, 123, 4096):
+        d = decode_bmp(synth_bmp_payload(doc_id))
+        assert (d["width"], d["height"], d["bits"]) == (8, 8, 24)
+        px = d["_pixels"]
+        base = doc_id - doc_id % 4
+        hot = (doc_id % 4) * 9
+        expect = np.array(
+            [
+                (base * 31 + k * 17 + (40 if k == hot else 0)) % 256
+                for k in range(64)
+            ]
+        ).reshape(8, 8)
+        assert (px[:, :, 0] == expect).all()
+        assert (px[:, :, 1] == expect).all() and (px[:, :, 2] == expect).all()
+        # hash equals the straight formula recompute (gray = channel mean
+        # = the single gray value; 8x8 pooling on 8x8 = identity)
+        bits = (expect.astype(float) > expect.mean()).astype(int).reshape(-1)
+        h = 0
+        for i, b in enumerate(bits):
+            h |= int(b) << i
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert average_hash(px) == h
+
+
+def test_synth_bmp_media_near_dup_groups(spark):
+    """Documents sharing a base-of-4 group are near-duplicates by
+    construction: the pipeline finds them within small Hamming radius."""
+    from smalltsdb_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synth_bmp_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(
+            synth_bmp_media(docs), max_hamming=10
+        ).collect()
+    }
+    # within-group pairs (0..3) and (4..7) all near
+    for g in (0, 4):
+        for a in range(g, g + 4):
+            for b in range(a + 1, g + 4):
+                assert (a, b) in pairs, (a, b, pairs)
