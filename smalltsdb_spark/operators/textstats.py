@@ -231,3 +231,45 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
             id_col, "term", "tf", "df", F.round("s", 6).alias("tfidf"), "rank"
         )
     )
+
+
+#: PII patterns, chosen for identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): no backreferences, no lookaround, explicit char classes.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII detection + redaction — the pre-training scrub
+    every text pipeline runs before a corpus leaves quarantine.
+
+    Counts emails / phone numbers / IPv4 literals and produces the
+    redacted text (matches replaced by ``<TYPE>`` placeholders, applied
+    email → phone → ip so the placeholder text can't be re-matched by a
+    later pattern).  All four columns are pure JVM regexp expressions —
+    whole-stage codegen, shuffle-free, linear scan at any scale.
+
+    Redaction order matters for parity and is part of the contract: an
+    IPv4-looking substring INSIDE an email host (``user@1.2.3.4``...)
+    is consumed by the email redaction first on both engines.
+    """
+    text = F.col(text_col)
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+    redacted = text
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    has_pii = None
+    for c in counts.values():
+        has_pii = c > 0 if has_pii is None else has_pii | (c > 0)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        has_pii.alias("has_pii"),
+        redacted.alias("redacted"),
+    )

@@ -995,6 +995,90 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_pii_scan",
+    r"""
+    WITH laced AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com for details'
+                 WHEN 1 THEN text || ' call 555-867-5309 or +440-207-9460'
+                 WHEN 2 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.7 and 192.168.1.' || CAST(doc_id % 200 AS VARCHAR)
+                 ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+               AS n_ipv4,
+           len(regexp_extract_all(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+             OR len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
+             OR len(regexp_extract_all(t,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0
+               AS has_pii,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+               '<IPV4>', 'g') AS redacted
+    FROM laced
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textstats.pii_scan), value-checked on a
+    deterministically PII-laced corpus: the fixture text carries no
+    natural PII, so both engines append the same synthetic email / phone
+    / IPv4 strings (keyed by doc_id) before scanning.  Counts, the
+    has_pii flag, and the REDACTED TEXT itself are all compared — the
+    redaction order (email → phone → ip) is part of the pinned
+    contract.  Patterns avoid backreferences/lookaround so Java regex
+    and RE2 agree."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    laced = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(did % 4 == 1, F.concat(F.col("text"),
+                                     F.lit(" call 555-867-5309 or +440-207-9460")))
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"), F.lit(" from 10.0."),
+                (did % 256).cast("string"), F.lit(".7 and 192.168.1."),
+                (did % 200).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    out = textstats.pii_scan(
+        docs.select("doc_id", laced.alias("text")), "doc_id", "text"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "has_pii",
+        "redacted",
+    )
+
+
 #: shared oracle CTE re-deriving the synth_bmp_payload pixels, per-image
 #: mean, and threshold bits entirely in SQL (integer arithmetic + one
 #: exact avg of 64 small ints — bit-identical across engines).  The 0..63

@@ -77,3 +77,31 @@ def test_repetition_stats_no_shuffle_no_python(spark):
     assert exchange_count(df) <= 1  # the spread repartition only
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scan(spark):
+    """Counts, flag, and redaction order (email eats its host before the
+    ipv4 pattern can see it)."""
+    from smalltsdb_spark.operators.textstats import pii_scan
+
+    rows = [
+        (1, "reach me at bob.smith+x@mail.example.org thanks"),
+        (2, "call 555-867-5309 or +440-207-9460 now"),
+        (3, "hosts 10.0.0.7 and 192.168.1.200"),
+        (4, "nothing to see here"),
+        (5, "mixed a@b.example plus 555-123-4567 at 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scan(df, "doc_id", "text").collect()}
+
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 0, 0)
+    assert got[1].redacted == "reach me at <EMAIL> thanks"
+    assert (got[2].n_email, got[2].n_phone) == (0, 2)
+    assert got[2].redacted == "call <PHONE> or <PHONE> now"
+    assert got[3].n_ipv4 == 2
+    assert got[3].redacted == "hosts <IPV4> and <IPV4>"
+    assert not got[4].has_pii and got[4].redacted == rows[3][1]
+    # alphabetic-TLD emails only; all three pattern families in one doc
+    assert (got[5].n_email, got[5].n_phone, got[5].n_ipv4) == (1, 1, 1)
+    assert got[5].redacted == "mixed <EMAIL> plus <PHONE> at <IPV4>"
+    assert all(got[i].has_pii for i in (1, 2, 3, 5))
