@@ -1269,6 +1269,133 @@ def ext_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quality_score as oracle SQL over an arbitrary id/strata projection —
+#: the same arithmetic textstats.quality_columns builds JVM-side (and the
+#: CTE ext_curate's green row already pins), parameterized on the carried
+#: columns so the curation-family oracles share one source of truth.
+def _quality_sql(carry: str, inner_carry: str | None = None) -> str:
+    return f"""
+        SELECT {carry},
+               round(
+                 (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12
+                       THEN 0.4 ELSE 0.0 END)
+                 + least(vowel_ratio * 2.0, 0.3)
+                 + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
+        FROM (
+            SELECT {inner_carry or carry},
+                   round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS avg_token_len,
+                   round(len(regexp_extract_all(text, '[aeiou]'))::DOUBLE
+                         / length(text), 6) AS vowel_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio
+            FROM documents
+        )
+    """
+
+
+@query(
+    "ext_quality_filter",
+    f"""
+    WITH q AS ({_quality_sql("doc_id, source")}),
+    r AS (
+        SELECT doc_id, source, quality_score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM q
+    )
+    SELECT doc_id, source, quality_score
+    FROM r WHERE rk > CAST((cnt - (cnt % 4)) / 4 AS BIGINT)
+    """,
+)
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality filtering: drop each source's bottom
+    quartile by quality score.  Membership is RANK-based (row_number
+    over (quality_score, doc_id) vs floor(count/4)) rather than a
+    floating-point threshold comparison, so the kept set is exactly
+    reproducible across engines — a p25-threshold filter can flip
+    borderline docs on the last bit of the interpolated quantile.  One
+    window over the source partition; at 100 TB each source's rank runs
+    in its own shuffle partition group (sources ≫ cores in a real
+    corpus; for a skewed giant source the same rank can be sharded the
+    way ext_pack_sharded shards its packing stratum)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spread(docs).select(
+        "doc_id",
+        "source",
+        textstats.quality_columns("text")["quality_score"].alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wc = Window.partitionBy("source")
+    r = q.select(
+        "doc_id", "source", "quality_score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    keep = ((F.col("cnt") - F.col("cnt") % 4) / 4).cast("long")
+    return r.filter(F.col("rk") > keep).select(
+        "doc_id", "source", "quality_score"
+    )
+
+
+#: per-source token budget for ext_token_budget — documents admitted
+#: best-quality-first until the running token total would cross this.
+TOKEN_BUDGET = 800
+
+
+@query(
+    "ext_token_budget",
+    f"""
+    WITH q AS ({_quality_sql(
+        "doc_id, source, n_tokens",
+        "doc_id, source, len(string_split(text, ' ')) AS n_tokens",
+    )}),
+    r AS (
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               quality_score,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, source, n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget data mixing: admit each source's documents
+    best-quality-first until the source's running token total crosses
+    the budget — how a pipeline assembles a fixed-size training mix from
+    unevenly-sized sources.  Pure integer running-sum window (the
+    ext_pack_sequences machinery pointed at a selection problem); the
+    budget comparison is on exact BIGINT cumulative sums, so membership
+    can't drift."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qc = textstats.quality_columns("text")
+    q = spread(docs).select(
+        "doc_id",
+        "source",
+        qc["n_tokens"].cast("long").alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return q.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= TOKEN_BUDGET
+    )
+
+
 def _ewma_oracle(alpha: float = 0.125) -> str:
     """Recursive-CTE oracle for the EW mean/variance recurrence: one
     iteration per row rank, the working table carrying each path's state.
