@@ -554,7 +554,10 @@ def ahash_images(media: DataFrame) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 10, bucket_cap: int = 512
+    media: DataFrame,
+    max_hamming: int = 10,
+    bucket_cap: int = 512,
+    signature_path: str | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: average-hash each decodable
     image, band the 64-bit hash into 4 sixteen-bit chunks, pair within
@@ -563,10 +566,22 @@ def image_near_dup_pairs(
     from chunk-equality buckets (capped in-row explosion with the
     distributed self-join fallback), never an all-pairs product.  The
     only Python stage is the per-image decode+hash; banding, pairing and
-    the xor/bit_count verify are JVM codegen."""
+    the xor/bit_count verify are JVM codegen.
+
+    ``signature_path``: the pairing machinery references the signature
+    relation from up to three plan branches (small-bucket, big-bucket
+    join sides); AQE's exchange reuse recovers some but not all of the
+    duplication, so without materialization the decode stage can run
+    2x.  Harmless for these 246-byte fixtures, but a REAL image corpus
+    pays seconds per image to decode — pass a scratch/warehouse URI and
+    the decode runs exactly once, with the banding re-reading 16-byte
+    columnar signatures instead of re-decoding pixels."""
     from smalltsdb_spark.operators.dedup import _bucket_pairs
 
     sig = ahash_images(media).filter(F.col("decoded")).select("media_id", "ahash")
+    if signature_path is not None:
+        sig.write.mode("overwrite").parquet(signature_path)
+        sig = media.sparkSession.read.parquet(signature_path)
     chunks = sig.select(
         "media_id",
         "ahash",

@@ -348,3 +348,25 @@ def test_synth_bmp_media_near_dup_groups(spark):
         for a in range(g, g + 4):
             for b in range(a + 1, g + 4):
                 assert (a, b) in pairs, (a, b, pairs)
+
+
+def test_image_near_dup_pairs_materialized_equal(spark, tmp_path):
+    """signature_path materialization (decode-once boundary) changes the
+    physical plan, never the pairs."""
+    from smalltsdb_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synth_bmp_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    media = synth_bmp_media(docs)
+    lazy = sorted(
+        tuple(r) for r in image_near_dup_pairs(media, max_hamming=10).collect()
+    )
+    mat = sorted(
+        tuple(r)
+        for r in image_near_dup_pairs(
+            media, max_hamming=10, signature_path=str(tmp_path / "sig")
+        ).collect()
+    )
+    assert lazy == mat and len(lazy) > 0
