@@ -2148,6 +2148,65 @@ def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split_oracle() -> str:
+    """The dedup_clusters transitive closure + the ext_dataset_split
+    bucket expression, keyed on the COMPONENT instead of the doc."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS t FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+    ),
+    comp AS (SELECT s, min(t) AS m FROM reach GROUP BY s),
+    labeled AS (
+        SELECT d.doc_id AS id,
+               CAST(coalesce(least(comp.m, d.doc_id), d.doc_id) AS BIGINT)
+                   AS component
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.s
+    )
+    SELECT id, component,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT id, component,
+               ('0x' || substr(md5(CAST(component AS VARCHAR) || '|{SPLIT_SALT}'),
+                               1, 15))::BIGINT % 1000 AS bucket
+        FROM labeled
+    )
+    """
+
+
+@query("ext_split_leakage_safe", _leakage_safe_split_oracle())
+def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/valid/test split: the salted-hash split key
+    is the document's dedup CLUSTER, not the document — so two near
+    duplicates can never land in different splits and leak training
+    content into eval.  This is the composition every serious corpus
+    build runs (minhash-LSH pairs → connected components →
+    component-keyed 980/10/10 hash split) and the reason the plain
+    ext_dataset_split documents itself as content-free: add near-dup
+    awareness and THIS is the query.  Scale shape: the expensive part is
+    the existing pair generation + O(log d) component rounds; the split
+    itself is one scan-level hash on the label table."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+    labels = components.dedup_cluster_labels(docs, "doc_id", pairs)
+    bucket = md5_long(F.col("component").cast("string"), SPLIT_SALT) % 1000
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "valid").otherwise("test")
+    )
+    return labels.select("id", "component", split.alias("split"))
+
+
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
 
 #: sim_kmeans hyperparameters (shared by the query and its oracle)

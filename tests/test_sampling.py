@@ -143,3 +143,22 @@ def test_pack_sharded_window_partition_count(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "shard" in plan.split("Window")[1].split("\\n")[0] or "shard" in plan
+
+
+def test_leakage_safe_split_invariant(spark):
+    """No near-dup pair straddles a split boundary: both endpoints of
+    every LSH edge inherit the same component-keyed split."""
+    from smalltsdb_spark import queries_ext
+    from smalltsdb_spark.operators import components, dedup
+
+    sf = "/root/testdata/sf0.001"
+    split = queries_ext.ext_split_leakage_safe(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=4, threshold=0.5
+    )
+    by_id = {r.id: r.split for r in split.collect()}
+    edges = pairs.select("id_a", "id_b").collect()
+    assert len(edges) > 0
+    for e in edges:
+        assert by_id[e.id_a] == by_id[e.id_b], (e.id_a, e.id_b)
