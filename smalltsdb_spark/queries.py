@@ -963,6 +963,99 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join",
+    """
+    WITH l AS (SELECT user_id, epoch(ts) AS t_click, value AS v_click
+               FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch(ts) AS t_view
+               FROM events WHERE event_type = 'view')
+    SELECT l.user_id,
+           round(t_click, 6) AS t_click,
+           round(v_click, 6) AS v_click,
+           round(t_view, 6) AS t_view
+    FROM l JOIN r ON l.user_id = r.user_id
+               AND t_view <= t_click AND t_view >= t_click - 86400
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (SURVEY.md §2.8 extension —
+    Structured Streaming's symmetric hash join, not a batch stand-in):
+    clicks join the views that preceded them by <= 1 day per user,
+    driven across TWO micro-batch engine runs split at the time median.
+    Run 2's clicks must pair with run 1's views out of RESTORED join
+    state — a state-store failure loses exactly the cross-run pairs and
+    flips rows_match.  Both sides are watermarked and the range lives
+    on the event-time columns, so state is evictable (the production
+    posture); the delay is set beyond the fixture's span so exactness
+    vs the batch oracle is provable.  Inner-join results stream out
+    immediately (no finality wait — that lifecycle is
+    stream_rollup_finality's)."""
+    ev = read_events(spark, sf_dir)
+    t_min, t_max = ev.agg(F.min("ts_sec"), F.max("ts_sec")).first()
+    t_split = (t_min + t_max) / 2
+
+    base = _scratch_dir("stream_interval_join_")
+    src_l, src_r = f"{base}/clicks", f"{base}/views"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+        F.col("value").alias("v_click"),
+        "ts_sec",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid_r"),
+        F.timestamp_seconds("ts_sec").alias("ts_r"),
+        "ts_sec",
+    )
+
+    def run_once():
+        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+            l = (
+                spark.readStream.schema("user_id long, ts timestamp, v_click double")
+                .parquet(src_l)
+                .withWatermark("ts", "40 days")
+            )
+            r = (
+                spark.readStream.schema("uid_r long, ts_r timestamp")
+                .parquet(src_r)
+                .withWatermark("ts_r", "40 days")
+            )
+            j = l.join(
+                r,
+                F.expr(
+                    "user_id = uid_r AND ts_r BETWEEN ts - INTERVAL 1 DAY AND ts"
+                ),
+            ).select(
+                "user_id",
+                F.round(F.col("ts").cast("double"), 6).alias("t_click"),
+                F.round("v_click", 6).alias("v_click"),
+                F.round(F.col("ts_r").cast("double"), 6).alias("t_view"),
+            )
+            q = (
+                j.writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+    for lo, hi in [(t_min - 1, t_split), (t_split, t_max + 1)]:
+        clicks.filter(
+            (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
+        ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_l)
+        views.filter(
+            (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
+        ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_r)
+        run_once()
+
+    return spark.read.parquet(out)
+
+
+@query(
     "rel_top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, rn FROM (
