@@ -688,3 +688,60 @@ def kmeans_fit(
             nxt[r["cluster"]][r["pos"]] = round(float(r["m"]), decimals)
         C = nxt
     return C, kmeans_assign(corpus, id_col, vec_col, C)
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the 4x storage compression a 100 TB embedding store takes before
+    anything else (scale rides each row; reconstruction is q*scale/127).
+
+    Pure JVM array expressions (transform/array_max/round — no Python,
+    no shuffle): ``scale`` = max|x| per vector, ``qvec[i]`` =
+    round(x[i]*127/scale) in [-127, 127].  Rounding is half-away-from-
+    zero on BOTH engines (Spark BigDecimal HALF_UP == C++ std::round),
+    so the quantized grid is engine-exact.  All-zero vectors keep
+    scale = 0 and an all-zero qvec (no NaN propagation)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantization_error_profile(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 reconstruction-error profile: max absolute error,
+    RMSE, and the count of dims collapsing to zero — the
+    audit a pipeline runs before committing a corpus to a quantized
+    index.  max_abs_err is bounded by scale/254 (half a quantization
+    step) by construction; the profile proves it per vector instead of
+    assuming it.  Same JVM-only shape as :func:`quantize_int8` plus one
+    aggregate over the zipped arrays; still shuffle-free."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    recon = F.when(scale == 0.0, v).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / scale) * scale / 127.0)
+    )
+    err = F.zip_with(v, recon, lambda a, b: F.abs(a - b))
+    nz = F.when(scale == 0.0, F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: F.round(x * 127.0 / scale) == 0.0))
+    )
+    dim = F.size(v).cast("double")
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.sqrt(F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x) / dim),
+            6,
+        ).alias("rmse"),
+        nz.cast("long").alias("n_zero_dims"),
+    )

@@ -2207,6 +2207,44 @@ def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "component", split.alias("split"))
 
 
+@query(
+    "sim_quantize_int8",
+    """
+    WITH x AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings
+    ),
+    s AS (SELECT vec_id, max(abs(v)) AS scale FROM x GROUP BY vec_id),
+    j AS (
+        SELECT x.vec_id, s.scale,
+               CASE WHEN s.scale = 0 THEN 0.0
+                    ELSE v - round(v * 127.0 / s.scale) * s.scale / 127.0
+               END AS e,
+               CASE WHEN s.scale = 0 THEN 0
+                    WHEN round(v * 127.0 / s.scale) = 0 THEN 1 ELSE 0
+               END AS z
+        FROM x JOIN s ON x.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           round(any_value(scale), 6) AS scale,
+           round(max(abs(e)), 6) AS max_abs_err,
+           round(sqrt(avg(e * e)), 6) AS rmse,
+           CAST(sum(z) AS BIGINT) AS n_zero_dims
+    FROM j GROUP BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (similarity.quantize_int8 /
+    quantization_error_profile): per-vector scale, worst and RMS
+    reconstruction error, and zero-collapsed dims — the compression
+    pre-flight for a quantized 100 TB vector store.  The whole thing is
+    JVM array arithmetic on the scan (no Python, no shuffle on the Spark
+    side; the oracle's unnest+group replays it relationally).  Rounding
+    to the int8 grid is half-away-from-zero on both engines, so the
+    quantized values — not just the summary stats — are engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantization_error_profile(emb)
+
+
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
 
 #: sim_kmeans hyperparameters (shared by the query and its oracle)

@@ -204,3 +204,46 @@ def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
     import numpy as np
     assert not np.isnan(C).any()
     assert assigned.count() == 3
+
+
+def test_quantize_int8_round_trip_and_retrieval(spark):
+    """Quantized vectors reconstruct within half a step per dim, and
+    brute-force top-k over DEQUANTIZED vectors matches exact top-k on
+    well-separated fixture data (the retrieval contract int8 must keep)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from smalltsdb_spark.operators.similarity import (
+        cosine_topk,
+        quantize_int8,
+        quantization_error_profile,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prof = quantization_error_profile(emb).collect()
+    for r in prof:
+        # half-step bound: scale/254 (+ slack for the 6-decimal rounding
+        # both columns carry)
+        assert r.max_abs_err <= r.scale / 254 + 1e-6, r
+
+    q = quantize_int8(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.zip_with("qvec", F.array_repeat("scale", 64), lambda a, s: a * s),
+            lambda x: (x / 127.0).cast("float"),
+        ).alias("embedding"),
+    )
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.rank): r.vec_id
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    quant = {
+        (r.qid, r.rank): r.vec_id
+        for r in cosine_topk(deq, queries, k=3).collect()
+    }
+    agree = sum(exact[k] == quant.get(k) for k in exact)
+    assert agree >= 0.8 * len(exact), (agree, len(exact))
