@@ -234,16 +234,14 @@ def test_quantize_int8_round_trip_and_retrieval(spark):
             lambda x: (x / 127.0).cast("float"),
         ).alias("embedding"),
     )
-    queries = emb.limit(5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
+    queries = emb.limit(5)
     exact = {
-        (r.qid, r.rank): r.vec_id
-        for r in cosine_topk(emb, queries, k=3).collect()
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()
     }
     quant = {
-        (r.qid, r.rank): r.vec_id
-        for r in cosine_topk(deq, queries, k=3).collect()
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(deq, queries, "vec_id", "embedding", k=3).collect()
     }
     agree = sum(exact[k] == quant.get(k) for k in exact)
     assert agree >= 0.8 * len(exact), (agree, len(exact))
