@@ -745,3 +745,121 @@ def quantization_error_profile(
         ).alias("rmse"),
         nz.cast("long").alias("n_zero_dims"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    codes: int = 16,
+    seed: int = 42,
+    train_sample: int = 100_000,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    splits into ``m`` contiguous subspaces and each subspace gets its
+    own k-means codebook of ``codes`` centroids — so a d-dim float32
+    vector compresses to ``m`` code bytes (16× smaller than int8 at
+    m=4, d=64), the compression a 100 TB vector store needs before an
+    in-memory ANN index is even feasible.
+
+    Same determinism contract as :func:`ivf_train`: codebooks train on
+    the bounded id-ordered sample (layout-independent), seeded per
+    subspace, so the generated-literal oracle reproduces them
+    bit-for-bit.  Returns an (m, codes, d/m) array.
+    """
+    train_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    X = _as_matrix(r[1] for r in train_rows)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans(np.ascontiguousarray(X[:, s * sub : (s + 1) * sub]), codes, seed + s)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode(vecs: DataFrame, id_col: str, vec_col: str, B: np.ndarray) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-subcentroid codes.
+
+    One Arrow-batched kernel computes all ``m`` sub-assignments per
+    batch (m small GEMMs); like :func:`ivf_assign` the output
+    (neighbor_id, pq_codes) is a persistable index DataFrame — append
+    new batches under FIXED codebooks, the corpus is never re-encoded.
+    """
+    m, _, sub = B.shape
+    bn2 = np.einsum("sjd,sjd->sj", B, B)
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        V = _as_matrix(v)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * sub : (s + 1) * sub]
+            d = (
+                np.einsum("ij,ij->i", Vs, Vs)[:, None]
+                - 2.0 * (Vs @ B[s].T)
+                + bn2[s][None, :]
+            )
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return _spread(vecs, id_col, vec_col).select(
+        F.col("_id").alias("neighbor_id"), enc(F.col("_v")).alias("pq_codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    B: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    query stays full-precision; each corpus vector's inner product is
+    approximated as the sum of ``m`` precomputed lookup-table entries
+    dot(q_sub, codebook[s][code]).
+
+    Relational shape (100 TB-safe): the LUT is queries×m×codes rows —
+    tiny, broadcast; the corpus side explodes its code array (×m), joins
+    the LUT on (subspace, code) and sums — a map-side-combinable groupBy
+    keyed (query_id, neighbor_id).  The corpus's float vectors are never
+    read at query time, only the code columns: that is the entire point
+    of PQ (I/O ∝ m bytes/vector).  Queries are driver-collected under
+    the same queries ≪ corpus retrieval contract as :func:`ivf_probe`.
+    """
+    spark = codes_df.sparkSession
+    m, codes, sub = B.shape
+    q_ids, Q, _ = _collect_vectors(queries, id_col, vec_col)
+    lut_rows = [
+        (int(q_ids[i]), s, j, float(np.dot(Q[i, s * sub : (s + 1) * sub], B[s][j])))
+        for i in range(len(q_ids))
+        for s in range(m)
+        for j in range(codes)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, _s int, _j int, _p double"
+    )
+    exploded = codes_df.select(
+        "neighbor_id", F.posexplode("pq_codes").alias("_s", "_j")
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["_s", "_j"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_p"), 6).alias("adc_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rank")
+    )

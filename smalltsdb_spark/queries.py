@@ -618,6 +618,77 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT event_type AS path,
+           floor(value / 10) * 10 AS value
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup — ``dropDuplicatesWithinWatermark`` —
+    driven across TWO micro-batch runs with run-2 replaying copies of
+    run-1 rows (the at-least-once-source shape the operator exists
+    for).  Complements stream_first_seen: that row pins the CUSTOM
+    stateful operator (per-key first-occurrence with emitted
+    timestamps); this one pins Spark's native dedup state machinery —
+    the idiomatic choice when "seen before?" is all the pipeline asks.
+    The retention delay is set beyond the data's time span, so state
+    never expires mid-test and the emitted rows are exactly the
+    distinct (path, value-bin) keys; a state-restore failure re-emits
+    run-1 keys and flips rows_match.  At scale the SAME query bounds
+    state by shrinking the delay to the real out-of-orderness budget —
+    that tradeoff dial is the point of the watermark variant."""
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+
+    inc = events_as_incoming(spark, sf_dir).select(
+        "path",
+        "timestamp",
+        (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
+    )
+    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+    t_split = (t_min + t_max) / 2
+
+    base = _scratch_dir("stream_dedup_wm_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    def run_once():
+        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+            stream = (
+                spark.readStream.schema(INCOMING_SCHEMA)
+                .parquet(src)
+                .withColumn("ets", F.timestamp_seconds(F.col("timestamp")))
+                .withWatermark("ets", "100000 hours")
+                .dropDuplicatesWithinWatermark(["path", "value"])
+                .select("path", "value")
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    (
+        inc.filter(F.col("timestamp") >= t_split)
+        .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_once()
+
+    return spark.read.parquet(out).select("path", "value")
+
+
 @query("stream_rollup_finality", _oracle_agg(3600))
 def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T4 at the driver level: the APPEND-mode (finality) rollup driven

@@ -636,6 +636,208 @@ def sim_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ORACLE_CACHE: dict[str, str] = {}
+
+#: sim_pq_adc hyperparameters (shared by the query and its oracle)
+PQ_M, PQ_CODES, PQ_K = 4, 16, 5
+
+
+def _pq_oracle() -> str:
+    """Generated-constant oracle for PQ/ADC retrieval: re-trains the
+    per-subspace codebooks with the IDENTICAL ``_kmeans`` calls on the
+    DuckDB-loaded id-ordered sample (bit-identical — the sim_ivf_ann
+    precedent), renders codebooks and the per-query lookup tables as
+    literals, then replays encode (nearest sub-centroid via matrix-form
+    distance, first-index tie-break) and the ADC sum/rank as plain SQL.
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from smalltsdb_spark.operators.similarity import _kmeans
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _PQ_ORACLE_CACHE:
+        return _PQ_ORACLE_CACHE[sf_dir]
+    m, codes, k, seed, train_sample = PQ_M, PQ_CODES, PQ_K, 42, 100_000
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"ORDER BY vec_id LIMIT {train_sample}"
+            ).fetchall()
+        ]
+    )
+    qrows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+
+    dim = X.shape[1]
+    sub = dim // m
+    B = np.stack(
+        [
+            _kmeans(np.ascontiguousarray(X[:, s * sub : (s + 1) * sub]), codes, seed + s)
+            for s in range(m)
+        ]
+    )
+    bn2 = np.einsum("sjd,sjd->sj", B, B)
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    cent_rows = ",\n        ".join(
+        f"({s}, {j}, {vec_lit(B[s][j])}, {repr(float(bn2[s][j]))})"
+        for s in range(m)
+        for j in range(codes)
+    )
+    lut_rows = ", ".join(
+        f"({int(qid)}, {s}, {j}, "
+        f"{repr(float(np.dot(np.asarray(qv)[s * sub:(s + 1) * sub], B[s][j])))})"
+        for qid, qv in qrows
+        for s in range(m)
+        for j in range(codes)
+    )
+    slice_case = " ".join(
+        f"WHEN {s} THEN v[{s * sub + 1}:{(s + 1) * sub}]" for s in range(m)
+    )
+    subs_vals = ", ".join(f"({s})" for s in range(m))
+    sql = f"""
+    WITH cent(s, j, cv, cn2) AS (VALUES
+        {cent_rows}
+    ),
+    x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    sliced AS (
+        SELECT vec_id, ss.s, CASE ss.s {slice_case} END AS vs
+        FROM x CROSS JOIN (VALUES {subs_vals}) AS ss(s)
+    ),
+    d AS (
+        SELECT vec_id, sliced.s, j,
+               list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cv) + cn2
+                   AS dist
+        FROM sliced JOIN cent ON sliced.s = cent.s
+    ),
+    code AS (
+        SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lut(query_id, s, j, p) AS (VALUES {lut_rows}),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               round(sum(CAST(l.p AS DOUBLE)), 6) AS adc_dot
+        FROM code c JOIN lut l ON c.s = l.s AND c.j = l.j
+        WHERE c.vec_id != l.query_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dot DESC, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dot, rank FROM ranked WHERE rank <= {k}
+    """
+    _PQ_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("sim_pq_adc", _pq_oracle)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (similarity.pq_train /
+    pq_encode / pq_adc_topk): the corpus compresses to 4 code bytes per
+    64-dim vector (16 codes × 4 subspaces); queries score it through a
+    broadcast lookup table without ever touching the float vectors —
+    the I/O-side compression that, combined with IVF's candidate
+    pruning, is the FAISS IVF-PQ shape a 100 TB vector store actually
+    deploys.  The code table is persistable/appendable under fixed
+    codebooks, same incremental contract as the IVF index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    B = similarity.pq_train(emb, "vec_id", "embedding", m=PQ_M, codes=PQ_CODES)
+    index = similarity.pq_encode(emb, "vec_id", "embedding", B)
+    return similarity.pq_adc_topk(
+        index, B, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=PQ_K
+    )
+
+
+def _recall_oracle() -> str:
+    """Recall@5 of the IVF index against the exact brute-force top-5:
+    both sides are the ALREADY-GREEN oracles (sim_cosine_topk's literal
+    SQL, sim_ivf_ann's generated-constant SQL) embedded as subqueries —
+    the oracle measures the same two relations the engine joins."""
+    brute = """
+    WITH q AS (SELECT vec_id query_id, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id neighbor_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(cv, qv), 6) AS sim
+        FROM c, q WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+    """
+    return f"""
+    WITH exact AS (SELECT * FROM ({brute})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()}))
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("sim_recall_eval", _recall_oracle)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: per-query recall@5 of the IVF index against
+    the exact brute-force ground truth, computed entirely engine-side
+    (the evaluation loop a pipeline runs after every index rebuild to
+    decide nprobe/n_centroids).  Both relations are the engine's own
+    operators; the join is on (query, neighbor) pairs — ground-truth
+    side is queries×k rows, so the comparison costs nothing next to the
+    searches themselves.  At 100 TB the identical query runs on a
+    SAMPLED query set (ground truth is the expensive side — one brute
+    scan per query), which is exactly how FAISS benchmarks recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5, dim=64)
+    approx = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4, dim=64
+    )
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            (F.count("_hit").cast("double") / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2485,4 +2687,61 @@ def tsdb_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_outliers"),
         )
+    )
+
+
+@query(
+    "ext_interleave",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS r
+        FROM documents
+    )
+    SELECT doc_id, source, r,
+           CAST(row_number() OVER (ORDER BY r, source) AS BIGINT) AS seq
+    FROM r
+    """,
+)
+def ext_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order: every source is hash-shuffled
+    internally (md5 rank — reproducible from the data alone, no RNG
+    state) and the sources are round-robin interleaved, so a sequential
+    reader sees all sources mixed at document granularity instead of
+    source-sized runs — the epoch-order builder for a streaming trainer.
+
+    The oracle defines seq as a GLOBAL row_number over (round, source) —
+    a single-partition sort no 1000-executor job can run.  The engine
+    computes the SAME seq arithmetically: for in-source rank r of source
+    s, seq = Σ_s' min(n_s', r−1) + #{s' < s : n_s' ≥ r} + 1 — a
+    broadcast join against the per-source count relation (#sources
+    rows) and a sum over it, all partition-parallel: one window shuffle
+    per source partition, one map-side-combined count, zero global
+    sorts.  Equality of the two formulations is exactly what the hash
+    check verifies."""
+    docs = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("doc_id", "source").withColumn(
+        "r", F.row_number().over(wr).cast("long")
+    )
+    counts = ranked.groupBy(F.col("source").alias("_s2")).agg(
+        F.max("r").alias("_n")
+    )
+    seq = (
+        F.sum(F.least(F.col("_n"), F.col("r") - 1))
+        + F.sum(
+            ((F.col("_s2") < F.col("source")) & (F.col("_n") >= F.col("r")))
+            .cast("long")
+        )
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .groupBy("doc_id", "source", "r")
+        .agg(seq.cast("long").alias("seq"))
     )

@@ -8,7 +8,7 @@ all computed doubles are rounded to 6 decimals on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.operators.aggregate import aggregate, rate
@@ -229,4 +229,150 @@ def rel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(F.col("p_id") != F.col("event_id"), 1)).alias("n_following")
         )
+    )
+
+
+@query(
+    "tsdb_histogram",
+    """
+    SELECT event_type AS path,
+           floor(epoch(ts) / 60) * 60 AS "timestamp",
+           CAST(least(floor(value / 50), 19) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tsdb_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket value histogram — the heatmap feed a TSDB UI renders
+    when a single percentile line hides the distribution (the reference
+    stores 3 fixed quantiles; a histogram is the generalization).  Bins
+    are fixed-width (50, clamped to 20 bins) so counts are mergeable
+    across buckets/paths — unlike quantiles, histograms re-aggregate
+    losslessly, which is what makes them the scale-friendly shape.
+
+    One map-side-combined groupBy on (path, bucket, bin) — a scan
+    expression, no joins, no window; at 100 TB it is the same single
+    shuffle as the core aggregation with 20× the key cardinality."""
+    inc = events_as_incoming(spark, sf_dir)
+    b = F.floor(F.col("timestamp") / 60).cast("long") * 60
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(19)).cast("long")
+    return (
+        inc.groupBy(
+            "path",
+            b.cast("double").alias("timestamp"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "tsdb_downsample",
+    """
+    WITH pts AS (
+        SELECT event_type AS path, epoch(ts) AS ts_sec, value,
+               floor(epoch(ts) / 3600) * 3600 AS bts
+        FROM events
+    ),
+    stats AS (
+        SELECT path, bts,
+               floor(avg(value) * 1e6 + 0.5) / 1e6 AS bavg,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT p.path, p.bts, p.ts_sec, p.value, s.bavg, s.n,
+               row_number() OVER (
+                   PARTITION BY p.path, p.bts
+                   ORDER BY floor(abs(p.value - s.bavg) * 1e6 + 0.5) / 1e6 DESC,
+                            p.ts_sec, p.value
+               ) AS rn
+        FROM pts p JOIN stats s ON p.path = s.path AND p.bts = s.bts
+    )
+    SELECT path, bts AS "timestamp", round(ts_sec, 6) AS point_ts, value,
+           bavg AS bucket_avg, n
+    FROM dev WHERE rn = 1
+    """,
+)
+def tsdb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphing downsample: one representative RAW point per
+    (path, onehour bucket) — the point deviating most from the bucket
+    mean, so spikes survive the downsample instead of averaging away
+    (the parallel-friendly core of largest-triangle downsampling; true
+    LTTB chains bucket choices sequentially and cannot scale out).
+
+    Shape: both the bucket-mean window and the ranking window partition
+    by (path, bucket), so Catalyst plans ONE exchange and sorts within
+    it — no join, no second shuffle (AQE reuses the partitioning).  The
+    deviation key is pre-rounded on both engines (pure-IEEE
+    ``floor(x*1e6+0.5)/1e6`` — the tsdb_rate precedent) so parallel-sum
+    fp noise in the mean cannot flip the ranking."""
+    round6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    inc = events_as_incoming(spark, sf_dir)
+    pts = inc.select(
+        "path",
+        F.col("timestamp").alias("ts_sec"),
+        "value",
+        (F.floor(F.col("timestamp") / 3600).cast("long") * 3600)
+        .cast("double")
+        .alias("bts"),
+    )
+    wb = Window.partitionBy("path", "bts")
+    pts = pts.withColumn("bavg", round6(F.avg("value").over(wb))).withColumn(
+        "n", F.count("*").over(wb)
+    )
+    wr = Window.partitionBy("path", "bts").orderBy(
+        F.desc(round6(F.abs(F.col("value") - F.col("bavg")))), "ts_sec", "value"
+    )
+    return (
+        pts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "path",
+            F.col("bts").alias("timestamp"),
+            F.round("ts_sec", 6).alias("point_ts"),
+            "value",
+            F.col("bavg").alias("bucket_avg"),
+            "n",
+        )
+    )
+
+
+#: rel_pivot's pivoted columns — explicit so the plan never pays the
+#: distinct-values discovery job and the output schema is deterministic
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "rel_pivot",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+           {", ".join(
+               f"round(coalesce(sum(CASE WHEN event_type = '{t}' "
+               f"THEN value END), 0), 6) AS {t}"
+               for t in PIVOT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide reshape): per user cohort, total value by event
+    type as columns — the report-matrix shape every BI layer asks for.
+    The pivot values are DECLARED (PIVOT_TYPES), not discovered, so
+    Catalyst compiles straight to one groupBy with conditional
+    aggregates — a single map-side-combined shuffle, no extra job, no
+    schema surprises when a new event type appears upstream (it is
+    deliberately excluded until declared).  Empty cells coalesce to 0
+    on both engines."""
+    ev = read_events(spark, sf_dir)
+    p = (
+        ev.groupBy((F.col("user_id") % 10).cast("long").alias("cohort"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return p.select(
+        "cohort",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 6).alias(t) for t in PIVOT_TYPES],
     )

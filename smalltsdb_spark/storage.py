@@ -37,8 +37,14 @@ from smalltsdb_spark.schemas import PARTITION_COLUMN, SECONDS_PER_DAY
 def _has_data(path: str) -> bool:
     if not os.path.isdir(path):
         return False
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+    for root, dirs, files in os.walk(path):
+        # skip in-flight commit dirs (_temporary) and hidden files — a
+        # half-written flush must read as "no data yet", not a race
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
             return True
     return False
 
@@ -51,10 +57,22 @@ def with_pday(df: DataFrame) -> DataFrame:
 
 
 def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """Read a partitioned table, returning an empty DataFrame if absent."""
+    """Read a partitioned table, returning an empty DataFrame if absent.
+
+    The schema is passed EXPLICITLY to the reader: no footer-inference
+    job on every read, and a read that races a concurrent writer (data
+    dir exists, no committed footer yet — the daemon-flush window) sees
+    an empty table instead of UNABLE_TO_INFER_SCHEMA."""
     if not _has_data(path):
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(path).select(*[f.name for f in schema.fields])
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(PARTITION_COLUMN, T.LongType())]
+    )
+    return (
+        spark.read.schema(read_schema)
+        .parquet(path)
+        .select(*[f.name for f in schema.fields])
+    )
 
 
 def _one_file_per_partition(df: DataFrame) -> DataFrame:

@@ -32,7 +32,7 @@ def send_tcp(addr, payloads):
             s.sendall(p)
 
 
-def _wait(predicate, timeout=10.0):
+def _wait(predicate, timeout=30.0):
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         if predicate():

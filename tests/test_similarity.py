@@ -245,3 +245,63 @@ def test_quantize_int8_round_trip_and_retrieval(spark):
     }
     agree = sum(exact[k] == quant.get(k) for k in exact)
     assert agree >= 0.8 * len(exact), (agree, len(exact))
+
+
+def test_pq_encode_codes_shape_and_range(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    B = similarity.pq_train(df, "vec_id", "embedding", m=2, codes=4)
+    assert B.shape == (2, 4, 4)
+    rows = similarity.pq_encode(df, "vec_id", "embedding", B).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert len(r.pq_codes) == 2
+        assert all(0 <= c < 4 for c in r.pq_codes)
+
+
+def test_pq_adc_lossless_when_corpus_is_the_codebook(spark):
+    """With ≤``codes`` distinct prototypes per subspace, k-means++ never
+    re-picks a taken point and Lloyd fixes each centroid at its
+    prototype — encoding is LOSSLESS, so every ADC score must equal the
+    exact inner product (the reconstruction-error term vanishes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    protos = rng.randn(4, 8)  # 4 distinct prototypes, dim 8
+    vecs = [(i, [float(x) for x in protos[i % 4]]) for i in range(24)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    B = similarity.pq_train(df, "vec_id", "embedding", m=2, codes=4)
+    index = similarity.pq_encode(df, "vec_id", "embedding", B)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = similarity.pq_adc_topk(index, B, queries, "vec_id", "embedding", k=3)
+
+    P = np.array([np.asarray(v, dtype=np.float64) for _, v in vecs])
+    f32 = P.astype(np.float32).astype(np.float64)  # what parquet/Spark stores
+    for r in got.collect():
+        true_dot = float(np.dot(f32[r.query_id], f32[r.neighbor_id]))
+        assert r.adc_dot == pytest.approx(true_dot, abs=2e-6)
+
+
+def test_pq_adc_ranks_near_cluster_first(spark):
+    """Clustered corpus: ADC retrieval must rank same-cluster vectors
+    above cross-cluster ones even through 1-byte-per-subspace codes."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[10.0] * 8, [-10.0] * 8])
+    vecs = [
+        (i, [float(x) for x in centers[i % 2] + rng.randn(8) * 0.1])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    B = similarity.pq_train(df, "vec_id", "embedding", m=4, codes=8)
+    index = similarity.pq_encode(df, "vec_id", "embedding", B)
+    got = similarity.pq_adc_topk(
+        index, B, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=5
+    )
+    neighbors = [r.neighbor_id for r in got.collect()]
+    assert len(neighbors) == 5
+    assert all(n % 2 == 0 for n in neighbors), neighbors
