@@ -774,6 +774,195 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_pq_oracle() -> str:
+    """Generated-constant oracle for IVF-PQ: coarse centroids, residual
+    codebooks, the per-(list, subspace, code) centroid·code dot table,
+    and each query's probe/LUT rows are all computed with the IDENTICAL
+    numpy expressions the engine uses and rendered as literals.  The
+    residual code assignment runs in SQL WITHOUT building residual
+    lists: argmin_j ||r − b_j||² drops the per-row r·r constant, so the
+    rank key is −2·(v·b_j − c·b_j) + ||b_j||², all dot products of
+    SLICED vectors against literals (the sim_pq_adc precedent)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from smalltsdb_spark.operators.similarity import _kmeans
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _IVFPQ_ORACLE_CACHE:
+        return _IVFPQ_ORACLE_CACHE[sf_dir]
+    n_centroids, nprobe, m, codes, k, seed, train_sample = (
+        16, 4, PQ_M, PQ_CODES, PQ_K, 42, 100_000,
+    )
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"ORDER BY vec_id LIMIT {train_sample}"
+            ).fetchall()
+        ]
+    )
+    qrows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+
+    C = _kmeans(X, n_centroids, seed)
+    cn2 = np.einsum("ij,ij->i", C, C)
+    # residual codebooks — identical to similarity.pq_train_residual
+    d = np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+    R = X - C[np.argmin(d, axis=1)]
+    dim = R.shape[1]
+    sub = dim // m
+    B = np.stack(
+        [
+            _kmeans(np.ascontiguousarray(R[:, s * sub : (s + 1) * sub]), codes, seed + s)
+            for s in range(m)
+        ]
+    )
+    bn2 = np.einsum("sjd,sjd->sj", B, B)
+
+    Q = np.array([qv for _, qv in qrows])
+    dq = np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + cn2[None, :]
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    cent_rows = ",\n        ".join(
+        f"({j}, {vec_lit(C[j])}, {repr(float(cn2[j]))})" for j in range(n_centroids)
+    )
+    pq_rows = ",\n        ".join(
+        f"({s}, {j}, {vec_lit(B[s][j])}, {repr(float(bn2[s][j]))})"
+        for s in range(m)
+        for j in range(codes)
+    )
+    cb_rows = ", ".join(
+        f"({l}, {s}, {j}, "
+        f"{repr(float(np.dot(C[l, s * sub:(s + 1) * sub], B[s][j])))})"
+        for l in range(n_centroids)
+        for s in range(m)
+        for j in range(codes)
+    )
+    probe_rows = ", ".join(
+        f"({int(qid)}, {int(l)}, {repr(float(np.dot(Q[i], C[l])))})"
+        for i, (qid, _) in enumerate(qrows)
+        for l in np.argsort(dq[i], kind="stable")[:nprobe]
+    )
+    lut_rows = ", ".join(
+        f"({int(qid)}, {s}, {j}, "
+        f"{repr(float(np.dot(np.asarray(qv)[s * sub:(s + 1) * sub], B[s][j])))})"
+        for qid, qv in qrows
+        for s in range(m)
+        for j in range(codes)
+    )
+    slice_case = " ".join(
+        f"WHEN {s} THEN v[{s * sub + 1}:{(s + 1) * sub}]" for s in range(m)
+    )
+    subs_vals = ", ".join(f"({s})" for s in range(m))
+    sql = f"""
+    WITH cent(cj, cv, cn2) AS (VALUES
+        {cent_rows}
+    ),
+    pq(s, jj, bv, bn2) AS (VALUES
+        {pq_rows}
+    ),
+    cb(list, s, jj, cdot) AS (VALUES {cb_rows}),
+    probes(query_id, list, base) AS (VALUES {probe_rows}),
+    lut(query_id, s, jj, p) AS (VALUES {lut_rows}),
+    x AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings),
+    dd AS (
+        SELECT neighbor_id, v, cj,
+               list_dot_product(v, v) - 2.0 * list_dot_product(v, cv) + cn2
+                   AS dist
+        FROM x CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT neighbor_id, v, cj AS list FROM (
+            SELECT neighbor_id, v, cj,
+                   row_number() OVER (PARTITION BY neighbor_id
+                                      ORDER BY dist, cj) AS rn
+            FROM dd
+        ) WHERE rn = 1
+    ),
+    sliced AS (
+        SELECT neighbor_id, list, ss.s, CASE ss.s {slice_case} END AS vs
+        FROM assigned CROSS JOIN (VALUES {subs_vals}) AS ss(s)
+    ),
+    cd AS (
+        SELECT neighbor_id, sliced.list, sliced.s, pq.jj,
+               -2.0 * (list_dot_product(vs, bv) - CAST(cb.cdot AS DOUBLE))
+                   + CAST(pq.bn2 AS DOUBLE) AS d2
+        FROM sliced
+        JOIN pq ON pq.s = sliced.s
+        JOIN cb ON cb.list = sliced.list AND cb.s = sliced.s AND cb.jj = pq.jj
+    ),
+    code AS (
+        SELECT neighbor_id, list, s, jj FROM (
+            SELECT neighbor_id, list, s, jj,
+                   row_number() OVER (PARTITION BY neighbor_id, s
+                                      ORDER BY d2, jj) AS rn
+            FROM cd
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT p.query_id, c2.neighbor_id,
+               round(CAST(p.base AS DOUBLE) + sum(CAST(l.p AS DOUBLE)), 6)
+                   AS adc_dot
+        FROM code c2
+        JOIN probes p ON p.list = c2.list
+        JOIN lut l ON l.query_id = p.query_id AND l.s = c2.s AND l.jj = c2.jj
+        WHERE c2.neighbor_id != p.query_id
+        GROUP BY p.query_id, c2.neighbor_id, p.base
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dot DESC, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dot, rank FROM ranked WHERE rank <= {k}
+    """
+    _IVFPQ_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("sim_ivf_pq", _ivf_pq_oracle)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ retrieval (similarity.pq_train_residual /
+    ivf_pq_encode / ivf_pq_topk): candidates pruned to 4-of-16 inverted
+    lists AND scored from 4-byte residual PQ codes — coarse pruning ×
+    code compression, the composition (FAISS IndexIVFPQ) that serves
+    billion-vector corpora.  The index DataFrame carries only
+    (id, list, codes); the scoring join never touches a float vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=16, seed=42)
+    assigned = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    B = similarity.pq_train_residual(
+        emb, "vec_id", "embedding", C, m=PQ_M, codes=PQ_CODES
+    )
+    index = similarity.ivf_pq_encode(assigned, B, C)
+    return similarity.ivf_pq_topk(
+        index, C, B, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=PQ_K, nprobe=4,
+    )
+
+
 def _recall_oracle() -> str:
     """Recall@5 of the IVF index against the exact brute-force top-5:
     both sides are the ALREADY-GREEN oracles (sim_cosine_topk's literal

@@ -305,3 +305,31 @@ def test_pq_adc_ranks_near_cluster_first(spark):
     neighbors = [r.neighbor_id for r in got.collect()]
     assert len(neighbors) == 5
     assert all(n % 2 == 0 for n in neighbors), neighbors
+
+
+def test_ivf_pq_topk_ranks_near_cluster_first(spark):
+    """IVF-PQ end-to-end on a well-separated corpus: the compact index
+    carries no float column, probing stays inside nprobe lists, and the
+    residual-coded ADC still ranks same-cluster vectors first."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = np.array([[8.0] * 8, [-8.0] * 8, [8.0, -8.0] * 4])
+    vecs = [
+        (i, [float(x) for x in centers[i % 3] + rng.randn(8) * 0.1])
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    C = similarity.ivf_train(df, "vec_id", "embedding", n_centroids=3, seed=1)
+    assigned = similarity.ivf_assign(df, "vec_id", "embedding", C)
+    B = similarity.pq_train_residual(df, "vec_id", "embedding", C, m=2, codes=8)
+    index = similarity.ivf_pq_encode(assigned, B, C)
+    assert set(index.columns) == {"neighbor_id", "_list", "pq_codes"}
+
+    got = similarity.ivf_pq_topk(
+        index, C, B, df.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=5, nprobe=1,
+    )
+    neighbors = [r.neighbor_id for r in got.collect()]
+    assert len(neighbors) == 5
+    assert all(n % 3 == 0 for n in neighbors), neighbors
