@@ -376,3 +376,157 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 6).alias(t) for t in PIVOT_TYPES],
     )
+
+
+@query(
+    "tsdb_seasonal",
+    """
+    WITH agg AS (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 3600) * 3600 AS "timestamp",
+               floor(avg(value) * 1e6 + 0.5) / 1e6 AS bucket_avg,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    season AS (
+        SELECT path,
+               CAST(floor("timestamp" / 3600) AS BIGINT) % 24 AS hod,
+               floor(avg(bucket_avg) * 1e6 + 0.5) / 1e6 AS baseline
+        FROM agg GROUP BY 1, 2
+    )
+    SELECT a.path, a."timestamp", a.bucket_avg, s.baseline,
+           a.bucket_avg - s.baseline AS deviation
+    FROM agg a
+    JOIN season s
+      ON a.path = s.path
+     AND CAST(floor(a."timestamp" / 3600) AS BIGINT) % 24 = s.hod
+    """,
+)
+def tsdb_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline and deviation — the diurnal-cycle
+    anomaly view: each hourly bucket compared against the average of
+    ALL buckets sharing its hour-of-day for that path, so "traffic is
+    low" at 4am is normal and at 2pm is an incident.  Complements
+    tsdb_anomaly_mad (which is season-blind).
+
+    Shape: the hourly rollup (one map-side-combined shuffle), a 24×paths
+    baseline relation aggregated FROM the rollup (second tiny shuffle),
+    and a broadcast join back — the baseline side is bounded by
+    paths×24 regardless of corpus size, so the join never shuffles the
+    rollup again at 100 TB.  Averages are pre-rounded with the
+    pure-IEEE floor(x*1e6+0.5)/1e6 on both engines; the deviation is a
+    subtraction of two identically-rounded doubles, bit-stable."""
+    round6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    inc = events_as_incoming(spark, sf_dir)
+    agg = (
+        inc.groupBy(
+            "path",
+            (F.floor(F.col("timestamp") / 3600).cast("long") * 3600)
+            .cast("double")
+            .alias("timestamp"),
+        )
+        .agg(
+            round6(F.avg("value")).alias("bucket_avg"),
+            F.count("*").alias("n"),
+        )
+    )
+    hod = F.pmod(F.floor(F.col("timestamp") / 3600).cast("long"), F.lit(24))
+    season = agg.groupBy("path", hod.alias("hod")).agg(
+        round6(F.avg("bucket_avg")).alias("baseline")
+    )
+    return (
+        agg.withColumn("hod", hod)
+        .join(F.broadcast(season), ["path", "hod"])
+        .select(
+            "path",
+            "timestamp",
+            "bucket_avg",
+            "baseline",
+            (F.col("bucket_avg") - F.col("baseline")).alias("deviation"),
+        )
+    )
+
+
+@query(
+    "tsdb_burn_rate",
+    """
+    WITH b AS (
+        SELECT floor(epoch(ts) / 60) * 60 AS "timestamp",
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+               count(*) AS n_all
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT "timestamp", n_err, n_all,
+               sum(n_err) OVER w5 AS err_5m, sum(n_all) OVER w5 AS all_5m,
+               sum(n_err) OVER w60 AS err_1h, sum(n_all) OVER w60 AS all_1h
+        FROM b
+        WINDOW w5 AS (ORDER BY "timestamp"
+                      RANGE BETWEEN 240 PRECEDING AND CURRENT ROW),
+               w60 AS (ORDER BY "timestamp"
+                       RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW)
+    )
+    SELECT "timestamp", n_err, n_all, err_5m, all_5m, err_1h, all_1h,
+           CAST(err_5m AS DOUBLE) / CAST(all_5m AS DOUBLE) AS rate_5m,
+           CAST(err_1h AS DOUBLE) / CAST(all_1h AS DOUBLE) AS rate_1h,
+           CASE WHEN err_1h = 0 THEN NULL
+                ELSE (CAST(err_5m AS DOUBLE) / CAST(all_5m AS DOUBLE))
+                     / (CAST(err_1h AS DOUBLE) / CAST(all_1h AS DOUBLE))
+           END AS burn
+    FROM w
+    """,
+)
+def tsdb_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate — the alerting query behind
+    error-budget policies: per minute, the error fraction over the
+    trailing 5-minute and 1-hour windows and their ratio (a burn > 1
+    means the last 5 minutes are consuming budget faster than the
+    hourly trend; page when both windows exceed thresholds).
+
+    Shape: one map-side-combined minute rollup, then RANGE-frame
+    running sums over the single global bucket timeline — at 100 TB
+    the timeline is still only minutes×1 rows (the heavy lifting
+    happened in the rollup shuffle), so the unpartitioned window is a
+    bounded relation, not a corpus sort.  All rates are raw IEEE
+    divisions of identical integers (bit-stable); the 1h/5m windows
+    share one sort."""
+    inc = events_as_incoming(spark, sf_dir)
+    b = (
+        inc.groupBy(
+            (F.floor(F.col("timestamp") / 60).cast("long") * 60)
+            .cast("double")
+            .alias("timestamp")
+        )
+        .agg(
+            F.count(F.when(F.col("path") == "error", 1)).alias("n_err"),
+            F.count("*").alias("n_all"),
+        )
+    )
+    ts = F.col("timestamp").cast("long")
+    w5 = Window.orderBy(ts).rangeBetween(-240, 0)
+    w60 = Window.orderBy(ts).rangeBetween(-3540, 0)
+    w = b.select(
+        "timestamp",
+        "n_err",
+        "n_all",
+        F.sum("n_err").over(w5).alias("err_5m"),
+        F.sum("n_all").over(w5).alias("all_5m"),
+        F.sum("n_err").over(w60).alias("err_1h"),
+        F.sum("n_all").over(w60).alias("all_1h"),
+    )
+    rate5 = F.col("err_5m").cast("double") / F.col("all_5m").cast("double")
+    rate1h = F.col("err_1h").cast("double") / F.col("all_1h").cast("double")
+    return w.select(
+        "timestamp",
+        "n_err",
+        "n_all",
+        "err_5m",
+        "all_5m",
+        "err_1h",
+        "all_1h",
+        rate5.alias("rate_5m"),
+        rate1h.alias("rate_1h"),
+        F.when(F.col("err_1h") == 0, F.lit(None).cast("double"))
+        .otherwise(rate5 / rate1h)
+        .alias("burn"),
+    )
