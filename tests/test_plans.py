@@ -20,6 +20,7 @@ from smalltsdb_spark.plans import (
     scan_columns,
 )
 from smalltsdb_spark import queries_ext  # noqa: F401  (registers extensions)
+from smalltsdb_spark import queries_rel  # noqa: F401  (registers rel/window wave)
 from smalltsdb_spark.queries import QUERIES, events_as_incoming
 from smalltsdb_spark.tsdb import TablesTSDB
 from tests.test_golden import GOLDEN_A_INPUT
@@ -256,3 +257,69 @@ def test_spread_passes_through_wide_input(spark):
     par = spark.sparkContext.defaultParallelism
     wide = spark.range(1000, numPartitions=par)
     assert spread(wide) is wide
+
+
+def test_downsample_single_exchange(spark):
+    """tsdb_downsample: the bucket-avg window and the ranking window
+    share the (path, bucket) partitioning — Catalyst must plan ONE
+    exchange for the raw relation, not one per window."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["tsdb_downsample"](spark, SF_DIR)
+    assert exchange_count(df) == 1, physical_plan(df)
+
+
+def test_interleave_has_no_global_sort(spark):
+    """ext_interleave computes the global sequence arithmetically; a
+    plan with a single-partition global Sort (the oracle's
+    formulation) would serialize the corpus at 100 TB."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["ext_interleave"](spark, SF_DIR)
+    plan = physical_plan(df)
+    import re
+
+    assert not re.search(r"Exchange SinglePartition", plan), plan
+    assert broadcast_join_count(df) >= 1, plan
+
+
+def test_pq_adc_scoring_reads_no_vector_column(spark):
+    """IVF-PQ probe: the scoring join must touch only (id, list, codes)
+    — if the embedding column survives into the candidate join, the
+    index lost its entire I/O advantage."""
+    import numpy as np
+
+    from smalltsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(2)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(32)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    C = similarity.ivf_train(df, "vec_id", "embedding", n_centroids=4, seed=1)
+    assigned = similarity.ivf_assign(df, "vec_id", "embedding", C)
+    B = similarity.pq_train_residual(df, "vec_id", "embedding", C, m=2, codes=4)
+    index = similarity.ivf_pq_encode(assigned, B, C).localCheckpoint()
+    got = similarity.ivf_pq_topk(
+        index, C, B, df.filter(F.col("vec_id") < 2), "vec_id", "embedding", k=3
+    )
+    plan = physical_plan(got)
+    assert "embedding" not in plan, plan
+
+
+def test_histogram_partial_aggregates(spark):
+    """tsdb_histogram must map-side combine (partial + final hash
+    aggregate around one exchange)."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["tsdb_histogram"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert exchange_count(df) == 1, plan
+
+
+def test_seasonal_baseline_is_broadcast(spark):
+    """tsdb_seasonal joins the rollup back to a paths×24 baseline —
+    that side must broadcast, never shuffle the rollup a second time."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["tsdb_seasonal"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
