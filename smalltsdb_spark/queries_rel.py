@@ -530,3 +530,53 @@ def tsdb_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rate5 / rate1h)
         .alias("burn"),
     )
+
+
+@query(
+    "rel_regional_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def rel_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (the TPC-H Q5 shape — local supplier volume):
+    revenue from lineitems where customer and supplier share a nation in
+    one region.  The fact table (lineitem) is joined once; every
+    dimension (supplier, customer→orders bridge aside) is
+    broadcast-small, and the region filter prunes nation BEFORE the
+    fact join, so Catalyst's join reordering + AQE keeps exactly the
+    fact-side shuffles (orders⋈customer, lineitem⋈orders) and
+    broadcasts the rest — the plan a 100 TB star schema needs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
