@@ -94,8 +94,16 @@ def main() -> None:
         """Reset session state between timed queries so each number is
         attributable to the query's plan, not to what ran before it:
         stop any streaming query a previous entry left active, drop
-        cached relations, and release any persistent RDD blocks (e.g. a
-        leaked localCheckpoint) from the block manager."""
+        cached relations, release any persistent RDD blocks (e.g. a
+        leaked localCheckpoint) from the block manager, and re-warm the
+        Python worker pool.  The re-warm matters: PythonWorkerFactory
+        reaps idle pooled workers after a HARDCODED 1-minute timeout
+        (IDLE_WORKER_TIMEOUT_NS, not configurable), so the first
+        Arrow-batched query after a stretch of JVM-only queries would
+        otherwise pay a ~4-8 s 32-worker respawn (pandas/pyarrow
+        imports) that belongs to worker lifecycle, not to its plan —
+        measured as phantom 3-10x regressions on whichever sim_/mm_
+        query followed the rel_/text_ families alphabetically."""
         for q in spark.streams.active:
             try:
                 q.stop()
@@ -104,6 +112,9 @@ def main() -> None:
         spark.catalog.clearCache()
         for e in spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray():
             e.getValue().unpersist(False)
+        spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+            _warm_py, "id long"
+        ).write.mode("overwrite").format("noop").save()
 
     # best-of-2 with isolation before every run: run-to-run swings from
     # JIT warmup / GC pauses / session state were the round-2 bench's

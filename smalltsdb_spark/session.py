@@ -48,13 +48,17 @@ def get_spark(
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # JIT code cache: the JVM default (240m) fills up after a few dozen
-        # distinct whole-stage-codegen queries in one session (the bench
-        # runs 59), after which HotSpot disables compilation and previously
-        # sub-second plans run interpreted 10x slower.  Harmless when
-        # already-running JVMs ignore it.
+        # distinct whole-stage-codegen queries in one session, after which
+        # HotSpot disables compilation and previously sub-second plans run
+        # interpreted 10x slower.  512m carried ~60 queries (round 3);
+        # ~100 queries per session need 1g.  The cache is reserved virtual
+        # address space, not committed RAM — oversizing is free.  Also
+        # enable flushing of cold compiled methods so a long session
+        # degrades by recompilation, never by compilation shutoff.
+        # Harmless when already-running JVMs ignore it.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -146,3 +146,34 @@ def test_mad_robust_to_outliers(spark):
         .collect()[0]
     )
     assert out.n_outliers == 1
+
+
+def test_interleave_is_round_robin_permutation(spark):
+    """ext_interleave's arithmetic seq must be (a) a permutation of
+    1..N, (b) order-preserving within each source, and (c) round-robin:
+    a doc's round r may only be preceded by docs of round < r or
+    same-round docs of lexicographically earlier sources — checked here
+    on skewed source sizes (3/1/2), independent of the oracle-equality
+    driver row."""
+    from smalltsdb_spark.queries_ext import ext_interleave
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "C"), (6, "C")],
+        "doc_id long, source string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = ext_interleave(spark, d).collect()
+
+    assert sorted(r.seq for r in rows) == list(range(1, 7))
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.r, r.seq))
+    for source, pairs in by_source.items():
+        pairs.sort()
+        seqs = [s for _, s in pairs]
+        assert seqs == sorted(seqs), (source, pairs)
+    # global order sorted by seq must be sorted by (round, source)
+    ordering = [(r.r, r.source) for r in sorted(rows, key=lambda r: r.seq)]
+    assert ordering == sorted(ordering), ordering
