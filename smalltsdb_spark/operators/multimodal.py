@@ -105,6 +105,12 @@ def decode_wav(data: bytes) -> dict:
         "bits": int(bits),
         "duration_s": round(n_frames / rate, 6) if rate else 0.0,
         "rms": round(rms, 6),
+        # raw interleaved samples (float64, 8-bit already centered) for
+        # downstream kernels (energy_hash) — underscore keys are
+        # internal, never surfaced by decode_media_stats (the _pixels
+        # convention)
+        "_samples": arr,
+        "_wav_channels": int(n_ch),
     }
 
 
@@ -582,15 +588,27 @@ def image_near_dup_pairs(
     if signature_path is not None:
         sig.write.mode("overwrite").parquet(signature_path)
         sig = media.sparkSession.read.parquet(signature_path)
+    return _banded_hamming_pairs(sig, "ahash", max_hamming, bucket_cap)
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame, hash_col: str, max_hamming: int, bucket_cap: int
+) -> DataFrame:
+    """Shared 64-bit-hash near-dup machinery: band into 4 sixteen-bit
+    chunks, pair within equal chunks (capped in-row explosion with the
+    distributed self-join fallback), verify by exact xor/bit_count
+    Hamming — all JVM codegen.  ``sig`` is (media_id, <hash_col>)."""
+    from smalltsdb_spark.operators.dedup import _bucket_pairs
+
     chunks = sig.select(
         "media_id",
-        "ahash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("ahash"), 16 * q)
+                        F.shiftrightunsigned(F.col(hash_col), 16 * q)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("chunk"),
                     )
@@ -598,17 +616,167 @@ def image_near_dup_pairs(
                 ]
             )
         ).alias("qc"),
-    ).select("media_id", "ahash", "qc.q", "qc.chunk")
-    rows = chunks.select("q", "chunk", F.struct("media_id", "ahash").alias("v"))
+    ).select("media_id", hash_col, "qc.q", "qc.chunk")
+    rows = chunks.select("q", "chunk", F.struct("media_id", hash_col).alias("v"))
     pr = _bucket_pairs(rows, ["q", "chunk"], "media_id", bucket_cap)
     return (
         pr.select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
-            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
             .cast("long")
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+#: audio fingerprint geometry: the envelope splits into 64 frames → one
+#: threshold bit each, so the image banding/Hamming machinery applies
+#: unchanged (same 4x16-bit chunks)
+AUDIO_HASH_FRAMES = 64
+#: synthesized fixture length: 256 samples = 4 per frame, exact split
+SYNTH_WAV_SAMPLES = 256
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 mono payload for a document id — a
+    REAL, spec-valid container (44-byte canonical header + 256 LE int16
+    samples) whose sample values follow a closed form both engines can
+    compute::
+
+        base  = doc_id - doc_id % 4
+        slope = 23 + (base * 7) % 97        -- per-group waveform frequency
+        s(k)  = ((base*37 + k*slope + (1000 if k == (doc_id % 4) * 13 else 0))
+                 % 4001) - 2000
+
+    Documents sharing ``base`` (groups of 4 consecutive ids) are
+    near-duplicate recordings — identical except one boosted sample per
+    member (within-group Hamming 0-1; distinct slopes put unrelated
+    groups ≥ ~30 bits apart, with honest envelope collisions between
+    same-slope groups ~390 ids apart) — so the envelope-hash pipeline
+    has true positives, and the oracle SQL re-derives every sample,
+    frame energy, threshold bit, and packed hash without touching the
+    binary.  All frame energies are multiples of 0.25 with magnitude
+    < 2^11, so every intermediate mean is exactly representable and the
+    threshold comparison is bit-identical in any IEEE-754 engine
+    regardless of summation order."""
+    import struct
+
+    base = doc_id - doc_id % 4
+    hot = (doc_id % 4) * 13
+    slope = 23 + (base * 7) % 97
+    samples = [
+        ((base * 37 + k * slope + (1000 if k == hot else 0)) % 4001) - 2000
+        for k in range(SYNTH_WAV_SAMPLES)
+    ]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows whose payloads are the deterministic
+    WAVs of :func:`synth_wav_payload` — the audio twin of
+    :func:`synth_bmp_media` for the oracle-checked REAL-decode rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["audio"] * len(ids),
+                    "data": [synth_wav_payload(i) for i in ids],
+                }
+            )
+
+    body = docs.select("doc_id").mapInPandas(
+        run, T.StructType(MEDIA_SCHEMA.fields[:3])
+    )
+    return body.withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(SYNTH_WAV_SAMPLES / 8000.0).cast("double").alias("duration_s"),
+        ),
+    )
+
+
+def energy_hash(samples, n_channels: int = 1, frames: int = AUDIO_HASH_FRAMES) -> int:
+    """Energy-envelope fingerprint of a decoded PCM sample array: mix to
+    mono (channel mean), split into ``frames`` equal-as-possible frames
+    (np.array_split — deterministic for any length), mean-|amplitude|
+    per frame, threshold at the envelope's own mean — the audio analog
+    of :func:`average_hash` (loudness contour instead of brightness
+    grid), robust to uniform gain exactly like aHash is to brightness.
+    Returns a signed int64, bit i = frame i."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if n_channels > 1:
+        arr = arr[: len(arr) - len(arr) % n_channels]
+        arr = arr.reshape(-1, n_channels).mean(axis=1)
+    if arr.size == 0:
+        return 0
+    env = np.array([f.mean() for f in np.array_split(np.abs(arr), frames) if f.size])
+    while env.size < frames:
+        env = np.append(env, env[-1])
+    bits = (env > env.mean()).astype(np.uint8)
+    h = 0
+    for i, b in enumerate(bits):
+        h |= int(b) << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def ahash_audio(media: DataFrame) -> DataFrame:
+    """(media_id, decoded, ahash) over every decodable audio payload —
+    the envelope fingerprint over REALLY decoded PCM (RIFF/WAVE;
+    compressed codecs come back decoded=false, null hash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_ok, out_hash = [], [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                try:
+                    d = decode_media(bytes(data), kind)
+                    s = d.get("_samples")
+                    h = (
+                        energy_hash(s, d.get("_wav_channels", 1))
+                        if s is not None
+                        else None
+                    )
+                except (NotImplementedError, ValueError, KeyError, IndexError):
+                    h = None
+                out_id.append(mid)
+                out_ok.append(h is not None)
+                out_hash.append(h)
+            yield pd.DataFrame(
+                {"media_id": out_id, "decoded": out_ok, "ahash": out_hash}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(run, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 10, bucket_cap: int = 512
+) -> DataFrame:
+    """Near-duplicate audio pairs by envelope fingerprint: the image
+    near-dup machinery pointed at sound — band the 64-frame energy hash
+    into 4 chunks, pair within equal chunks, verify by exact Hamming.
+    Decode+hash is the only Python stage; everything after is JVM."""
+    sig = ahash_audio(media).filter(F.col("decoded")).select("media_id", "ahash")
+    return _banded_hamming_pairs(sig, "ahash", max_hamming, bucket_cap)

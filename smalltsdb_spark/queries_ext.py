@@ -1567,6 +1567,109 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_dup_pairs(media, max_hamming=10)
 
 
+#: shared oracle CTE re-deriving the synth_wav_payload samples, per-frame
+#: mean-|amplitude| envelope, and threshold bits entirely in SQL (integer
+#: sample closed form + exact means of values quantized to 0.25 — see
+#: synth_wav_payload's exactness note).  16x16 VALUES grid = sample index,
+#: same version-proof idiom as the image CTE.
+_AUDIO_BITS_CTE = """
+    g16a AS (SELECT a.i AS i FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                                          (8),(9),(10),(11),(12),(13),(14),(15)) a(i)),
+    gridk2 AS (
+        SELECT a.i * 16 + b.i AS k
+        FROM g16a a CROSS JOIN g16a b
+    ),
+    smp AS (
+        SELECT doc_id, k,
+               abs((((doc_id - doc_id % 4) * 37
+                     + k * (23 + ((doc_id - doc_id % 4) * 7) % 97)
+                     + CASE WHEN k = (doc_id % 4) * 13 THEN 1000 ELSE 0 END)
+                    % 4001) - 2000) AS v
+        FROM documents CROSS JOIN gridk2
+        WHERE doc_id % 3 = 1
+    ),
+    env AS (
+        SELECT doc_id, CAST((k - k % 4) / 4 AS BIGINT) AS f,
+               avg(CAST(v AS DOUBLE)) AS e
+        FROM smp GROUP BY 1, 2
+    ),
+    abits AS (
+        SELECT env.doc_id, f, CASE WHEN e > m.me THEN 1 ELSE 0 END AS b
+        FROM env JOIN (SELECT doc_id, avg(e) AS me FROM env GROUP BY doc_id) m
+          USING (doc_id)
+    )
+"""
+
+
+@query(
+    "mm_audio_ahash",
+    f"""
+    WITH {_AUDIO_BITS_CTE}
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN b = 1 THEN
+                 CASE WHEN f = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (CAST(1 AS BIGINT) << f) END
+               ELSE 0 END) AS BIGINT) AS ahash
+    FROM abits GROUP BY doc_id
+    """,
+)
+def mm_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio envelope fingerprint over REALLY decoded PCM, value-checked
+    end to end: deterministic RIFF/WAVE PCM16 containers are synthesized
+    per audio document, decoded by the dependency-free WAV decoder
+    (header chunk walk, int16 LE samples), and hashed by
+    multimodal.energy_hash (64-frame mean-|amplitude| envelope,
+    thresholded at its own mean — the loudness-contour analog of image
+    aHash) — while the oracle re-derives every sample value, frame
+    energy, threshold bit, and the signed-int64 packing in pure SQL.
+    A green row certifies the audio codec path, not just arithmetic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.ahash_audio(media).select("media_id", "ahash")
+
+
+@query(
+    "mm_audio_near_dups",
+    f"""
+    WITH {_AUDIO_BITS_CTE},
+    achunks AS (
+        SELECT doc_id,
+               CASE WHEN f < 16 THEN 0 WHEN f < 32 THEN 1
+                    WHEN f < 48 THEN 2 ELSE 3 END AS q,
+               CAST(sum(CAST(b AS BIGINT) << (f % 16)) AS BIGINT) AS chunk
+        FROM abits GROUP BY 1, 2
+    ),
+    acand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM achunks a JOIN achunks b
+          ON a.q = b.q AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    aham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM acand c
+        JOIN abits x ON x.doc_id = c.id_a
+        JOIN abits y ON y.doc_id = c.id_b AND y.f = x.f
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM aham WHERE hamming <= 2
+    """,
+)
+def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs over the synthesized WAV corpus:
+    envelope hash → 4x16-bit chunk banding → bucket pairing → exact
+    Hamming verify (multimodal.audio_near_dup_pairs — the image
+    machinery pointed at sound, sharing _banded_hamming_pairs).  The
+    oracle models candidate banding too.  Groups of 4 consecutive
+    audio doc_ids are true near-dups (one boosted sample each,
+    within-group Hamming 0-1 → threshold 2); same-slope envelope
+    collisions between distant groups supply honest hard cases."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.audio_near_dup_pairs(media, max_hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data pipeline)
 # ---------------------------------------------------------------------------

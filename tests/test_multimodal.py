@@ -370,3 +370,72 @@ def test_image_near_dup_pairs_materialized_equal(spark, tmp_path):
         ).collect()
     )
     assert lazy == mat and len(lazy) > 0
+
+
+def test_energy_hash_properties():
+    """Gain invariance (threshold scales with the signal), stereo mono
+    mix, and sensitivity to envelope shape."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    quiet = rng.randn(256) * 10.0
+    loud_burst = quiet.copy()
+    loud_burst[32:64] += 500.0  # one loud region → different contour
+
+    h1 = multimodal.energy_hash(quiet)
+    assert multimodal.energy_hash(quiet * 2.0) == h1  # gain-invariant
+    assert multimodal.energy_hash(loud_burst) != h1
+
+    stereo = np.empty(512)
+    stereo[0::2] = quiet
+    stereo[1::2] = quiet
+    assert multimodal.energy_hash(stereo, n_channels=2) == h1
+
+
+def test_synth_wav_round_trip():
+    """The synthesized WAV is a spec-valid container the REAL decoder
+    parses back to the closed-form samples."""
+    import numpy as np
+
+    payload = multimodal.synth_wav_payload(7)
+    d = multimodal.decode_wav(payload)
+    assert d["sample_rate"] == 8000 and d["bits"] == 16 and d["n_channels"] == 1
+    base, hot, slope = 4, 3 * 13, 23 + (4 * 7) % 97
+    expect = [
+        ((base * 37 + k * slope + (1000 if k == hot else 0)) % 4001) - 2000
+        for k in range(multimodal.SYNTH_WAV_SAMPLES)
+    ]
+    assert np.array_equal(d["_samples"], np.array(expect, dtype=np.float64))
+
+
+def test_audio_near_dup_pairs(spark):
+    """Groups of 4 consecutive ids are near-dups (Hamming <= 2); an
+    undecodable payload is excluded, not fatal."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    media = multimodal.synth_wav_media(docs)
+    broken = spark.createDataFrame(
+        [(99, "audio", bytearray(b"not a wav"))],
+        "media_id long, kind string, data binary",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ),
+    )
+    pairs = multimodal.audio_near_dup_pairs(
+        media.unionByName(broken), max_hamming=2
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    import itertools
+
+    for g in (range(0, 4), range(4, 8)):
+        for a, b in itertools.combinations(g, 2):
+            assert (a, b) in got, (a, b, got)
+    assert not any(99 in p for p in got)
+    # the two groups have different slopes → no cross-group pair
+    assert not any(a < 4 <= b for a, b in got)
