@@ -458,8 +458,10 @@ def tsdb_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT "timestamp", n_err, n_all,
-               sum(n_err) OVER w5 AS err_5m, sum(n_all) OVER w5 AS all_5m,
-               sum(n_err) OVER w60 AS err_1h, sum(n_all) OVER w60 AS all_1h
+               CAST(sum(n_err) OVER w5 AS BIGINT) AS err_5m,
+               CAST(sum(n_all) OVER w5 AS BIGINT) AS all_5m,
+               CAST(sum(n_err) OVER w60 AS BIGINT) AS err_1h,
+               CAST(sum(n_all) OVER w60 AS BIGINT) AS all_1h
         FROM b
         WINDOW w5 AS (ORDER BY "timestamp"
                       RANGE BETWEEN 240 PRECEDING AND CURRENT ROW),
@@ -489,7 +491,10 @@ def tsdb_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     happened in the rollup shuffle), so the unpartitioned window is a
     bounded relation, not a corpus sort.  All rates are raw IEEE
     divisions of identical integers (bit-stable); the 1h/5m windows
-    share one sort."""
+    share one sort.  The windowed sums are CAST to BIGINT in the oracle
+    — DuckDB's integer sum() yields HUGEINT, which the driver's pandas
+    fetch coerces to float64 ("123.0" ≠ Spark's "123"; the r3/r4
+    hash-miss cause)."""
     inc = events_as_incoming(spark, sf_dir)
     b = (
         inc.groupBy(
