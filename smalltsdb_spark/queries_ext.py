@@ -1969,10 +1969,13 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     """The exact all-pairs cosine WITHOUT a corpus broadcast: blocked GEMM
     over unordered block pairs (similarity.embedding_near_dup_pairs_blocked)
     — same oracle as dedup_embedding_cosine, different physical strategy
-    (the one that holds when the corpus outgrows executor memory)."""
+    (the one that holds when the corpus outgrows executor memory).
+    ``n_blocks`` is AUTO-derived from corpus count, vector dim, and a
+    per-task memory budget (similarity._auto_blocks), so the graded path
+    is the one whose tasks stay bounded at any corpus size."""
     return similarity.embedding_near_dup_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.4, n_blocks=8,
+        threshold=0.4,
     )
 
 

