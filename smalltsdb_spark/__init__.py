@@ -31,3 +31,5 @@ __all__ = [
     "TablesTSDB",
     "TwoDatabasesTSDB",
 ]
+
+__version__ = "0.5.0"
