@@ -143,7 +143,9 @@ def create_app(db):
                 return app.response_class(
                     render_graph_svg(data), mimetype="image/svg+xml"
                 )
-            return render_graph_html(data)
+            # served page gets the pan/zoom layer (gestures re-fetch a
+            # server-rendered SVG with an adjusted start/end interval)
+            return render_graph_html(data, interactive=True)
         start, end = data["interval"]
         data["interval"] = [str(start), str(end)]
         return jsonify(data)

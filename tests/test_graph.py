@@ -85,6 +85,27 @@ def test_placeholder_single_point_renders():
 def test_html_wrapper_embeds_svg():
     html = render_graph_html(_data(2))
     assert html.startswith("<!doctype html>") and "<svg" in html
+    # the static variant is a pure document — no script, safe to embed
+    assert "<script>" not in html
+
+
+def test_interactive_html_has_panzoom_layer():
+    """interactive=True embeds the pan/zoom script with the interval
+    epochs baked in; gestures re-fetch ?format=svg with adjusted
+    start/end (server-side re-render, the Bokeh-page interactivity model
+    without the dependency)."""
+    data = _data(2)
+    html = render_graph_html(data, interactive=True)
+    assert "<script>" in html
+    assert "format', 'svg'" in html or "'format', 'svg'" in html
+    assert "addEventListener('wheel'" in html
+    assert "addEventListener('pointerdown'" in html
+    assert "dblclick" in html
+    # interval endpoints are baked in as the reset state
+    from smalltsdb_spark.graph import _epoch
+
+    s, e = (_epoch(v) for v in data["interval"])
+    assert f"{s:f}" in html and f"{e:f}" in html
 
 
 def test_flask_graph_svg_endpoint(spark, tsdb_dir):
