@@ -339,6 +339,72 @@ def ivf_assign(vecs: DataFrame, id_col: str, vec_col: str, C: np.ndarray) -> Dat
     )
 
 
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+    train_sample: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster-pruned embedding near-dups.
+
+    The published recipe for semantic deduplication at corpus scale
+    (Abbas et al. 2023, "SemDeDup"): k-means the embedding space, then
+    look for near-duplicate pairs only WITHIN each cluster — semantically
+    identical documents land in the same cluster, so the quadratic pair
+    search shrinks from corpus² to Σ cluster_size².  Returns
+    ``(cluster, id_a, id_b, sim)`` for every within-cluster pair with
+    cosine ≥ threshold; feed to :func:`components.keep_best` (or keep
+    the per-cluster min id) to pick representatives.
+
+    Shape: centroids train on a bounded id-ordered sample
+    (:func:`ivf_train`, the FAISS practice); assignment is one
+    Arrow-batched GEMM per partition (:func:`ivf_assign`); the pair
+    stage shuffles the corpus ONCE keyed by cluster and runs one
+    within-cluster GEMM per task.  Recall is bounded by clustering
+    quality (pairs split across clusters are missed — the documented
+    SemDeDup approximation); per-task memory is cluster_size²·8 bytes,
+    so size ``n_clusters`` to the corpus (the skew fallback for a
+    mega-cluster is :func:`embedding_near_dup_pairs_blocked` run on
+    that cluster alone).
+
+    Deterministic: fixed seed, id-ordered training sample, argmin
+    tie-to-lowest-index assignment, scores rounded to 6 before the
+    threshold — reproduced bit-for-bit by the generated-constant SQL
+    oracle (queries_ext._semantic_dedup_oracle).
+    """
+    C = ivf_train(
+        corpus, id_col, vec_col, n_centroids=n_clusters, seed=seed,
+        train_sample=train_sample,
+    )
+    assigned = ivf_assign(corpus, id_col, vec_col, C)
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        V = _as_matrix(pdf["_v"])
+        n = pdf["_n"].to_numpy(dtype=np.float64)
+        S = np.round((V @ V.T) / np.outer(n, n), 6)
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (S >= threshold))
+        return pd.DataFrame(
+            {
+                "cluster": pdf["_list"].iloc[:1].repeat(len(ia)).to_numpy(
+                    dtype=np.int32
+                )
+                if len(ia)
+                else np.array([], dtype=np.int32),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "sim": S[ia, ib],
+            }
+        )
+
+    return assigned.groupBy("_list").applyInPandas(
+        score_cluster, "cluster int, id_a long, id_b long, sim double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -148,6 +148,82 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: whitespace-token fixture: line-based rules need newlines the fixture
+#: lacks, so the kept subset is the token/char/repetition family)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.2
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.4
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based document filter: per-rule booleans + the
+    conjunction, the pre-model curation gate every large text pipeline
+    runs before any learned quality scorer.
+
+    Rules (document FAILS the gate if any is false): word count in
+    [50, 100k]; mean word length in [3, 10]; ≥80% of tokens contain an
+    alphabetic character; ≥2 distinct English stopwords (the
+    "natural language, not a table dump" signal); most frequent token
+    ≤20% of the document; duplicate-bigram fraction ≤0.4.
+
+    One shuffle-free projection of pure array/regex expressions —
+    whole-stage codegen end to end, same per-row cost model as
+    :func:`repetition_stats` (bounded by document length, not corpus
+    size).  Every ratio is rounded to 6 BEFORE its threshold comparison
+    so the pass/fail boundary is bit-identical across engines.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    avg_len = F.round(
+        (F.length(F.col(text_col)) - (n - 1)).cast("double") / n, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / n, 6
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(t, sw))
+    top_frac = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda tok: F.size(F.filter(t, lambda x: x == tok)),
+            )
+        ).cast("double")
+        / n,
+        6,
+    )
+    bg = word_ngrams(t, 2)
+    nb = F.size(bg)
+    dup_bg = F.when(
+        nb > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bg)) / nb.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+    r_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_word_len = (avg_len >= GOPHER_MIN_WORD_LEN) & (avg_len <= GOPHER_MAX_WORD_LEN)
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    r_top = top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC
+    r_dup_bg = dup_bg <= GOPHER_MAX_DUP_BIGRAM_FRAC
+    return spread(df).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        r_words.alias("r_word_count"),
+        r_word_len.alias("r_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopword"),
+        r_top.alias("r_top_token"),
+        r_dup_bg.alias("r_dup_bigram"),
+        (r_words & r_word_len & r_alpha & r_stop & r_top & r_dup_bg).alias(
+            "passes"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint.
 

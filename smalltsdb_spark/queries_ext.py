@@ -640,6 +640,106 @@ def sim_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_ORACLE_CACHE: dict[str, str] = {}
+
+#: dedup_semantic hyperparameters (shared by the query and its oracle)
+SEMANTIC_CLUSTERS, SEMANTIC_THRESHOLD = 16, 0.4
+
+
+def _semantic_dedup_oracle() -> str:
+    """Generated-constant oracle for SemDeDup: identical ``_kmeans``
+    centroids (id-ordered sample — the sim_ivf_ann precedent) rendered
+    as literals; nearest-centroid assignment with the same
+    ``ORDER BY dist, j`` tie-break; then a plain within-cluster
+    self-join with ``list_cosine_similarity`` rounded to 6."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from smalltsdb_spark.operators.similarity import _kmeans
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _SEMANTIC_ORACLE_CACHE:
+        return _SEMANTIC_ORACLE_CACHE[sf_dir]
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"ORDER BY vec_id LIMIT 100000"
+            ).fetchall()
+        ]
+    )
+    con.close()
+    C = _kmeans(X, SEMANTIC_CLUSTERS, 42)
+    c_norm2 = np.einsum("ij,ij->i", C, C)
+
+    def vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    cent_rows = ",\n        ".join(
+        f"({j}, {vec_lit(C[j])}, {repr(float(c_norm2[j]))})"
+        for j in range(len(C))
+    )
+    sql = f"""
+    WITH cent(j, cv, cn2) AS (VALUES
+        {cent_rows}
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    d AS (
+        SELECT vec_id, v, j,
+               list_dot_product(v, v) - 2.0 * list_dot_product(v, cv) + cn2
+                   AS dist
+        FROM c CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, v, j FROM (
+            SELECT vec_id, v, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, j) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT CAST(a.j AS INTEGER) AS cluster,
+               a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM assigned a
+        JOIN assigned b ON a.j = b.j AND a.vec_id < b.vec_id
+    )
+    SELECT cluster, id_a, id_b, sim FROM pairs
+    WHERE sim >= {SEMANTIC_THRESHOLD}
+    """
+    _SEMANTIC_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("dedup_semantic", _semantic_dedup_oracle)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    only WITHIN embedding k-means clusters — the published recipe for
+    semantic dedup at corpus scale, where exact all-pairs is quadratic
+    and banded lexical methods (minhash/simhash) miss paraphrases.  One
+    corpus shuffle keyed by cluster; per-task work is cluster_size²
+    (size n_clusters to the corpus; a skewed mega-cluster falls back to
+    the blocked scorer).  Recall is bounded by clustering quality —
+    pairs split across clusters are missed, the documented SemDeDup
+    approximation (at this fixture's 16 clusters the split pairs are
+    the oracle's own misses too, so the row is exact)."""
+    return similarity.semantic_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_clusters=SEMANTIC_CLUSTERS, threshold=SEMANTIC_THRESHOLD, seed=42,
+    )
+
+
 _PQ_ORACLE_CACHE: dict[str, str] = {}
 
 #: sim_pq_adc hyperparameters (shared by the query and its oracle)
@@ -1121,6 +1221,77 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition fractions) — pure array expressions, one projection, no
     shuffle (operators/textstats.repetition_stats)."""
     return textstats.repetition_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _gopher_oracle() -> str:
+    from smalltsdb_spark.operators.textstats import (
+        GOPHER_MAX_DUP_BIGRAM_FRAC,
+        GOPHER_MAX_TOP_TOKEN_FRAC,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents),
+    m AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               round((length(text) - (len(w) - 1))::DOUBLE / len(w), 6)
+                   AS avg_len,
+               round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                     / len(w), 6) AS alpha_frac,
+               len(list_filter(list_distinct(w), x -> x IN ({stop_list})))
+                   AS stop_hits,
+               round(list_max(list_transform(list_distinct(w),
+                         tok -> len(list_filter(w, x -> x = tok))))::DOUBLE
+                     / len(w), 6) AS top_frac,
+               CASE WHEN len(w) > 1
+                    THEN round(1.0 - len(list_distinct(list_transform(
+                             range(1, len(w)), i -> w[i] || ' ' || w[i+1]
+                         )))::DOUBLE / (len(w) - 1), 6)
+                    ELSE 0.0 END AS dup_bg
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}
+               AS r_word_count,
+           avg_len >= {GOPHER_MIN_WORD_LEN} AND avg_len <= {GOPHER_MAX_WORD_LEN}
+               AS r_word_len,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopword,
+           top_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC} AS r_top_token,
+           dup_bg <= {GOPHER_MAX_DUP_BIGRAM_FRAC} AS r_dup_bigram,
+           (n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS})
+               AND (avg_len >= {GOPHER_MIN_WORD_LEN}
+                    AND avg_len <= {GOPHER_MAX_WORD_LEN})
+               AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+               AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+               AND top_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+               AND dup_bg <= {GOPHER_MAX_DUP_BIGRAM_FRAC} AS passes
+    FROM m
+    """
+
+
+@query("text_gopher_rules", _gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based curation gate (Rae et al. 2021 §A1.1, the
+    token/char/repetition subset — line-based rules need newlines the
+    fixture lacks): per-document per-rule booleans plus the conjunction,
+    the pre-model filter a pipeline runs before any learned quality
+    scorer.  Complements ext_quality_filter (adaptive score quantiles)
+    with fixed published thresholds; one shuffle-free projection
+    (operators/textstats.gopher_rules), every ratio rounded to 6 before
+    its threshold so the pass/fail boundary is bit-identical across
+    engines."""
+    return textstats.gopher_rules(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
 

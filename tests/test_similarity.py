@@ -363,3 +363,19 @@ def test_ivf_pq_topk_ranks_near_cluster_first(spark):
     neighbors = [r.neighbor_id for r in got.collect()]
     assert len(neighbors) == 5
     assert all(n % 3 == 0 for n in neighbors), neighbors
+
+
+def test_semantic_near_dup_pairs_finds_within_cluster_dups(emb):
+    """SemDeDup composition: near-identical vectors land in the same
+    k-means cluster and surface as within-cluster pairs; orthogonal
+    vectors never pair."""
+    got = {
+        (r.id_a, r.id_b): (r.cluster, r.sim)
+        for r in similarity.semantic_near_dup_pairs(
+            emb, "vec_id", "embedding", n_clusters=2, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and (3, 4) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # pair members share the cluster by construction; scores are cosine
+    assert all(0.9 <= sim <= 1.0 for _, sim in got.values())

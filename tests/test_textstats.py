@@ -105,3 +105,27 @@ def test_pii_scan(spark):
     assert (got[5].n_email, got[5].n_phone, got[5].n_ipv4) == (1, 1, 1)
     assert got[5].redacted == "mixed <EMAIL> plus <PHONE> at <IPV4>"
     assert all(got[i].has_pii for i in (1, 2, 3, 5))
+
+
+def test_gopher_rules_crafted(spark):
+    """Each rule flips on the document built to violate it; a healthy
+    document passes the whole gate."""
+    # 84 tokens, 3 distinct stopwords, mostly-unique bigrams, no token >20%
+    filler = " ".join(f"the cat{i} sat of mat{i} and tree{i}" for i in range(12))
+    rows = [
+        (1, filler),                                   # healthy: passes
+        (2, "the of short text"),                      # too few words
+        (3, " ".join(["spam"] * 60)),                  # top token dominates
+        (4, " ".join(["0123456789"] * 30 + ["the", "of"] + [f"w{i}" for i in range(30)])),  # digits: alpha frac low
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.gopher_rules(df, "doc_id", "text").collect()}
+    assert got[1].passes, got[1]
+    assert not got[2].r_word_count and not got[2].passes
+    assert not got[3].r_top_token and not got[3].passes
+    assert not got[4].r_alpha and not got[4].passes
+    # rule columns are complete and the conjunction is consistent
+    for r in got.values():
+        rules = [r.r_word_count, r.r_word_len, r.r_alpha, r.r_stopword,
+                 r.r_top_token, r.r_dup_bigram]
+        assert r.passes == all(rules)
