@@ -379,3 +379,21 @@ def test_semantic_near_dup_pairs_finds_within_cluster_dups(emb):
     assert (1, 3) not in got and (2, 3) not in got
     # pair members share the cluster by construction; scores are cosine
     assert all(0.9 <= sim <= 1.0 for _, sim in got.values())
+
+
+def test_semantic_near_dup_single_cluster_shuffle_no_broadcast(spark):
+    """SemDeDup's pair stage shuffles the corpus ONCE keyed by cluster
+    (spread + assignment + the groupBy exchange) and never broadcasts
+    corpus-sized data — the property that makes it the scale path vs
+    all-pairs."""
+    from smalltsdb_spark.plans import exchange_count, physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.semantic_near_dup_pairs(
+        emb, "vec_id", "embedding", n_clusters=4, threshold=0.4
+    )
+    # spread repartition + cluster groupBy exchange; nothing else
+    assert exchange_count(df) <= 2
+    plan = physical_plan(df)
+    assert "BroadcastExchange" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-cluster GEMM stage

@@ -129,3 +129,15 @@ def test_gopher_rules_crafted(spark):
         rules = [r.r_word_count, r.r_word_len, r.r_alpha, r.r_stopword,
                  r.r_top_token, r.r_dup_bigram]
         assert r.passes == all(rules)
+
+
+def test_gopher_rules_no_shuffle_no_python(spark):
+    """The rule gate is one codegen projection: no exchange beyond the
+    input spread, no Python eval node."""
+    from smalltsdb_spark.plans import exchange_count, physical_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = textstats.gopher_rules(docs, "doc_id", "text")
+    assert exchange_count(df) <= 1  # the spread repartition only
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
