@@ -152,6 +152,14 @@ def run_sim_suite(emb, queries, n_vecs: int) -> dict[str, float]:
         noop(similarity.embedding_near_dup_pairs_blocked(
             emb, "vec_id", "embedding", threshold=0.9, n_blocks=n_blocks))
 
+    def semantic():
+        # one cluster-keyed shuffle + within-cluster GEMMs; cluster count
+        # scales with the corpus so per-task pair grids stay bounded
+        # (same budget reasoning as n_blocks above)
+        noop(similarity.semantic_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            n_clusters=max(16, -(-n_vecs // 2500)), threshold=0.9))
+
     def ivf_pq():
         # full build + probe each run: training is driver-side on the
         # bounded id-ordered sample, encode is one corpus pass, probe
@@ -168,7 +176,8 @@ def run_sim_suite(emb, queries, n_vecs: int) -> dict[str, float]:
 
     out = {}
     for name, fn in [("lsh_topk", lsh), ("ivf_topk", ivf),
-                     ("neardup_blocked", neardup), ("ivf_pq", ivf_pq)]:
+                     ("neardup_blocked", neardup), ("semantic_dedup", semantic),
+                     ("ivf_pq", ivf_pq)]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -197,7 +206,7 @@ def main_sim(replicas: int):
     ratios = {
         k.replace("_sec", ""): round(rN[k] / r1[k], 2)
         for k in ("lsh_topk_sec", "ivf_topk_sec", "neardup_blocked_sec",
-                  "ivf_pq_sec")
+                  "semantic_dedup_sec", "ivf_pq_sec")
     }
     print(json.dumps({"sf0.1": r1, f"{replicas}x": rN,
                       f"time_ratio_at_{replicas}x_data": ratios}))

@@ -2650,7 +2650,8 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: documents-table columns profiled by ext_profile; numeric columns report
-#: min/max in min_num/max_num (BIGINT), string columns in min_str/max_str —
+#: min/max in min_num/max_num (DOUBLE — see _profile_oracle on why not a
+#: nullable BIGINT), string columns in min_str/max_str —
 #: native types end to end, never a cross-engine numeric→string render
 #: (VERDICT r4 "What's wrong" #2).
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -2659,15 +2660,21 @@ _PROFILE_NUMERIC = {"doc_id", "n_chars"}
 
 def _profile_oracle() -> str:
     parts = []
+    # min_num/max_num are DOUBLE, not BIGINT: the column is NULL for the
+    # string rows, and a nullable int64 has no pandas representation — a
+    # pandas/Arrow fetch (the driver's hash path) coerces it to float64,
+    # rendering "0.0" against a collected Spark "0".  DOUBLE end to end
+    # is identical through every fetch path (small ints are exact);
+    # caught by the parity test's pandas-render guard.
     for c in _PROFILE_COLS:
         if c in _PROFILE_NUMERIC:
-            minmax = f"""CAST(min({c}) AS BIGINT) AS min_num,
-               CAST(max({c}) AS BIGINT) AS max_num,
+            minmax = f"""CAST(min({c}) AS DOUBLE) AS min_num,
+               CAST(max({c}) AS DOUBLE) AS max_num,
                CAST(NULL AS VARCHAR) AS min_str,
                CAST(NULL AS VARCHAR) AS max_str"""
         else:
-            minmax = f"""CAST(NULL AS BIGINT) AS min_num,
-               CAST(NULL AS BIGINT) AS max_num,
+            minmax = f"""CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
                min({c}) AS min_str,
                max({c}) AS max_str"""
         parts.append(
@@ -2695,7 +2702,8 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     via Expand, one shuffle), then the 1-row × N-column result is
     reshaped to rows by exploding an in-row struct array.  Nothing
     corpus-sized moves; min/max stay in NATIVE types end to end
-    (BIGINT for numeric columns, string for string columns — two typed
+    (DOUBLE for numeric columns — nullable ints have no pandas
+    representation — string for string columns — two typed
     column pairs, NULL where not applicable), so no cross-engine
     numeric→string rendering is ever on the compare path."""
     docs = _t(spark, sf_dir, "documents")
@@ -2708,7 +2716,7 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col(c)).alias(f"{c}__max"),
         ]
     row = docs.agg(*aggs)
-    null_num = F.lit(None).cast("long")
+    null_num = F.lit(None).cast("double")
     null_str = F.lit(None).cast("string")
     structs = F.array(
         *[
@@ -2717,12 +2725,12 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"{c}__nulls").alias("n_nulls"),
                 F.col(f"{c}__distinct").alias("n_distinct"),
                 (
-                    F.col(f"{c}__min").cast("long")
+                    F.col(f"{c}__min").cast("double")
                     if c in _PROFILE_NUMERIC
                     else null_num
                 ).alias("min_num"),
                 (
-                    F.col(f"{c}__max").cast("long")
+                    F.col(f"{c}__max").cast("double")
                     if c in _PROFILE_NUMERIC
                     else null_num
                 ).alias("max_num"),

@@ -80,6 +80,37 @@ def test_query_matches_oracle(name, spark, ddb):
     mismatches = [(a, b) for a, b in zip(left, right) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
+    # Driver-fetch-path emulation: the driver hashes via a pandas/Arrow
+    # fetch, where DuckDB types without an int64 representation (HUGEINT
+    # from integer sum(), DECIMAL) coerce to float64/object and render
+    # "123.0" where Spark renders "123" — equal VALUES, different hash
+    # (the r3/r4 six-query miss; tests/test_oracle_types.py pins the
+    # type-level guard, this pins the rendered-value level).  fetchall()
+    # (above) yields Python ints and cannot see the difference, so
+    # compare str-rendered cells of DuckDB's .df() against the collected
+    # Spark rows too.
+    pdf = ddb.execute(oracle).df()
+    order = sorted(range(len(ddb_cols)), key=lambda i: ddb_cols[i])
+    spark_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+
+    def render(v):
+        # str(), not a %g format: "123.0" vs "123" is precisely the
+        # difference this guard exists to catch (a %.6g would normalize
+        # both to "123" and hide the coercion)
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "~null"
+        return str(v)
+
+    ddb_rendered = sorted(
+        tuple(render(row[i]) for i in order)
+        for row in pdf.where(pdf.notna(), None).itertuples(index=False, name=None)
+    )
+    spark_rendered = sorted(
+        tuple(render(r[i]) for i in spark_order) for r in spark_rows
+    )
+    diffs = [(a, b) for a, b in zip(spark_rendered, ddb_rendered) if a != b]
+    assert not diffs, f"{name}: pandas-render mismatches {diffs[:5]}"
+
 
 def test_registry_complete():
     """Every query has an oracle and none silently fall out of the
