@@ -827,6 +827,87 @@ def tsdb_sync_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tsdb_two_databases", _oracle_agg(3600))
+def tsdb_two_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 as a value-checked row: the split-location backend
+    (TwoDatabasesTSDB — incoming under ``<path>.incoming``, aggregates
+    under ``<path>``, the reference's writer/reader isolation surface,
+    tsdb.py:423-454) ingests the full events stream and syncs once at a
+    far-future clock; its onehour table must equal the plain aggregation
+    oracle, proving the separate-incoming wiring feeds the same sync
+    pipeline (parquet readers are snapshot-isolated, so the split is
+    API parity — which is exactly what this row checks)."""
+    from smalltsdb_spark.schemas import SECONDS_PER_DAY
+    from smalltsdb_spark.tsdb import TwoDatabasesTSDB
+
+    inc = events_as_incoming(spark, sf_dir)
+    t_max = inc.agg(F.max("timestamp")).first()[0]
+    base = _scratch_dir("tsdb_twodb_")
+    db = TwoDatabasesTSDB(
+        spark,
+        f"{base}/agg",
+        periods=[("onehour", 3600)],
+        now=lambda: t_max + 60 + 2 * SECONDS_PER_DAY,
+    )
+    db.insert(inc)
+    db.sync()
+    return _round_stats(
+        db.period_table("onehour").select(
+            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+        ),
+        _STATS,
+    )
+
+
+#: the deterministic self-metric name set one sync() with the default
+#: 6 periods emits (reference tsdb.py:310-337 naming): one ``all`` +
+#: one ``upsert_query`` timing per period, plus the outer sync and the
+#: incoming-retention delete
+_SELF_METRIC_PATHS = (
+    ["smalltsdb.sync.all.time", "smalltsdb.sync.delete_incoming_query.time"]
+    + [
+        f"smalltsdb.sync.{name}.{phase}.time"
+        for name in (
+            "onesecond", "tensecond", "oneminute",
+            "fiveminute", "onehour", "oneday",
+        )
+        for phase in ("all", "upsert_query")
+    ]
+)
+
+
+@query(
+    "tsdb_self_metrics_emit",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{p}', 1)" for p in sorted(_SELF_METRIC_PATHS + ["probe.data"]))
+    + ") AS t(path, n)",
+)
+def tsdb_self_metrics_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 as a value-checked row: ``sync(emit_metrics=True)`` re-ingests
+    its own phase timings as ordinary datapoints under the reference's
+    dotted names (tsdb.py:310-337 — ``<prefix>.sync.<period>.<phase>.
+    <clock>``).  The timing VALUES are wall-clock (non-deterministic),
+    but the NAME SET and per-name row counts are exact: 6 periods × 2
+    phases + the outer sync + the retention delete + the probe data
+    row.  The oracle is that literal name/count relation — so the row
+    fails if the self-metrics loop drops a phase, renames a metric, or
+    double-emits."""
+    from smalltsdb_spark.timer import Timer
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    base = _scratch_dir("tsdb_selfmetrics_")
+    db = TablesTSDB(
+        spark,
+        base,
+        now=lambda: 100.0,
+        emit_metrics=True,
+        timer=Timer(prefix="smalltsdb"),
+    )
+    db.insert([("probe.data", 1.0, 1.0)])
+    db.sync()
+    return db.incoming().groupBy("path").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth beyond the reference (SURVEY.md §2 "ABSENT" rows the
 # Spark engine provides natively): multi-way joins, semi/anti joins,
