@@ -908,6 +908,91 @@ def tsdb_self_metrics_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.incoming().groupBy("path").agg(F.count("*").alias("n"))
 
 
+#: deterministic wire payloads for the daemon driver row: graphite lines
+#: split across UDP datagrams and TCP streams, same-bucket duplicates to
+#: exercise aggregation, and one malformed line whose whole datagram the
+#: parser must drop (daemon.py contract).  (path, timestamp, value)
+#: triples below mirror exactly the well-formed lines.
+_DAEMON_UDP = [
+    b"web.req 3.5 12\nweb.req 1.5 15",  # graphite wire: path VALUE TIMESTAMP
+    b"web.err 1.0 13",
+    b"bad line here too wide extra",  # malformed: datagram dropped whole
+    b"web.req 4.0 27",
+]
+_DAEMON_TCP = [
+    b"web.req 2.0 14\nweb.err 2.5 21\n",
+    b"db.lat 7.25 12\n",
+]
+_DAEMON_POINTS = [
+    ("web.req", 12.0, 3.5),
+    ("web.req", 15.0, 1.5),
+    ("web.err", 13.0, 1.0),
+    ("web.req", 27.0, 4.0),
+    ("web.req", 14.0, 2.0),
+    ("web.err", 21.0, 2.5),
+    ("db.lat", 12.0, 7.25),
+]
+
+
+def _daemon_oracle() -> str:
+    # ::DOUBLE on every numeric literal: bare 7.25 is DECIMAL in DuckDB,
+    # and DECIMAL aggregates reach pandas as objects rendering "7.25" vs
+    # the driver-hash-unstable class test_oracle_types pins
+    rows = ", ".join(
+        f"('{p}', {t!r}::DOUBLE, {v!r}::DOUBLE)" for p, t, v in _DAEMON_POINTS
+    )
+    return f"""
+    WITH inc(path, ts, value) AS (VALUES {rows})
+    SELECT path,
+           floor(ts / 10) * 10 AS "timestamp",
+           round(CAST(count(value) AS DOUBLE), 6) AS n,
+           round(min(value), 6) AS "min",
+           round(max(value), 6) AS "max",
+           round(avg(value), 6) AS "avg",
+           round(sum(value), 6) AS "sum",
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM inc GROUP BY 1, 2
+    """
+
+
+@query("tsdb_daemon_ingest", _daemon_oracle())
+def tsdb_daemon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/S4/S5 as one value-checked row: REAL loopback sockets end to
+    end — the UDP datagram listener and the TCP stream listener (both on
+    one OS-assigned port), the graphite line parser (including the
+    malformed-datagram drop contract), and the micro-batch spool sink
+    with graceful-drain-on-stop — then the spooled lines are parsed and
+    aggregated, and the tensecond rollup must equal the pure-SQL
+    aggregation of the well-formed lines that were sent.
+
+    Deterministic despite the sockets: payloads are fixed, loopback UDP
+    is lossless, stop() drains the queue exactly once, and the malformed
+    datagram's drop is part of the expected relation.  The previously
+    golden-only daemon surface (VERDICT r4 correctness legend) thus gets
+    a driver CORRECTNESS row; tests/test_daemon.py keeps the
+    finer-grained golden pins."""
+    import socket
+    import time as _time
+
+    from smalltsdb_spark.sources.daemon import Daemon, SpoolSink
+    from smalltsdb_spark.sources.graphite import parse_lines_df
+
+    spool = _scratch_dir("tsdb_daemon_spool_") + "/spool"
+    daemon = Daemon(SpoolSink(spool), interval=60.0)  # flush only on stop
+    with daemon:
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            for p in _DAEMON_UDP:
+                s.sendto(p, daemon.address)
+        for p in _DAEMON_TCP:
+            with socket.create_connection(daemon.address) as s:
+                s.sendall(p)
+        _time.sleep(0.5)  # let handler threads enqueue before the drain
+    inc = parse_lines_df(spark.read.text(spool))
+    return _round_stats(aggregate(inc, 10), _STATS)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth beyond the reference (SURVEY.md §2 "ABSENT" rows the
 # Spark engine provides natively): multi-way joins, semi/anti joins,
