@@ -585,3 +585,125 @@ def rel_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "rel_small_qty_revenue",
+    """
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#21'
+    ),
+    pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+           FROM li GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+           count(*) AS n_small
+    FROM li JOIN pa USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (the TPC-H Q17 shape): yearly revenue
+    lost if orders below 20% of a part's average order quantity were no
+    longer filled — the classic CORRELATED SCALAR SUBQUERY, expressed as
+    its decorrelated form: one brand-pruned fact slice, a per-part avg
+    over that slice, and a join-back with the threshold filter.
+
+    Determinism note: l_quantity is integer-valued, so the per-part avg
+    is an exact integer sum over a double divide — bit-identical across
+    engines and summation orders; the 0.2·avg row-membership boundary
+    therefore cannot flip (unlike a general double aggregate, where
+    membership predicates need the floor(x*1e6+0.5)/1e6 quantization).
+
+    Scale shape: the brand filter prunes part BEFORE touching the fact
+    table (broadcast dim), the avg relation is #parts-of-brand rows
+    (broadcast back — AQE picks it), so lineitem is scanned once and
+    shuffled at most once on l_partkey."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#21")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "rel_promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END), 4) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def rel_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (the TPC-H Q14 shape): the percentage of
+    discounted revenue coming from PROMO-type parts — conditional
+    aggregation over a fact⋈dim join, both sums in ONE pass (a CASE
+    inside the aggregate, not two scans).  part is broadcast; lineitem
+    is scanned once with no shuffle beyond the final 1-row aggregate.
+    The share divides two same-pass sums, so the ratio is stable to the
+    last displayed decimal (round 6) even though each double sum's bit
+    pattern depends on partition order."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 6).alias(
+                "promo_share"
+            ),
+            F.round(F.sum(promo), 4).alias("promo_revenue"),
+            F.round(F.sum(disc), 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "rel_priority_returns",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one returned lineitem, counted per priority
+    (the TPC-H Q4 shape adapted to this schema's columns): the EXISTS
+    pattern as a LEFT SEMI join — each order contributes once no matter
+    how many returned items it has, which a plain inner join + distinct
+    would reconstruct only with an extra dedup shuffle.  The semi join
+    shuffles both sides on the order key once; the filter on the fact
+    side (l_returnflag = 'R') is pushed into the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
