@@ -323,3 +323,26 @@ def test_seasonal_baseline_is_broadcast(spark):
 
     df = QUERIES["tsdb_seasonal"](spark, SF_DIR)
     assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_small_qty_revenue_broadcasts_dims(spark):
+    """rel_small_qty_revenue (the Q17 shape): the brand-pruned part dim
+    and the per-part avg relation must both broadcast — lineitem is
+    scanned and shuffled at most once, never joined shuffle-to-shuffle
+    against a #parts-sized side."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["rel_small_qty_revenue"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_priority_returns_semi_join_pushes_filter(spark):
+    """rel_priority_returns: the returnflag filter reaches the lineitem
+    parquet scan (PushedFilters), and the EXISTS runs as a semi join —
+    no distinct/dedup exchange after an inner join."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["rel_priority_returns"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("l_returnflag" in f for f in pushed_filters(df)), pushed_filters(df)
