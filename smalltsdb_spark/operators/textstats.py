@@ -159,23 +159,12 @@ GOPHER_MAX_TOP_TOKEN_FRAC = 0.2
 GOPHER_MAX_DUP_BIGRAM_FRAC = 0.4
 
 
-def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Gopher-style rule-based document filter: per-rule booleans + the
-    conjunction, the pre-model curation gate every large text pipeline
-    runs before any learned quality scorer.
-
-    Rules (document FAILS the gate if any is false): word count in
-    [50, 100k]; mean word length in [3, 10]; ≥80% of tokens contain an
-    alphabetic character; ≥2 distinct English stopwords (the
-    "natural language, not a table dump" signal); most frequent token
-    ≤20% of the document; duplicate-bigram fraction ≤0.4.
-
-    One shuffle-free projection of pure array/regex expressions —
-    whole-stage codegen end to end, same per-row cost model as
-    :func:`repetition_stats` (bounded by document length, not corpus
-    size).  Every ratio is rounded to 6 BEFORE its threshold comparison
-    so the pass/fail boundary is bit-identical across engines.
-    """
+def gopher_rule_columns(text_col: str) -> dict[str, Column]:
+    """The per-rule boolean expressions as named Columns (the
+    :func:`quality_columns` pattern) — pure projections, so they graft
+    onto ANY frame, including a Structured Streaming feed where the
+    batch wrapper's ``spread()`` (an ``.rdd`` partition probe) cannot
+    run."""
     t = tokens(text_col)
     n = F.size(t)
     avg_len = F.round(
@@ -209,18 +198,38 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
     r_top = top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC
     r_dup_bg = dup_bg <= GOPHER_MAX_DUP_BIGRAM_FRAC
+    return {
+        "n_tokens": n,
+        "r_word_count": r_words,
+        "r_word_len": r_word_len,
+        "r_alpha": r_alpha,
+        "r_stopword": r_stop,
+        "r_top_token": r_top,
+        "r_dup_bigram": r_dup_bg,
+        "passes": r_words & r_word_len & r_alpha & r_stop & r_top & r_dup_bg,
+    }
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based document filter: per-rule booleans + the
+    conjunction, the pre-model curation gate every large text pipeline
+    runs before any learned quality scorer.
+
+    Rules (document FAILS the gate if any is false): word count in
+    [50, 100k]; mean word length in [3, 10]; ≥80% of tokens contain an
+    alphabetic character; ≥2 distinct English stopwords (the
+    "natural language, not a table dump" signal); most frequent token
+    ≤20% of the document; duplicate-bigram fraction ≤0.4.
+
+    One shuffle-free projection of pure array/regex expressions —
+    whole-stage codegen end to end, same per-row cost model as
+    :func:`repetition_stats` (bounded by document length, not corpus
+    size).  Every ratio is rounded to 6 BEFORE its threshold comparison
+    so the pass/fail boundary is bit-identical across engines.
+    """
+    cols = gopher_rule_columns(text_col)
     return spread(df).select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        r_words.alias("r_word_count"),
-        r_word_len.alias("r_word_len"),
-        r_alpha.alias("r_alpha"),
-        r_stop.alias("r_stopword"),
-        r_top.alias("r_top_token"),
-        r_dup_bg.alias("r_dup_bigram"),
-        (r_words & r_word_len & r_alpha & r_stop & r_top & r_dup_bg).alias(
-            "passes"
-        ),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 

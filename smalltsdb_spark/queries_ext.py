@@ -1280,6 +1280,43 @@ def _gopher_oracle() -> str:
     """
 
 
+@query("stream_gopher_gate", _gopher_oracle())
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate as a CONTINUOUS quality monitor: the same
+    per-rule boolean projection (operators/textstats.gopher_rule_columns
+    — pure expressions, so they graft onto a streaming feed) applied in
+    a Structured Streaming micro-batch over a staged document feed and
+    drained with availableNow into a parquet sink.  Stateless map-only
+    streaming: no watermark, no state store — each micro-batch gates its
+    documents and appends, which is exactly how an ingestion pipeline
+    rejects junk BEFORE it reaches the corpus.  The sink must equal the
+    batch gate's relation, so the SQL oracle is the identical rule SQL
+    (value-level correctness for the streaming projection path, the
+    stream_topk_tokens pattern)."""
+    from smalltsdb_spark.operators.textstats import gopher_rule_columns
+    from smalltsdb_spark.queries import _scratch_dir
+
+    base = _scratch_dir("stream_gopher_")
+    staging, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    docs = _t(spark, sf_dir, "documents")
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    feed = spark.readStream.schema(docs.schema).parquet(staging)
+    cols = gopher_rule_columns("text")
+    gated = feed.select(
+        F.col("doc_id"), *[c.alias(name) for name, c in cols.items()]
+    )
+    q = (
+        gated.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 @query("text_gopher_rules", _gopher_oracle())
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based curation gate (Rae et al. 2021 §A1.1, the
