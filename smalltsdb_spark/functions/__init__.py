@@ -77,26 +77,33 @@ def tokens(col: Column | str) -> Column:
 def word_ngrams(tok: Column, n: int) -> Column:
     """Array of space-joined word n-grams from a token array.
 
-    ``n=1`` is the token array itself; for ``n>1`` builds
-    ``tokens[i] .. tokens[i+n-1]`` for each valid start (1-based
-    ``element_at`` so the same expression renders in DuckDB with
-    ``list_transform(range(...))``).  Documents shorter than ``n`` tokens
-    yield an empty array.
+    ``n=1`` is the token array itself; for ``n>1`` zips ``n`` shifted
+    slices of the token array and joins each zipped struct with spaces.
+    Documents shorter than ``n`` tokens yield an empty array.  (DuckDB
+    oracles render the same values with ``list_transform(range(...))``.)
+
+    Shape matters here: the earlier formulation — ``transform(sequence(
+    1, size-n+1), i -> concat_ws(element_at(tok, i), ...))`` — captures
+    ``tok`` inside the lambda, and interpreted higher-order-function
+    evaluation re-computes the captured subtree (typically
+    ``split(text, ' ')``) once PER ELEMENT: O(len²) per document, a
+    multi-minute straggler on a single 100 k-word document.  The slice
+    form evaluates ``tok`` ``n`` times per row total; the lambda touches
+    only its own variable.
     """
     if n == 1:
         return tok
-    # guard: for docs shorter than n tokens, sequence(1, size-(n-1)) would
-    # step DOWNWARD (Spark sequence uses step -1 when start > stop), yielding
-    # [1, 0] and an element_at(tok, 0) crash — return an empty gram array
-    idx = F.when(
-        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(n)]
-        ),
+    sz = F.size(tok)
+    # all n slices share the same length; guard docs shorter than n tokens
+    # (slice() throws on negative length) with an empty-array branch
+    length = sz - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(tok, i + 1, length).alias(f"g{i}") for i in range(n)]
     )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)])
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:

@@ -800,17 +800,22 @@ def quantize_int8(
     round(x[i]*127/scale) in [-127, 127].  Rounding is half-away-from-
     zero on BOTH engines (Spark BigDecimal HALF_UP == C++ std::round),
     so the quantized grid is engine-exact.  All-zero vectors keep
-    scale = 0 and an all-zero qvec (no NaN propagation)."""
+    scale = 0 and an all-zero qvec (no NaN propagation).
+
+    ``scale`` is staged as a column in a first projection so the
+    per-element lambda references a bound attribute (O(1) per element)
+    rather than capturing the ``array_max`` subtree — interpreted
+    higher-order functions re-evaluate captured subtrees per element,
+    turning the one-pass quantization O(dim²) per row (CollapseProject
+    keeps the stage: multi-referenced non-cheap aliases don't inline)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    s = F.col("scale")
+    q = F.when(s == 0.0, F.transform(F.col("_v"), lambda x: F.lit(0))).otherwise(
+        F.transform(F.col("_v"), lambda x: F.round(x * 127.0 / s).cast("int"))
     )
-    return emb.select(
-        F.col(id_col),
-        scale.alias("scale"),
-        q.alias("qvec"),
-    )
+    return staged.select(F.col(id_col), s, q.alias("qvec"))
 
 
 def quantization_error_profile(
@@ -822,23 +827,31 @@ def quantization_error_profile(
     index.  max_abs_err is bounded by scale/254 (half a quantization
     step) by construction; the profile proves it per vector instead of
     assuming it.  Same JVM-only shape as :func:`quantize_int8` plus one
-    aggregate over the zipped arrays; still shuffle-free."""
+    aggregate over the zipped arrays; still shuffle-free (and, as there,
+    ``scale``/``_v`` are staged columns so no lambda captures an O(dim)
+    subtree — the naive form is O(dim²) per row interpreted)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    recon = F.when(scale == 0.0, v).otherwise(
-        F.transform(v, lambda x: F.round(x * 127.0 / scale) * scale / 127.0)
+    staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    s, vv = F.col("_scale"), F.col("_v")
+    recon = F.when(s == 0.0, vv).otherwise(
+        F.transform(vv, lambda x: F.round(x * 127.0 / s) * s / 127.0)
     )
-    err = F.zip_with(v, recon, lambda a, b: F.abs(a - b))
-    nz = F.when(scale == 0.0, F.lit(0)).otherwise(
-        F.size(F.filter(v, lambda x: F.round(x * 127.0 / scale) == 0.0))
+    err = F.zip_with(vv, recon, lambda a, b: F.abs(a - b))
+    staged2 = staged.select(F.col(id_col), s, vv, err.alias("_err"))
+    e = F.col("_err")
+    nz = F.when(F.col("_scale") == 0.0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(vv, lambda x: F.round(x * 127.0 / F.col("_scale")) == 0.0)
+        )
     )
-    dim = F.size(v).cast("double")
-    return emb.select(
+    dim = F.size(vv).cast("double")
+    return staged2.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
-        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.round(F.array_max(e), 6).alias("max_abs_err"),
         F.round(
-            F.sqrt(F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x) / dim),
+            F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x) / dim),
             6,
         ).alias("rmse"),
         nz.cast("long").alias("n_zero_dims"),

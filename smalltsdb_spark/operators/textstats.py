@@ -106,6 +106,35 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _top_token_count(t: Column) -> Column:
+    """Occurrences of the most frequent token — O(n log n) per row.
+
+    ``array_sort`` the token array, then a single left fold takes the
+    maximum run length (equal tokens are adjacent after the sort).  The
+    naive form — ``array_max(transform(array_distinct(t), tok ->
+    size(filter(t, x == tok))))`` — is O(distinct × len) per document,
+    which at the Gopher gate's own 100 k-word admission bound is ~10^10
+    comparisons inside ONE task: a straggler on exactly the long-document
+    corpora the gate exists to filter.  The fold's initial ``prev`` is
+    NULL (eqNullSafe false vs any token, including the empty string), so
+    no sentinel value can collide with real data.
+    """
+    st = F.array_sort(t)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(st, acc0, step, lambda acc: acc["best"])
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document repetition metrics (Gopher-style quality rules):
     boilerplate and degenerate generation show up as token/n-gram
@@ -119,22 +148,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       loops that token-level stats miss.
 
     All pure array expressions in ONE projection — no explode, no
-    shuffle, codegen end to end.  The top-token count is
-    O(distinct × len) per row, bounded by document length (not corpus
-    size) — the per-row cost model that holds at any corpus scale.
+    shuffle, codegen end to end.  Per-row cost is O(len log len)
+    (sort-based top-token count, hash-based ``array_distinct``), bounded
+    by document length (not corpus size) — the per-row cost model that
+    holds at any corpus scale.
     """
     t = tokens(text_col)
     n = F.size(t)
     dup_tok = F.round(
         F.lit(1.0) - F.size(F.array_distinct(t)) / n.cast("double"), 6
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(t),
-            lambda tok: F.size(F.filter(t, lambda x: x == tok)),
-        )
-    )
-    top_frac = F.round(top_cnt / n.cast("double"), 6)
+    top_frac = F.round(_top_token_count(t) / n.cast("double"), 6)
     bg = word_ngrams(t, 2)
     nb = F.size(bg)
     dup_bg = F.when(nb > 0, F.round(
@@ -175,16 +199,7 @@ def gopher_rule_columns(text_col: str) -> dict[str, Column]:
     )
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(t, sw))
-    top_frac = F.round(
-        F.array_max(
-            F.transform(
-                F.array_distinct(t),
-                lambda tok: F.size(F.filter(t, lambda x: x == tok)),
-            )
-        ).cast("double")
-        / n,
-        6,
-    )
+    top_frac = F.round(_top_token_count(t).cast("double") / n, 6)
     bg = word_ngrams(t, 2)
     nb = F.size(bg)
     dup_bg = F.when(

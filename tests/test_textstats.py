@@ -141,3 +141,48 @@ def test_gopher_rules_no_shuffle_no_python(spark):
     assert exchange_count(df) <= 1  # the spread repartition only
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_top_token_count_matches_bruteforce(spark):
+    """Sort+run-length top-token count equals the brute-force most-common
+    count on adversarial shapes (ties, empty-string tokens, singletons)."""
+    from collections import Counter
+
+    from smalltsdb_spark.operators.textstats import repetition_stats
+
+    texts = [
+        "a a a a",
+        "a b c d",
+        "x",
+        "a b a b a b",
+        "z z y y x",          # tie between z and y
+        "  a  b",             # double spaces -> empty-string tokens
+        "q " * 49 + "q",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.top_token_frac for r in
+           repetition_stats(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        toks = t.split(" ")
+        expect = round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+        assert got[i] == expect, (i, t, got[i], expect)
+
+
+def test_gopher_gate_long_doc_bounded_time(spark):
+    """A single document at the gate's own admission bound (100k words,
+    highly repetitive, ~10k distinct tokens) completes in seconds — the
+    naive O(distinct x tokens) expression needs ~10^9 comparisons here
+    and does not."""
+    import time
+
+    words = " ".join(f"w{i % 10_000}" for i in range(100_000))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    t0 = time.monotonic()
+    row = textstats.gopher_rules(df, "doc_id", "text").collect()[0]
+    elapsed = time.monotonic() - t0
+    assert row.n_tokens == 100_000
+    assert row.r_word_count          # exactly at the upper admission bound
+    assert not row.r_top_token or row.r_top_token is not None  # column exists
+    # every token appears 10 times -> top fraction 10/100000 = 1e-4: passes
+    assert row.r_top_token
+    assert elapsed < 30, f"long-doc Gopher projection took {elapsed:.1f}s"
