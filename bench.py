@@ -116,19 +116,44 @@ def main() -> None:
             _warm_py, "id long"
         ).write.mode("overwrite").format("noop").save()
 
-    # best-of-2 with isolation before every run: run-to-run swings from
-    # JIT warmup / GC pauses / session state were the round-2 bench's
-    # biggest noise source (tsdb_agg_tensecond 0.79 s → 5.49 s with an
-    # unchanged plan); the min of two isolated runs pins the plan cost
+    # Measurement protocol (VERDICT r5 item 1 — make the committed number
+    # trustworthy): two isolated runs per query; if they disagree by more
+    # than 2x, a third run breaks the tie and the MEDIAN of three is
+    # recorded (a single GC pause / worker-respawn outlier can no longer
+    # become the official number, in either direction — r5 committed a
+    # 48.9 s text_novelty whose isolated re-measure was 4.9 s).  When the
+    # two runs agree, the min is recorded as before (JIT warmup means the
+    # second run is usually the honest plan cost).  EVERY raw run lands in
+    # BENCH_DETAIL.json under "runs" so outliers stay visible.
     timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        best = math.inf
+    runs_record: dict[str, list[float]] = {}
+
+    def measure(name: str, run_once) -> None:
+        """run_once() executes the workload once and returns elapsed sec
+        (timing its own timed region so per-run setup stays untimed)."""
+        runs = []
         for _ in range(2):
             isolate()
+            runs.append(run_once())
+        if max(runs) > 2 * min(runs):
+            isolate()
+            runs.append(run_once())
+            value = sorted(runs)[1]
+        else:
+            value = min(runs)
+        timings[name] = round(value, 3)
+        runs_record[name] = [round(r, 3) for r in runs]
+
+    def timed_noop(df_fn):
+        def run_once() -> float:
             t0 = time.perf_counter()
-            noop_sink(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            noop_sink(df_fn())
+            return time.perf_counter() - t0
+
+        return run_once
+
+    for name, fn in sorted(QUERIES.items()):
+        measure(name, timed_noop(lambda fn=fn: fn(spark, sf_dir)))
     isolate()
 
     # BASELINE-equivalent: 6-period aggregation of >= 1M datapoints.
@@ -152,18 +177,13 @@ def main() -> None:
     # cache the expanded input so it is materialized once, not 6 times
     big = big.cache()
     big.count()
-    # Best-of-2 like the query suite: measured run-to-run variance on an
-    # UNCHANGED plan in one session is ~2x (7.8 s vs 15.3 s back-to-back
-    # at sf0.1 — JIT compile state + GC phase, not the plan; a fresh
-    # session's FIRST run is 8-16 s, converging toward the in-suite
-    # number once C2 warms).  Even the fresh-session worst case stays
-    # >= 4x faster than the reference's 65-75 s for the same workload.
-    # The r3->r4 "+20% baseline drift" flagged in VERDICT r4 sits well
-    # inside this noise band; best-of-2 pins the plan cost the same way
-    # it does for the 97 suite queries.
-    agg6_sec = math.inf
-    for _ in range(2):
-        isolate()
+    # Same measure() protocol as the query suite (2 runs, median-of-3 on
+    # >2x disagreement, all raw runs recorded): measured run-to-run
+    # variance on an UNCHANGED plan in one session is ~2x (7.8 s vs
+    # 15.3 s back-to-back at sf0.1 — JIT compile state + GC phase, not
+    # the plan).  Even the fresh-session worst case stays >= 4x faster
+    # than the reference's 65-75 s for the same workload.
+    def run_agg6() -> float:
         t0 = time.perf_counter()
         threads = [
             threading.Thread(target=noop_sink, args=(aggregate(big, seconds),))
@@ -173,25 +193,29 @@ def main() -> None:
             th.start()
         for th in threads:
             th.join()
-        agg6_sec = min(agg6_sec, time.perf_counter() - t0)
-    timings["baseline_6period_agg"] = round(agg6_sec, 3)
+        return time.perf_counter() - t0
+
+    measure("baseline_6period_agg", run_agg6)
+    agg6_sec = timings["baseline_6period_agg"]
 
     # End-to-end maintenance path: TablesTSDB.sync of the same 1M rows —
     # aggregation PLUS materialization to parquet across all 6 periods
     # (the reference's prototype timing includes its table writes too).
-    # Best-of-2 over two INDEPENDENT storage dirs: sync is incremental,
-    # so re-syncing the same dir would time a no-op instead of the write.
-    sync_sec = math.inf
-    for _ in range(2):
-        isolate()
+    # Each run uses an INDEPENDENT storage dir: sync is incremental, so
+    # re-syncing the same dir would time a no-op instead of the write.
+    def run_sync() -> float:
         sync_dir = tempfile.mkdtemp(prefix="bench_sync_")
-        db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
-        db.insert(big)
-        t0 = time.perf_counter()
-        db.sync()
-        sync_sec = min(sync_sec, time.perf_counter() - t0)
-        shutil.rmtree(sync_dir, ignore_errors=True)
-    timings["baseline_sync_1m"] = round(sync_sec, 3)
+        try:
+            db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
+            db.insert(big)
+            t0 = time.perf_counter()
+            db.sync()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(sync_dir, ignore_errors=True)
+
+    measure("baseline_sync_1m", run_sync)
+    sync_sec = timings["baseline_sync_1m"]
     big.unpersist()
 
     # Bucketed-table path: the write-once/read-many co-location claim,
@@ -229,13 +253,7 @@ def main() -> None:
             ("flat_agg_join", ("bench_li_flat", "bench_od_flat")),
             ("bucketed_agg_join", ("bench_li_bkt", "bench_od_bkt")),
         ]:
-            best = math.inf
-            for _ in range(2):
-                isolate()
-                t0 = time.perf_counter()
-                noop_sink(order_rollup(*pair))
-                best = min(best, time.perf_counter() - t0)
-            timings[label] = round(best, 3)
+            measure(label, timed_noop(lambda pair=pair: order_rollup(*pair)))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         for t in ("bench_li_flat", "bench_od_flat", "bench_li_bkt", "bench_od_bkt"):
@@ -252,6 +270,10 @@ def main() -> None:
         "baseline_6period_rows_per_sec": round(total_rows / agg6_sec, 1),
         "baseline_sync_1m_sec": round(sync_sec, 3),
         "baseline_sync_1m_rows_per_sec": round(total_rows / sync_sec, 1),
+        # every raw run behind every recorded number (detail file only —
+        # stdout stays within the driver's 2000-char tail); 3 entries
+        # mean the 2 runs disagreed >2x and the median was recorded
+        "runs": runs_record,
     }
 
     # The driver's capture keeps only the LAST 2000 chars of stdout and
@@ -272,6 +294,7 @@ def main() -> None:
 
     def render(keep: int) -> str:
         line = dict(result)
+        line.pop("runs", None)  # raw runs live in the detail file only
         line["queries"] = dict(sorted(by_cost[:keep]))
         line["queries_total"] = len(timings)
         line["queries_shown"] = keep

@@ -126,22 +126,29 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
-    for _ in range(max_rounds):
-        nbr = und.join(labels, und.d == labels.id).select(
+    def _step(lbl: DataFrame) -> DataFrame:
+        nbr = und.join(lbl, und.d == lbl.id).select(
             F.col("s").alias("id"), F.col("label")
         )
         mins = (
-            labels.unionByName(nbr)
+            lbl.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
         # pointer jumping: follow label -> label(label).  y.label <=
         # y.id == x.label by construction, so the jump only improves.
         x, y = mins.alias("x"), mins.alias("y")
-        jumped = x.join(y, F.col("x.label") == F.col("y.id")).select(
+        return x.join(y, F.col("x.label") == F.col("y.id")).select(
             F.col("x.id").alias("id"), F.col("y.label").alias("label")
         )
-        new_labels, new_ids = _checkpoint(jumped)
+
+    for _ in range(max_rounds):
+        # two propagation+jump steps per checkpoint/convergence probe:
+        # labels are monotone non-increasing, so skipping the probe after
+        # the first step is safe (a converged first step makes the second
+        # a no-op), and it halves the per-round job floor — checkpoint
+        # materialization + probe job dominate wall time at small SF
+        new_labels, new_ids = _checkpoint(_step(_step(labels)))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -68,6 +68,16 @@ def _row_norms(m: np.ndarray) -> np.ndarray:
     return np.sqrt(np.einsum("ij,ij->i", m, m))
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Quantize scores to 6 decimals with half-UP rounding —
+    ``floor(x*1e6 + 0.5)/1e6`` — the identical primitive every DuckDB
+    oracle uses.  ``np.round`` is banker's (half-to-even) while DuckDB's
+    ``round`` is half-away-from-zero: a similarity landing on a rounding
+    tie at the 6th decimal next to a 0.4/0.9 threshold could flip a pair
+    in/out on one engine only (ADVICE r5; same fix as tsdb_anomaly_mad)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
     """Driver-side (ids, matrix, norms) of a SMALL DataFrame — the
     broadcast side of every kernel below.  The caller's contract is that
@@ -124,7 +134,7 @@ def cosine_topk(
                 continue
             c_ids = pdf["_id"].to_numpy(dtype=np.int64)
             C = _as_matrix(pdf["_v"])
-            S = np.round((C @ QT) / np.outer(_row_norms(C), Qn), 6)
+            S = _round6((C @ QT) / np.outer(_row_norms(C), Qn))
             ic, iq = np.nonzero(c_ids[:, None] != q_ids[None, :])
             cands.append(
                 pd.DataFrame(
@@ -385,7 +395,7 @@ def semantic_near_dup_pairs(
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
         V = _as_matrix(pdf["_v"])
         n = pdf["_n"].to_numpy(dtype=np.float64)
-        S = np.round((V @ V.T) / np.outer(n, n), 6)
+        S = _round6((V @ V.T) / np.outer(n, n))
         ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (S >= threshold))
         return pd.DataFrame(
             {
@@ -591,7 +601,7 @@ def embedding_near_dup_pairs(
                 continue
             a_ids = pdf["_id"].to_numpy(dtype=np.int64)
             A = _as_matrix(pdf["_v"])
-            S = np.round((A @ BT) / np.outer(_row_norms(A), Bn), 6)
+            S = _round6((A @ BT) / np.outer(_row_norms(A), Bn))
             ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (S >= threshold))
             yield pd.DataFrame(
                 {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": S[ia, ib]}
@@ -685,7 +695,7 @@ def embedding_near_dup_pairs_blocked(
         a_ids = a["_id"].to_numpy(dtype=np.int64)
         b_ids = b["_id"].to_numpy(dtype=np.int64)
         A, B = _as_matrix(a["_v"]), _as_matrix(b["_v"])
-        S = np.round((A @ B.T) / np.outer(_row_norms(A), _row_norms(B)), 6)
+        S = _round6((A @ B.T) / np.outer(_row_norms(A), _row_norms(B)))
         if b1 == b2:
             # within a block both orders exist in the grid; keep one
             ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (S >= threshold))

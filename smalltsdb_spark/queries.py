@@ -974,7 +974,6 @@ def tsdb_daemon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver CORRECTNESS row; tests/test_daemon.py keeps the
     finer-grained golden pins."""
     import socket
-    import time as _time
 
     from smalltsdb_spark.sources.daemon import Daemon, SpoolSink
     from smalltsdb_spark.sources.graphite import parse_lines_df
@@ -988,7 +987,13 @@ def tsdb_daemon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _DAEMON_TCP:
             with socket.create_connection(daemon.address) as s:
                 s.sendall(p)
-        _time.sleep(0.5)  # let handler threads enqueue before the drain
+        # poll, don't sleep: a handler thread scheduled late on a loaded
+        # host would silently lose datapoints to stop()'s drain (ADVICE r5)
+        if not daemon.wait_for_datapoints(len(_DAEMON_POINTS), timeout=30.0):
+            raise RuntimeError(
+                f"daemon ingested {daemon.datapoints_received}/"
+                f"{len(_DAEMON_POINTS)} datapoints within deadline"
+            )
     inc = parse_lines_df(spark.read.text(spool))
     return _round_stats(aggregate(inc, 10), _STATS)
 

@@ -336,8 +336,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT id_a, id_b, sim FROM (
         SELECT a.vec_id id_a, b.vec_id id_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+               floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
     ) WHERE sim >= 0.4
@@ -364,7 +364,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id neighbor_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
     scored AS (
         SELECT query_id, neighbor_id,
-               round(list_cosine_similarity(cv, qv), 6) AS sim
+               floor(list_cosine_similarity(cv, qv) * 1000000 + 0.5) / 1000000 AS sim
         FROM c, q WHERE neighbor_id != query_id
     ),
     ranked AS (
@@ -434,7 +434,7 @@ def _lsh_oracle(k: int = 5, nbits: int = 8, tables: int = 4, dim: int = 64,
     ),
     scored AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_cosine_similarity(cc.v, qq.v), 6) AS sim
+               floor(list_cosine_similarity(cc.v, qq.v) * 1000000 + 0.5) / 1000000 AS sim
         FROM cand
         JOIN q qq ON cand.query_id = qq.query_id
         JOIN c cc ON cand.neighbor_id = cc.neighbor_id
@@ -565,7 +565,7 @@ def _ivf_oracle(train_where: str = "") -> str:
     ),
     scored AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_cosine_similarity(cc.v, qq.v), 6) AS sim
+               floor(list_cosine_similarity(cc.v, qq.v) * 1000000 + 0.5) / 1000000 AS sim
         FROM cand
         JOIN q qq ON cand.query_id = qq.query_id
         JOIN c cc ON cand.neighbor_id = cc.neighbor_id
@@ -711,7 +711,7 @@ def _semantic_dedup_oracle() -> str:
     pairs AS (
         SELECT CAST(a.j AS INTEGER) AS cluster,
                a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+               floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS sim
         FROM assigned a
         JOIN assigned b ON a.j = b.j AND a.vec_id < b.vec_id
     )
@@ -1078,7 +1078,7 @@ def _recall_oracle() -> str:
     c AS (SELECT vec_id neighbor_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
     scored AS (
         SELECT query_id, neighbor_id,
-               round(list_cosine_similarity(cv, qv), 6) AS sim
+               floor(list_cosine_similarity(cv, qv) * 1000000 + 0.5) / 1000000 AS sim
         FROM c, q WHERE neighbor_id != query_id
     ),
     ranked AS (
@@ -2166,8 +2166,8 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT id_a, id_b, sim FROM (
         SELECT a.vec_id id_a, b.vec_id id_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+               floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
     ) WHERE sim >= 0.4

@@ -74,6 +74,9 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         if batch:
             self.server.ingest_queue.put(batch)
+            on_enqueued = getattr(self.server, "on_enqueued", None)
+            if on_enqueued is not None:
+                on_enqueued(len(batch))
 
 
 class _DatagramHandler(_Handler):
@@ -121,6 +124,8 @@ class Daemon:
         self._queue: queue.Queue = queue.Queue()
         self._pending: list = []
         self._threads: list[threading.Thread] = []
+        self._received = 0
+        self._received_cond = threading.Condition()
         self._servers = []
         for server_cls, handler_cls in (
             (_UDPServer, _DatagramHandler),
@@ -128,6 +133,7 @@ class Daemon:
         ):
             srv = server_cls(address, handler_cls)
             srv.ingest_queue = self._queue
+            srv.on_enqueued = self._note_enqueued
             self._servers.append(srv)
             # after the first bind with port 0, reuse the allotted port for
             # the second transport so both listen on the same number
@@ -137,6 +143,34 @@ class Daemon:
     def address(self) -> tuple[str, int]:
         """The bound (host, port) — both transports share it."""
         return self._servers[0].server_address[:2]
+
+    # -- observability -------------------------------------------------------
+
+    def _note_enqueued(self, n: int) -> None:
+        with self._received_cond:
+            self._received += n
+            self._received_cond.notify_all()
+
+    @property
+    def datapoints_received(self) -> int:
+        """Well-formed datapoints accepted by the transport handlers so
+        far (malformed batches are dropped before counting)."""
+        with self._received_cond:
+            return self._received
+
+    def wait_for_datapoints(self, n: int, timeout: float = 30.0) -> bool:
+        """Block until ``n`` datapoints have been enqueued (True) or the
+        deadline passes (False).  Senders on loopback need this instead
+        of a fixed sleep: handler threads scheduled late on a loaded host
+        would otherwise lose the race against ``stop()``'s drain."""
+        deadline = time.monotonic() + timeout
+        with self._received_cond:
+            while self._received < n:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._received_cond.wait(remaining)
+            return True
 
     # -- lifecycle -----------------------------------------------------------
 

@@ -63,7 +63,7 @@ def test_daemon_to_spool_golden(send, spark, tsdb_dir, tmp_path):
     daemon = Daemon(SpoolSink(spool), interval=60.0)  # flush only on stop
     with daemon:
         send(daemon.address, PAYLOADS)
-        time.sleep(0.3)  # let handler threads enqueue
+        assert daemon.wait_for_datapoints(4)  # poll, not sleep
     # graceful stop drained + flushed exactly once
     lines = spark.read.text(spool)
     db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
@@ -84,7 +84,7 @@ def test_daemon_self_metrics(spark, tsdb_dir):
     )
     with daemon:
         send_udp(daemon.address, [b"one 1 1\ntwo 2 5"])
-        time.sleep(0.3)  # let the handler thread enqueue before stop
+        assert daemon.wait_for_datapoints(2)  # poll, not sleep
     rows = {
         (r.path, r.timestamp, r.value) for r in db.incoming().collect()
     }
