@@ -43,25 +43,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return out
 
 
+# Round in which a query's SEMANTICS last changed (scoring primitive, plan
+# output, oracle rewrite).  A query whose most recent driver-green round
+# predates its touch round is STALE — its green rows validated old code —
+# and jumps to the head of the check order regardless of how many past
+# greens it accumulated.  Maintained by hand at each semantic change; the
+# default (absent) is 0 = never touched after registration.
+TOUCHED_ROUND: dict[str, int] = {
+    # r6: half-up score quantization (floor(x*1e6+0.5)/1e6) replaced
+    # round() in 7 cosine-family oracles; r7: the Spark-side lsh/ivf
+    # kernels moved from F.round to the same floor primitive.  Last
+    # driver-green rows for all nine predate r6 (VERDICT r6 item 1).
+    "sim_cosine_topk": 7,
+    "sim_lsh_ann": 7,
+    "sim_ivf_ann": 7,
+    "sim_ivf_distributed": 7,
+    "sim_ivf_incremental": 7,
+    "sim_ivf_pq": 7,
+    "sim_pq_adc": 7,
+    "sim_recall_eval": 7,
+    "dedup_embedding_cosine": 7,
+}
+
+
 def _driver_order(names: list[str]) -> list[str]:
-    """Order queries least-driver-verified first.
+    """Order queries stale-first, then least-driver-verified.
 
     The driver's correctness run checks a budget-capped PREFIX of this
-    dict (r1=43, r2=49, r3=50 of 61 — exactly the first N in insertion
-    order), so ordering is coverage policy: a query green in many past
-    rounds can afford to rotate out; a never-checked or hash-missed one
-    cannot.  Green history is read from the committed
+    dict (50/round — exactly the first N in insertion order), so
+    ordering is coverage policy: a query green in many past rounds can
+    afford to rotate out; a never-checked, hash-missed, or
+    touched-since-last-green one cannot.  Green history (count AND most
+    recent green round) is read from the committed
     ``CORRECTNESS_r*.json`` files, so this stays self-maintaining as
-    rounds accumulate; ties break newest-registered first (new
-    operators get their first driver row immediately).  Rotated-out
-    queries keep full local coverage via tests/test_oracle_parity.py.
+    rounds accumulate; staleness comes from :data:`TOUCHED_ROUND`.
+    Ties break newest-registered first (new operators get their first
+    driver row immediately).  Rotated-out queries keep full local
+    coverage via tests/test_oracle_parity.py.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     greens = {n: 0 for n in names}
+    last_green = {n: 0 for n in names}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -70,8 +99,17 @@ def _driver_order(names: list[str]) -> list[str]:
         for n, row in rows.items():
             if n in greens and isinstance(row, dict) and row.get("hash_match"):
                 greens[n] += 1
+                last_green[n] = max(last_green[n], rnd)
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (greens[n], -pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            # stale (green rows predate the last semantic touch) → first
+            last_green[n] >= TOUCHED_ROUND.get(n, 0),
+            greens[n],
+            -pos[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -95,6 +95,12 @@ def connected_components(
     the full vertex set afterwards if singletons matter (see
     queries_ext.dedup_clusters).
 
+    ``max_rounds`` counts convergence PROBES, and each probe is preceded
+    by TWO propagation+jump steps (see the loop comment), so the total
+    step budget before the no-fixpoint RuntimeError is ``2*max_rounds``
+    — with pointer jumping that covers component diameters up to
+    ~2^(2*max_rounds), far beyond any real graph at the default 50.
+
     The result is returned as a scan of ``result_path`` (parquet): the
     iterative loop's localCheckpoint blocks are all unpersisted before
     returning, so the component assignment must live somewhere durable —

@@ -69,13 +69,26 @@ def _row_norms(m: np.ndarray) -> np.ndarray:
 
 
 def _round6(x: np.ndarray) -> np.ndarray:
-    """Quantize scores to 6 decimals with half-UP rounding —
-    ``floor(x*1e6 + 0.5)/1e6`` — the identical primitive every DuckDB
-    oracle uses.  ``np.round`` is banker's (half-to-even) while DuckDB's
-    ``round`` is half-away-from-zero: a similarity landing on a rounding
-    tie at the 6th decimal next to a 0.4/0.9 threshold could flip a pair
-    in/out on one engine only (ADVICE r5; same fix as tsdb_anomaly_mad)."""
+    """Quantize scores to 6 decimals with half-UP (toward +inf) rounding —
+    ``floor(x*1e6 + 0.5)/1e6``.  The cross-engine invariant is NOT
+    "reproduces round()": it is that both engines evaluate the IDENTICAL
+    floor expression (every cosine-family DuckDB oracle spells out the
+    same ``floor(x*1000000 + 0.5)/1000000``), so ties at the 6th decimal
+    quantize the same way on both sides by construction.  Neither
+    ``np.round`` (banker's half-to-even) nor DuckDB ``round``
+    (half-away-from-zero; differs from half-up on NEGATIVE ties) has
+    that property (ADVICE r5/r6; same fix as tsdb_anomaly_mad)."""
     return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _round6_col(c):
+    """Column-expression twin of :func:`_round6` for JVM-side post-join
+    scoring: ``floor(sim*1e6 + 0.5)/1e6``.  ``F.round(sim, 6)`` is Java
+    BigDecimal HALF_UP over ``Double.toString``'s shortest-decimal — a
+    DIFFERENT primitive from the oracles' floor expression that can
+    disagree on tie-adjacent values and flip a top-k rank on one engine
+    only (ADVICE r6).  All three top-k kernels score through this."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
@@ -230,9 +243,8 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim),
-                6,
+            _round6_col(
+                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim)
             ).alias("sim"),
         )
         .distinct()
@@ -476,9 +488,8 @@ def ivf_probe(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim),
-                6,
+            _round6_col(
+                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim)
             ).alias("sim"),
         )
         .distinct()
@@ -558,9 +569,8 @@ def ivf_probe_distributed(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim),
-                6,
+            _round6_col(
+                _pair_score(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn"), dim)
             ).alias("sim"),
         )
         .distinct()
