@@ -651,6 +651,7 @@ def embedding_near_dup_pairs_blocked(
     threshold: float = 0.4,
     n_blocks: int | None = None,
     task_mem_bytes: int = BLOCKED_GEMM_TASK_MEM,
+    size_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine WITHOUT broadcasting the corpus: blocked GEMM.
 
@@ -664,18 +665,29 @@ def embedding_near_dup_pairs_blocked(
     Cost model: shuffle volume = n_blocks × corpus (the unavoidable
     replication of exact all-pairs), peak task memory = 2 block slices +
     the m×m score grid, tasks = n_blocks(n_blocks+1)/2 independent GEMMs.
-    ``n_blocks`` defaults to AUTO (:func:`_auto_blocks`): one count + one
-    first() derive a block size that fits ``task_mem_bytes`` regardless
-    of corpus size, so tasks never outgrow memory as the corpus grows —
-    pass an explicit ``n_blocks`` to override.  The broadcast variant is
-    the degenerate n_blocks=1 with the corpus shipped once per executor
-    instead.
+    ``n_blocks`` defaults to AUTO (:func:`_auto_blocks`), sized so tasks
+    never outgrow ``task_mem_bytes`` as the corpus grows.  AUTO needs
+    ``(n_rows, dim)``: pass ``size_hint=(n_rows, dim)`` to stay fully
+    LAZY (plan-only — callers with table stats, a metastore row count,
+    or a known embedding dim should), otherwise AUTO runs ONE eager
+    aggregate job over the corpus before the plan is built (documented
+    cost: one extra scan of an uncached corpus; unmaterializable inputs
+    must supply the hint or an explicit ``n_blocks``).  The broadcast
+    variant is the degenerate n_blocks=1 with the corpus shipped once
+    per executor instead.
     """
     if n_blocks is None:
-        n_rows = corpus.count()
-        first_vec = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first_vec["d"]) if first_vec and first_vec["d"] else 1
-        n_blocks = _auto_blocks(n_rows, dim, task_mem_bytes)
+        if size_hint is not None:
+            n_rows, dim = size_hint
+        else:
+            # single eager job: count and a sample dim in one aggregate
+            row = corpus.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d"),
+            ).first()
+            n_rows = int(row["n"])
+            dim = int(row["d"]) if row["d"] else 1
+        n_blocks = _auto_blocks(max(1, int(n_rows)), max(1, int(dim)), task_mem_bytes)
     c = _spread(corpus, id_col, vec_col)
     blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
     keys = F.array_distinct(

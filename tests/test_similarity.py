@@ -136,6 +136,58 @@ def test_auto_blocks_bounds_task_memory_at_any_scale():
     assert nb_big >= 50 * nb_small
 
 
+def test_blocked_auto_sizing_is_lazy_with_size_hint(spark):
+    """With size_hint=(n_rows, dim), AUTO block sizing must run NO eager
+    job: building the plan over a corpus that EXPLODES on materialization
+    must succeed (ADVICE r6 — the auto path previously ran count()+first()
+    before the plan was built, two scans of an uncached corpus)."""
+    from pyspark.sql import functions as F
+    from smalltsdb_spark.operators import similarity
+
+    @F.udf("array<double>")
+    def boom():
+        raise RuntimeError("corpus was materialized during plan build")
+
+    corpus = spark.range(8).select(
+        F.col("id").alias("vec_id"), boom().alias("embedding")
+    )
+    out = similarity.embedding_near_dup_pairs_blocked(
+        corpus, "vec_id", "embedding", size_hint=(10_000_000, 64)
+    )
+    # plan built, schema resolved, no job ran
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "sim"]
+
+    # hinted sizing must agree with what the eager path would derive
+    nb = similarity._auto_blocks(10_000_000, 64, similarity.BLOCKED_GEMM_TASK_MEM)
+    assert nb > 1
+
+
+def test_blocked_auto_sizing_scans_corpus_once_without_hint(spark):
+    """Without the hint, AUTO is documented to cost exactly ONE eager
+    scan of the corpus (count + sample dim fused into a single agg), not
+    the two separate count()/first() scans ADVICE r6 flagged.  Pinned by
+    an accumulator counting per-row UDF invocations — job count is not a
+    stable proxy (AQE materializes each shuffle stage as its own job)."""
+    from pyspark.sql import functions as F
+    from smalltsdb_spark.operators import similarity
+
+    sc = spark.sparkContext
+    scans = sc.accumulator(0)
+
+    @F.udf("double")
+    def counted(x):
+        scans.add(1)
+        return float(x)
+
+    n = 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(counted(F.col("id")), F.lit(1.0)).alias("embedding"),
+    )
+    similarity.embedding_near_dup_pairs_blocked(emb, "vec_id", "embedding")
+    assert scans.value == n, f"auto sizing evaluated {scans.value} rows, want {n} (one scan)"
+
+
 def test_empty_queries_yield_empty_results(spark):
     """Empty query sets must return empty DataFrames, not crash at build
     time (regression: _row_norms einsum on a 0-row stack raised)."""
