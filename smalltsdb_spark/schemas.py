@@ -34,8 +34,13 @@ AGG_SCHEMA = T.StructType(
 )
 
 # Partition column used by the parquet storage layer (not part of the
-# logical schema): pday = floor(timestamp / 86400).  Day-granular
-# partitioning keeps partition counts sane at 100 TB while giving
-# partition pruning on time-range predicates and partition-drop retention.
+# logical schema): pday = floor(timestamp / grain_seconds).  Day-granular
+# partitioning (the default grain) keeps partition counts sane at 100 TB
+# while giving partition pruning on time-range predicates and
+# partition-drop retention; hour grain (PARTITION_GRAINS['hour']) shrinks
+# the upsert rewrite unit 24× for hot high-rate tables at the cost of 24×
+# the partition count — a per-TSDB choice, fixed at table creation (the
+# storage layer pins it with a root-level marker file).
 PARTITION_COLUMN = "pday"
 SECONDS_PER_DAY = 86400
+PARTITION_GRAINS = {"day": 86400, "hour": 3600}

@@ -49,10 +49,40 @@ def _has_data(path: str) -> bool:
     return False
 
 
-def with_pday(df: DataFrame) -> DataFrame:
+GRAIN_MARKER = "_partition_grain"
+
+
+def pin_grain(root: str, grain_seconds: int) -> None:
+    """Pin a TSDB root's partition grain with a marker file.
+
+    The grain decides what every ``pday=N`` directory under the root
+    MEANS (N = floor(ts/86400) vs floor(ts/3600)); opening an existing
+    store with the wrong grain would silently write mismatched partition
+    values next to the old ones, so the mismatch must be a hard error at
+    handle-open time, not a corruption discovered later.  Write is
+    tmp+rename so a concurrent opener sees either no marker or a whole
+    one (both openers writing the SAME value is the benign race)."""
+    marker = os.path.join(root, GRAIN_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            existing = int(f.read().strip())
+        if existing != grain_seconds:
+            raise ValueError(
+                f"store at {root!r} was created with partition grain "
+                f"{existing}s; cannot open with grain {grain_seconds}s"
+            )
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(grain_seconds))
+    os.replace(tmp, marker)
+
+
+def with_pday(df: DataFrame, grain_seconds: int = SECONDS_PER_DAY) -> DataFrame:
     return df.withColumn(
         PARTITION_COLUMN,
-        F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+        F.floor(F.col("timestamp") / F.lit(grain_seconds)).cast("long"),
     )
 
 
@@ -88,14 +118,21 @@ def _one_file_per_partition(df: DataFrame) -> DataFrame:
     return df.repartition(F.col(PARTITION_COLUMN))
 
 
-def append(df: DataFrame, path: str) -> None:
-    _one_file_per_partition(with_pday(df)).write.partitionBy(
+def append(df: DataFrame, path: str, grain_seconds: int = SECONDS_PER_DAY) -> None:
+    _one_file_per_partition(with_pday(df, grain_seconds)).write.partitionBy(
         PARTITION_COLUMN
     ).mode("append").parquet(path)
 
 
-def overwrite_partitions(df: DataFrame, path: str) -> None:
+def overwrite_partitions(
+    df: DataFrame, path: str, grain_seconds: int = SECONDS_PER_DAY
+) -> None:
     """Replace only the pdays present in ``df`` — per-partition atomic swap.
+
+    ``grain_seconds`` is the partition grain the table was created with
+    (day default; hour shrinks the rewrite unit 24× — one late bucket on
+    a hot day rewrites an hour, not the day).  It must match the table's
+    on-disk layout: the TSDB layer pins it with a root marker file.
 
     Plain parquet has no snapshot isolation, so this never writes into a
     live partition: the replacement partitions are materialized in a
@@ -118,7 +155,7 @@ def overwrite_partitions(df: DataFrame, path: str) -> None:
 
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
-    _one_file_per_partition(with_pday(df)).write.partitionBy(
+    _one_file_per_partition(with_pday(df, grain_seconds)).write.partitionBy(
         PARTITION_COLUMN
     ).mode("overwrite").parquet(staging)
     os.makedirs(path, exist_ok=True)
@@ -137,27 +174,30 @@ def overwrite_partitions(df: DataFrame, path: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def drop_partitions_below(path: str, cutoff_ts: float) -> list[str]:
-    """Retention fast path: remove whole day-partitions strictly below the
-    cutoff's day.  Returns the removed partition directory names.
+def drop_partitions_below(
+    path: str, cutoff_ts: float, grain_seconds: int = SECONDS_PER_DAY
+) -> list[str]:
+    """Retention fast path: remove whole partitions (day or hour grain)
+    strictly below the cutoff's partition.  Returns the removed partition
+    directory names.
 
     This is the partition-drop retention the reference only TODOs
     (per-period retention, IDEAS.md:6; delete at tsdb.py:412-420).
-    Rows in the cutoff's own (boundary) day are handled by the caller via
-    a partition rewrite.
+    Rows in the cutoff's own (boundary) partition are handled by the
+    caller via a partition rewrite.
     """
     if not os.path.isdir(path):
         return []
-    cutoff_day = int(cutoff_ts // SECONDS_PER_DAY)
+    cutoff_unit = int(cutoff_ts // grain_seconds)
     removed = []
     for name in os.listdir(path):
         if not name.startswith(f"{PARTITION_COLUMN}="):
             continue
         try:
-            day = int(name.split("=", 1)[1])
+            unit = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if day < cutoff_day:
+        if unit < cutoff_unit:
             shutil.rmtree(os.path.join(path, name))
             removed.append(name)
     return removed

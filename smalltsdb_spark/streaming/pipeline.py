@@ -70,13 +70,15 @@ def start_ingest(
     *,
     interval: str | None = "10 seconds",
     available_now: bool = False,
+    grain_seconds: int = SECONDS_PER_DAY,
 ) -> StreamingQuery:
     """Append the parsed stream to the incoming parquet table,
-    day-partitioned like the batch writer (storage.append)."""
+    partitioned like the batch writer (storage.append; pass the store's
+    ``grain_seconds`` when it was created with partition_grain='hour')."""
     writer = (
         incoming_stream.withColumn(
             PARTITION_COLUMN,
-            F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+            F.floor(F.col("timestamp") / F.lit(grain_seconds)).cast("long"),
         )
         .writeStream.format("parquet")
         .option("checkpointLocation", checkpoint)
@@ -146,16 +148,18 @@ def start_rollup(
     interval: str | None = "10 seconds",
     available_now: bool = False,
     exact: bool = True,
+    grain_seconds: int = SECONDS_PER_DAY,
 ) -> StreamingQuery:
     """One period's always-on rollup: finalized buckets append to the
     period's parquet table exactly once (watermark finality == the
     reference's ``intervals()`` rule).  Run one per configured period —
-    they are independent queries and scale independently."""
+    they are independent queries and scale independently.  Pass the
+    store's ``grain_seconds`` when it uses partition_grain='hour'."""
     agg = streaming_aggregate(incoming_stream, seconds, tail=tail, exact=exact)
     writer = (
         agg.withColumn(
             PARTITION_COLUMN,
-            F.floor(F.col("timestamp") / F.lit(SECONDS_PER_DAY)).cast("long"),
+            F.floor(F.col("timestamp") / F.lit(grain_seconds)).cast("long"),
         )
         .writeStream.format("parquet")
         .outputMode("append")

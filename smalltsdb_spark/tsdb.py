@@ -67,6 +67,7 @@ class BaseTSDB:
         timer: Timer | None = None,
         exact_percentiles: bool = True,
         retention: dict[str, float] | None = None,
+        partition_grain: str = "day",
     ):
         self.spark = spark
         self.path = path
@@ -91,6 +92,38 @@ class BaseTSDB:
         self.retention = dict(retention or {})
         for period in self.retention:
             validate_period(period, self.period_seconds)
+        # storage partition grain (r5/r6 verdict item): 'day' (default)
+        # or 'hour'.  Hour-grain shrinks the upsert/retention rewrite
+        # unit 24× — on a hot table one late bucket rewrites an hour,
+        # not the whole day — at 24× the partition count; fixed at store
+        # creation (mismatched grains would silently mix incompatible
+        # pday values, so open validates eagerly and the first write
+        # pins a root marker — storage.pin_grain).
+        from smalltsdb_spark.schemas import PARTITION_GRAINS
+
+        if partition_grain not in PARTITION_GRAINS:
+            raise ValueError(
+                f"unknown partition_grain {partition_grain!r}; "
+                f"expected one of {sorted(PARTITION_GRAINS)}"
+            )
+        self.partition_grain = partition_grain
+        self.grain_seconds = PARTITION_GRAINS[partition_grain]
+        self._grain_roots = {self.path}
+        if not os.path.normpath(self.incoming_path).startswith(
+            os.path.normpath(self.path) + os.sep
+        ):
+            self._grain_roots.add(self.incoming_path)
+        for root in self._grain_roots:
+            # eager mismatch check on open (read-only when marker absent)
+            marker = os.path.join(root, storage.GRAIN_MARKER)
+            if os.path.isfile(marker):
+                storage.pin_grain(root, self.grain_seconds)
+
+    def _pin_grain(self) -> None:
+        """Write-path hook: pin the grain markers (first write creates
+        them; later opens with a different grain then fail eagerly)."""
+        for root in self._grain_roots:
+            storage.pin_grain(root, self.grain_seconds)
 
     # -- write path ---------------------------------------------------------
 
@@ -114,7 +147,8 @@ class BaseTSDB:
             if not rows:
                 return
             df = self.spark.createDataFrame(rows, INCOMING_SCHEMA)
-        storage.append(df, self.incoming_path)
+        self._pin_grain()
+        storage.append(df, self.incoming_path, self.grain_seconds)
 
     def incoming(self) -> DataFrame:
         return storage.read_table(self.spark, self.incoming_path, INCOMING_SCHEMA)
@@ -308,11 +342,12 @@ class TablesTSDB(BaseTSDB):
         they see each partition wholly-old or wholly-new, never partially
         rewritten."""
         path = self._period_path(period)
+        grain = self.grain_seconds
         new_rows = new_rows.cache()
         affected = [
             r.d
             for r in new_rows.select(
-                F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long").alias("d")
+                F.floor(F.col("timestamp") / grain).cast("long").alias("d")
             )
             .distinct()
             .collect()
@@ -323,11 +358,12 @@ class TablesTSDB(BaseTSDB):
         existing = self.period_table(period)
         kept = (
             existing.filter(
-                F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long").isin(affected)
+                F.floor(F.col("timestamp") / grain).cast("long").isin(affected)
             )
             .join(new_rows, ["path", "timestamp"], "left_anti")
         )
-        storage.overwrite_partitions(kept.unionByName(new_rows), path)
+        self._pin_grain()
+        storage.overwrite_partitions(kept.unionByName(new_rows), path, grain)
         new_rows.unpersist()
 
     def sync(self, concurrent: bool = True, timeout: float | None = None) -> None:
@@ -375,7 +411,9 @@ class TablesTSDB(BaseTSDB):
                     self._upsert(new_rows, name)
                 if name in self.retention:
                     storage.drop_partitions_below(
-                        self._period_path(name), now - self.retention[name]
+                        self._period_path(name),
+                        now - self.retention[name],
+                        self.grain_seconds,
                     )
 
         try:
@@ -409,23 +447,25 @@ class TablesTSDB(BaseTSDB):
 
     def _retention(self, now: float) -> None:
         """``delete from incoming where timestamp < now - tail - max_period``
-        (tsdb.py:412-420): whole-day partition drops below the cutoff day,
-        plus a rewrite of the boundary day-partition."""
+        (tsdb.py:412-420): whole-partition drops below the cutoff's
+        partition (day or hour grain), plus a rewrite of the boundary
+        partition."""
+        grain = self.grain_seconds
         max_period = max(s for _, s in self.periods)
         cutoff = now - self.tail - max_period
-        storage.drop_partitions_below(self.incoming_path, cutoff)
-        boundary_day = int(cutoff // SECONDS_PER_DAY)
+        storage.drop_partitions_below(self.incoming_path, cutoff, grain)
+        boundary_unit = int(cutoff // grain)
         boundary = self.incoming().filter(
-            F.floor(F.col("timestamp") / SECONDS_PER_DAY).cast("long") == boundary_day
+            F.floor(F.col("timestamp") / grain).cast("long") == boundary_unit
         )
         doomed = boundary.filter(F.col("timestamp") < cutoff)
         if doomed.limit(1).count():
             survivors = boundary.filter(F.col("timestamp") >= cutoff)
             if survivors.limit(1).count():
-                storage.overwrite_partitions(survivors, self.incoming_path)
+                storage.overwrite_partitions(survivors, self.incoming_path, grain)
             else:
                 storage.drop_partitions_below(
-                    self.incoming_path, (boundary_day + 1) * SECONDS_PER_DAY
+                    self.incoming_path, (boundary_unit + 1) * grain, grain
                 )
 
 
