@@ -8,6 +8,8 @@ fingerprinting (rolling hash) — all pure JVM-side column expressions
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -243,6 +245,86 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     so the pass/fail boundary is bit-identical across engines.
     """
     cols = gopher_rule_columns(text_col)
+    return spread(df).select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+#: line-based Gopher thresholds (Rae et al. 2021 §A1.1): a document is
+#: removed when ≥30% of its lines end with an ellipsis, ≥90% start with a
+#: bullet, or its duplicate-line / duplicate-line-character fractions
+#: exceed the MassiveText repetition bounds.
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.2
+
+#: bullet glyphs the line rule recognizes (Gopher names "•" and "-";
+#: "*" is the markdown form every web corpus carries)
+_BULLET_PREFIXES = ("- ", "• ", "* ")
+
+
+def gopher_line_columns(text_col: str, line_sep: str = "\n") -> dict[str, Column]:
+    """Line-based Gopher rule expressions (Rae et al. 2021 §A1.1 — the
+    newline-dependent complement of :func:`gopher_rule_columns`).
+
+    Pure array expressions over ``split(text, line_sep)`` — one
+    shuffle-free projection, O(lines) per row (duplicate-line character
+    mass is ``total_chars − chars(distinct lines)``: each copy beyond a
+    line's first occurrence contributes its length, no per-line
+    recount), so per-row cost is bounded by document length at any
+    corpus size.  Ratios round to 6 BEFORE threshold comparison so the
+    pass/fail boundary is bit-identical across engines.
+    """
+    lines = F.split(F.col(text_col), line_sep)
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n, 6
+    )
+    bullet = lambda x: functools.reduce(  # noqa: E731
+        lambda a, b: a | b, [x.startswith(p) for p in _BULLET_PREFIXES]
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, bullet)).cast("double") / n, 6
+    )
+    dup_frac = F.round(F.lit(1.0) - nd.cast("double") / n, 6)
+    chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    chars_distinct = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_char_frac = F.when(
+        chars > 0,
+        F.round((chars - chars_distinct).cast("double") / chars, 6),
+    ).otherwise(F.lit(0.0))
+
+    r_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    r_bullet = bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC
+    r_dup_line = dup_frac <= GOPHER_MAX_DUP_LINE_FRAC
+    r_dup_chars = dup_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    return {
+        "n_lines": n,
+        "ellipsis_line_frac": ellipsis_frac,
+        "bullet_line_frac": bullet_frac,
+        "dup_line_frac": dup_frac,
+        "dup_line_char_frac": dup_char_frac,
+        "r_ellipsis": r_ellipsis,
+        "r_bullet": r_bullet,
+        "r_dup_line": r_dup_line,
+        "r_dup_line_chars": r_dup_chars,
+        "passes": r_ellipsis & r_bullet & r_dup_line & r_dup_chars,
+    }
+
+
+def gopher_line_rules(
+    df: DataFrame, id_col: str, text_col: str, line_sep: str = "\n"
+) -> DataFrame:
+    """Line-based Gopher curation gate: per-rule booleans + measured
+    fractions + the conjunction, over newline-separated lines (pass
+    ``line_sep`` for other layouts).  See :func:`gopher_line_columns`."""
+    cols = gopher_line_columns(text_col, line_sep)
     return spread(df).select(
         F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )

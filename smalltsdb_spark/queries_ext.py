@@ -1333,6 +1333,107 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_line_oracle() -> str:
+    from smalltsdb_spark.operators.textstats import (
+        GOPHER_MAX_BULLET_LINE_FRAC,
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+    )
+
+    return f"""
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    t AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+                       i -> array_to_string(list_slice(w, i*2 + 1, i*2 + 2), ' ')
+                   ),
+                   x -> CASE WHEN x LIKE 'line %' THEN '- ' || x
+                             WHEN x LIKE '% the' THEN x || '...'
+                             ELSE x END
+               ) AS l
+        FROM w0
+    ),
+    m AS (
+        SELECT doc_id, len(l) AS n_lines,
+               round(len(list_filter(l, x -> suffix(x, '...')))::DOUBLE
+                     / len(l), 6) AS ef,
+               round(len(list_filter(l, x -> x LIKE '- %' OR x LIKE '• %'
+                                          OR x LIKE '* %'))::DOUBLE
+                     / len(l), 6) AS bf,
+               round(1.0 - len(list_distinct(l))::DOUBLE / len(l), 6) AS dlf,
+               list_sum(list_transform(l, x -> length(x))) AS chars,
+               list_sum(list_transform(list_distinct(l), x -> length(x)))
+                   AS chars_distinct
+        FROM t
+    )
+    SELECT doc_id, n_lines,
+           ef AS ellipsis_line_frac,
+           bf AS bullet_line_frac,
+           dlf AS dup_line_frac,
+           CASE WHEN chars > 0
+                THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                ELSE 0.0 END AS dup_line_char_frac,
+           ef <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} AS r_ellipsis,
+           bf <= {GOPHER_MAX_BULLET_LINE_FRAC} AS r_bullet,
+           dlf <= {GOPHER_MAX_DUP_LINE_FRAC} AS r_dup_line,
+           (CASE WHEN chars > 0
+                 THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                 ELSE 0.0 END) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+               AS r_dup_line_chars,
+           ef <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+               AND bf <= {GOPHER_MAX_BULLET_LINE_FRAC}
+               AND dlf <= {GOPHER_MAX_DUP_LINE_FRAC}
+               AND (CASE WHEN chars > 0
+                         THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                         ELSE 0.0 END) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+               AS passes
+    FROM m
+    """
+
+
+@query("text_gopher_line_rules", _gopher_line_oracle())
+def text_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-based Gopher curation gate (Rae et al. 2021 §A1.1 — the
+    newline-dependent complement of text_gopher_rules): ellipsis-line
+    and bullet-line fractions plus the MassiveText duplicate-line and
+    duplicate-line-character bounds, per-rule booleans + measured
+    fractions + the conjunction.  The fixture's text is single-line
+    whitespace tokens, so BOTH engines first derive the same
+    newline-bearing column: tokens chunked 2-per-line (short lines so within-document duplicate lines actually occur over the fixture's small vocabulary), then a
+    deterministic decoration ('line …' → bullet prefix, '… the' →
+    trailing ellipsis) that makes every rule's fraction vary across
+    documents — the derived-input pattern the ts-synthesis queries use.
+    Natural-layout behavior (real bullets/ellipses/newlines) is pinned
+    by tests/test_textstats.py fixtures.  One shuffle-free projection
+    (operators/textstats.gopher_line_rules); duplicate-line char mass
+    is total_chars − chars(distinct lines), so per-row cost stays
+    O(lines), no per-line recount."""
+    from smalltsdb_spark.operators.textstats import gopher_line_columns
+
+    w = tokens("text")
+    n_chunks = F.ceil(F.size(w) / F.lit(2.0)).cast("int")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(w, i * 2 + 1, 2), " "),
+    )
+    decorated = F.transform(
+        raw,
+        lambda x: F.when(x.startswith("line "), F.concat(F.lit("- "), x))
+        .when(x.endswith(" the"), F.concat(x, F.lit("...")))
+        .otherwise(x),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_text_nl", F.array_join(decorated, "\n")
+    )
+    cols = gopher_line_columns("_text_nl")
+    return spread(docs).select(
+        F.col("doc_id"), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
 @query(
     "text_fingerprint",
     f"""

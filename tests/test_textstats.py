@@ -5,6 +5,46 @@ import pytest
 from smalltsdb_spark.operators import textstats
 
 
+def test_gopher_line_rules_each_rule_fires(spark):
+    """Natural newline-bearing docs where each line rule trips
+    independently (the driver row exercises derived lines; this pins the
+    real layouts the gate exists for)."""
+    docs = spark.createDataFrame(
+        [
+            # clean prose: 3 distinct lines, no bullets/ellipses
+            (1, "the cat sat\non the mat\nall day long"),
+            # ellipsis-heavy: 2 of 3 lines end with ... (0.667 > 0.3)
+            (2, "read more...\nclick here...\nfine line"),
+            # bullet list: all lines bulleted (1.0 > 0.9)
+            (3, "- first item\n- second item\n• third item\n* fourth"),
+            # duplicate lines: same line 3x of 4 (dup frac 0.5 > 0.3;
+            # dup char mass 24/36 = 0.667 > 0.2)
+            (4, "same old line\nsame old line\nsame old line\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in textstats.gopher_line_rules(docs, "doc_id", "text").collect()
+    }
+    assert r[1].passes and r[1].n_lines == 3
+    assert r[1].dup_line_frac == 0.0 and r[1].dup_line_char_frac == 0.0
+
+    assert r[2].ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert not r[2].r_ellipsis and not r[2].passes
+    assert r[2].r_bullet and r[2].r_dup_line
+
+    assert r[3].bullet_line_frac == 1.0
+    assert not r[3].r_bullet and not r[3].passes
+    assert r[3].r_ellipsis
+
+    assert r[4].dup_line_frac == 0.5
+    assert not r[4].r_dup_line and not r[4].r_dup_line_chars
+    # 2 extra copies of 'same old line' (13 chars) over 49 total line chars
+    assert r[4].dup_line_char_frac == pytest.approx(26 / 50, abs=1e-3)
+    assert not r[4].passes
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.createDataFrame(
