@@ -380,6 +380,72 @@ def novelty(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     )
 
 
+def vocab_overlap_sketch(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 2,
+    lgk: int = 14,
+) -> DataFrame:
+    """Sketch-mode source-vocabulary analysis — the 100 TB form of
+    :func:`queries_ext.text_vocab_overlap`.
+
+    The exact version shuffles the full DISTINCT (source, gram) relation
+    (one row per distinct gram per source — at web scale, billions of
+    rows through two hash exchanges).  This variant aggregates each
+    source's gram stream into a DataSketches HLL sketch
+    (``hll_sketch_agg`` — mergeable, fixed 2^lgk registers, map-side
+    partial merge), so the shuffle is n_sources × sketch_size REGARDLESS
+    of vocabulary size, and cross-source set algebra happens on the
+    tiny per-source sketch relation:
+
+    - ``n_grams_est``       ≈ |grams(source)|            (sketch estimate)
+    - ``total_grams_est``   ≈ |∪ all sources|            (union sketch)
+    - ``unique_grams_est``  ≈ total − |∪ other sources|  (inclusion-
+      exclusion on union sketches; subtraction of two estimates, so its
+      error is bounded by rsd × total, not rsd × unique)
+
+    Estimates are deterministic for a fixed input set (DataSketches HLL
+    is hash-based, merge is per-register max — order- and partitioning-
+    independent), which is what lets a driver row value-gate this path.
+    Standard error ≈ 1.04/√2^lgk (~0.8% at the default lgk=14).
+    """
+    grams = spread(df).select(
+        F.col(group_col), F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    )
+    sk = grams.groupBy(group_col).agg(
+        F.hll_sketch_agg("gram", F.lit(lgk)).alias("_sk")
+    )
+    est = sk.select(
+        group_col, F.hll_sketch_estimate("_sk").alias("n_grams_est"), "_sk"
+    )
+    total = sk.agg(F.hll_union_agg("_sk").alias("_all"))
+    others = (
+        sk.alias("a")
+        .join(
+            sk.select(F.col(group_col).alias("_og"), F.col("_sk").alias("_osk")),
+            F.col(group_col) != F.col("_og"),
+        )
+        .groupBy(group_col)
+        .agg(F.hll_union_agg("_osk").alias("_others"))
+    )
+    return (
+        est.join(others, group_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_grams_est",
+            F.hll_sketch_estimate("_all").alias("total_grams_est"),
+            (
+                F.hll_sketch_estimate("_all")
+                - F.coalesce(
+                    F.hll_sketch_estimate("_others"), F.lit(0).cast("long")
+                )
+            ).alias("unique_grams_est"),
+        )
+    )
+
+
 def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Per-document top-k TF-IDF terms (tf·ln(N/df), ties by term).
 

@@ -273,6 +273,72 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sketch-mode tolerance for the HLL self-check row: DataSketches HLL at
+#: lgk=14 has rsd ≈ 1.04/√2^14 ≈ 0.81%; 0.05 is >6σ for the direct
+#: estimates, and the unique-count check is bounded against the TOTAL
+#: vocabulary (subtraction of two union-sketch estimates — its error
+#: scales with the totals, not with the possibly-tiny unique count).
+SKETCH_REL_TOL = 0.05
+
+
+@query(
+    "text_vocab_overlap_sketch",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(DISTINCT source) AS BIGINT) AS sources_checked,
+           CAST(count(DISTINCT source) AS BIGINT) AS sources
+    FROM documents
+    """,
+)
+def text_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-mode (HLL) source-vocabulary path with its own
+    value-level driver signal — the tsdb_agg_onehour_approx pattern for
+    the text family: run the WHOLE approx plan
+    (operators/textstats.vocab_overlap_sketch: per-source
+    hll_sketch_agg, union/inclusion-exclusion on the sketch relation —
+    shuffle is n_sources × 2^lgk registers regardless of vocabulary
+    size, the 100 TB mode), then gate every per-source estimate against
+    the exact pipeline inside the query: |n_grams_est − n_grams| ≤
+    tol·n_grams and |unique_grams_est − unique_grams| ≤ tol·total
+    (subtraction error scales with totals).  Returns (violations,
+    sources_checked, sources) hash-compared to the oracle's (0, k, k);
+    DataSketches HLL is deterministic for a fixed input set, so the
+    gate is stable, not flaky."""
+    from smalltsdb_spark.operators.textstats import vocab_overlap_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    approx = vocab_overlap_sketch(docs, "source", "text", n=2)
+
+    grams = spread(docs).select(
+        "source",
+        F.explode(F.array_distinct(word_ngrams(tokens("text"), 2))).alias("gram"),
+    ).distinct()
+    wg = Window.partitionBy("gram")
+    annotated = grams.withColumn("n_sources", F.count("*").over(wg))
+    exact = annotated.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("n_sources") == 1).cast("long")).alias("unique_grams"),
+    )
+    total_exact = grams.agg(
+        F.countDistinct("gram").alias("total_grams")
+    )
+
+    j = approx.join(exact, "source").crossJoin(F.broadcast(total_exact))
+    tol = F.lit(SKETCH_REL_TOL)
+    bad = (
+        (F.abs(F.col("n_grams_est") - F.col("n_grams")) > tol * F.col("n_grams"))
+        | (F.abs(F.col("total_grams_est") - F.col("total_grams"))
+           > tol * F.col("total_grams"))
+        | (F.abs(F.col("unique_grams_est") - F.col("unique_grams"))
+           > tol * F.col("total_grams"))
+    )
+    return j.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.count("*").alias("sources_checked"),
+        F.count("*").alias("sources"),
+    )
+
+
 def _simhash_oracle() -> str:
     nbits = dedup.SIMHASH_BITS
     votes = ",\n               ".join(

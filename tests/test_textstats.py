@@ -5,6 +5,53 @@ import pytest
 from smalltsdb_spark.operators import textstats
 
 
+def test_vocab_overlap_sketch_accuracy_and_determinism(spark):
+    """HLL sketch estimates must land within the documented tolerance of
+    the exact counts, and be IDENTICAL across partitionings (register-max
+    merge is order-independent) — the property that lets a driver row
+    value-gate the sketch path."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    __import__(
+                        "smalltsdb_spark.functions", fromlist=["word_ngrams", "tokens"]
+                    ).word_ngrams(
+                        __import__(
+                            "smalltsdb_spark.functions", fromlist=["tokens"]
+                        ).tokens("text"),
+                        2,
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    got = {
+        r.source: r
+        for r in textstats.vocab_overlap_sketch(docs, "source", "text").collect()
+    }
+    for r in exact.collect():
+        est = got[r.source].n_grams_est
+        assert abs(est - r.n_grams) <= max(2, 0.05 * r.n_grams), (
+            r.source, est, r.n_grams,
+        )
+    # partitioning-independent estimates
+    again = {
+        r.source: r.asDict()
+        for r in textstats.vocab_overlap_sketch(
+            docs.repartition(13), "source", "text"
+        ).collect()
+    }
+    assert again == {k: v.asDict() for k, v in got.items()}
+
+
 def test_gopher_line_rules_each_rule_fires(spark):
     """Natural newline-bearing docs where each line rule trips
     independently (the driver row exercises derived lines; this pins the
