@@ -156,6 +156,37 @@ def main() -> None:
         measure(name, timed_noop(lambda fn=fn: fn(spark, sf_dir)))
     isolate()
 
+    # Streaming lifecycle FLOOR (VERDICT r6 item 7): a do-nothing
+    # Structured Streaming query over one staged row — readStream →
+    # parquet sink with checkpointing, availableNow drain, stop.  Every
+    # stream_* number above reads as (this floor) + actual work; without
+    # it a reader can't tell how much of e.g. stream_interval_join's
+    # seconds is checkpoint/micro-batch fixed overhead vs plan cost.
+    def run_stream_noop() -> float:
+        base = tempfile.mkdtemp(prefix="bench_stream_noop_")
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        schema = "path string, timestamp double, value double"
+        spark.createDataFrame([("n", 0.0, 1.0)], schema).write.mode(
+            "overwrite"
+        ).parquet(src)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        shutil.rmtree(base, ignore_errors=True)
+        return elapsed
+
+    measure("stream_noop", run_stream_noop)
+
     # BASELINE-equivalent: 6-period aggregation of >= 1M datapoints.
     inc = spread(events_as_incoming(spark, sf_dir))
     n = inc.count()

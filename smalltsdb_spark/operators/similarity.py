@@ -465,25 +465,37 @@ def ivf_probe(
     nearest centroids' lists (centroid distances driver-side — the
     centroid table is tiny by construction)."""
     spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        _probe_rows(C, queries, id_col, vec_col, nprobe),
+        "query_id long, _qv array<double>, _list int, _qn double",
+    )
+    return _rank_probed(assigned, F.broadcast(probes), k, dim)
+
+
+def _probe_rows(
+    C: np.ndarray, queries: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> list[tuple]:
+    """Driver-side probe plan: (query_id, qvec, list, qnorm) rows, one
+    per (query, probed centroid) — the centroid table is tiny by
+    construction, so centroid distances are driver numpy."""
     c_norm2 = np.einsum("ij,ij->i", C, C)
     q_ids, Q, Qn = _collect_vectors(queries, id_col, vec_col)
-    if len(q_ids):
-        dq = (
-            np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + c_norm2[None, :]
-        )
-        probe_rows = [
-            (int(q_ids[i]), [float(x) for x in Q[i]], int(l), float(Qn[i]))
-            for i in range(len(q_ids))
-            for l in np.argsort(dq[i], kind="stable")[:nprobe]
-        ]
-    else:
-        probe_rows = []
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, _qv array<double>, _list int, _qn double"
-    )
+    if not len(q_ids):
+        return []
+    dq = np.einsum("ij,ij->i", Q, Q)[:, None] - 2.0 * (Q @ C.T) + c_norm2[None, :]
+    return [
+        (int(q_ids[i]), [float(x) for x in Q[i]], int(l), float(Qn[i]))
+        for i in range(len(q_ids))
+        for l in np.argsort(dq[i], kind="stable")[:nprobe]
+    ]
 
+
+def _rank_probed(assigned: DataFrame, probes: DataFrame, k: int, dim) -> DataFrame:
+    """Shared probe-join scoring tail: candidates from the _list
+    equi-join, JVM-side cosine quantized with the oracle primitive,
+    deterministic (sim DESC, neighbor_id) rank."""
     cand = (
-        assigned.join(F.broadcast(probes), "_list")
+        assigned.join(probes, "_list")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -500,6 +512,51 @@ def ivf_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_index_write(index: DataFrame, path: str) -> None:
+    """Materialize an inverted-list index (:func:`ivf_assign` output) as
+    ``_list``-partitioned parquet — the storage layout that turns probe
+    pruning into PARTITION pruning at 100 TB: a probe touching nprobe of
+    n_centroids lists lists/opens only those directories
+    (:func:`ivf_probe_pruned`; PartitionFilters plan-pinned in
+    tests/test_plans.py).  One file per list (repartition on the
+    partition column), append new batches with mode='append' — centroids
+    are fixed, so ingest never rewrites existing lists."""
+    index.repartition("_list").write.partitionBy("_list").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_probe_pruned(
+    spark,
+    index_path: str,
+    C: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k over a MATERIALIZED ``_list``-partitioned IVF index
+    (:func:`ivf_index_write`): the probed lists are known driver-side
+    before the plan is built, so the scan carries a static
+    ``_list IN (...)`` partition filter — Spark lists/reads ONLY the
+    probed partition directories, i.e. at most nprobe × n_queries of
+    n_centroids lists regardless of corpus size.  This is the claim in
+    the module header ("bucket the corpus by centroid and the probe
+    join prunes") as actual storage + plan, not prose; row-identical to
+    :func:`ivf_probe` over the same index (same oracle)."""
+    rows = _probe_rows(C, queries, id_col, vec_col, nprobe)
+    probed = sorted({r[2] for r in rows})
+    scan = spark.read.parquet(index_path).filter(
+        F.col("_list").isin([int(x) for x in probed])
+    )
+    probes = spark.createDataFrame(
+        rows, "query_id long, _qv array<double>, _list int, _qn double"
+    )
+    return _rank_probed(scan, F.broadcast(probes), k, dim)
 
 
 def ivf_probe_distributed(

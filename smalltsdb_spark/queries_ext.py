@@ -706,6 +706,30 @@ def sim_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_partition_pruned", _ivf_oracle)
+def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a MATERIALIZED _list-partitioned parquet index
+    (similarity.ivf_index_write + ivf_probe_pruned): the probed lists
+    are known before the plan is built, so the scan carries a static
+    partition filter and Spark lists/reads only nprobe-of-n_centroids
+    partition directories — the storage layout that makes IVF pruning a
+    PARTITION prune at 100 TB instead of a post-scan filter.
+    Row-identical to sim_ivf_ann (same centroids, same oracle);
+    PartitionFilters pinned in tests/test_plans.py."""
+    from smalltsdb_spark.queries import _scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=16, seed=42)
+    index_path = f"{_scratch_dir('ivf_index_')}/index"
+    similarity.ivf_index_write(
+        similarity.ivf_assign(emb, "vec_id", "embedding", C), index_path
+    )
+    return similarity.ivf_probe_pruned(
+        spark, index_path, C, emb.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", k=5, nprobe=4, dim=64,
+    )
+
+
 _SEMANTIC_ORACLE_CACHE: dict[str, str] = {}
 
 #: dedup_semantic hyperparameters (shared by the query and its oracle)

@@ -305,6 +305,41 @@ def test_pq_adc_scoring_reads_no_vector_column(spark):
     assert "embedding" not in plan, plan
 
 
+def test_ivf_pruned_probe_scans_only_probed_partitions(spark, tmp_path):
+    """ivf_probe_pruned over a _list-partitioned index must carry the
+    probed lists as a PARTITION filter on the scan (PartitionFilters,
+    not a post-scan Filter) — the property that makes an IVF probe read
+    nprobe-of-n_centroids of the data at 100 TB."""
+    import numpy as np
+
+    from smalltsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    C = similarity.ivf_train(df, "vec_id", "embedding", n_centroids=8, seed=3)
+    index_path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(
+        similarity.ivf_assign(df, "vec_id", "embedding", C), index_path
+    )
+    got = similarity.ivf_probe_pruned(
+        spark, index_path, C, df.filter(F.col("vec_id") < 2),
+        "vec_id", "embedding", k=3, nprobe=2, dim=8,
+    )
+    plan = physical_plan(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_list" in m.group(1), plan
+    # and the result matches the unpartitioned probe over the same index
+    assigned = similarity.ivf_assign(df, "vec_id", "embedding", C)
+    want = similarity.ivf_probe(
+        assigned, C, df.filter(F.col("vec_id") < 2),
+        "vec_id", "embedding", k=3, nprobe=2, dim=8,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_histogram_partial_aggregates(spark):
     """tsdb_histogram must map-side combine (partial + final hash
     aggregate around one exchange)."""
