@@ -105,14 +105,21 @@ def cmd_stream(args) -> None:
     from smalltsdb_spark.session import get_spark
     from smalltsdb_spark.streaming import read_spool_stream, start_ingest, start_rollup
 
+    from smalltsdb_spark.storage import read_grain
+
     spark = get_spark()
     ckpt = args.checkpoints or os.path.join(args.db, "_checkpoints")
+    # honor the store's pinned partition grain: a TSDB handle may have
+    # created this store with partition_grain='hour', and a day-grain
+    # streaming writer would interleave mismatched pday values
+    grain = read_grain(args.db)
     queries = [
         start_ingest(
             read_spool_stream(spark, args.spool),
             os.path.join(args.db, "incoming"),
             os.path.join(ckpt, "ingest"),
             interval=f"{int(args.interval)} seconds",
+            grain_seconds=grain,
         )
     ]
     for name, seconds in PERIODS:
@@ -124,6 +131,7 @@ def cmd_stream(args) -> None:
                 seconds,
                 tail=args.tail,
                 interval=f"{int(args.interval)} seconds",
+                grain_seconds=grain,
             )
         )
     print(f"{len(queries)} streaming queries running; ctrl-c to stop")

@@ -383,34 +383,34 @@ def render_graph_html(
         start, end = (_epoch(v) for v in data.get("interval", (0, 1)))
         if end <= start:
             end = start + 1.0
+        def series_payload(s: dict) -> dict:
+            # point order matters to the polyline; the server renderer
+            # sorts, so the embedded copy does too (one sort per series)
+            pts = sorted(zip(s["timestamps"], s["values"]))
+            return {
+                "label": str(s["label"]),
+                "t": [float(t) for t, _ in pts],
+                "v": [None if v is None else float(v) for _, v in pts],
+            }
+
         embedded = {
             "start": start,
             "end": end,
-            "series": [
-                {
-                    "label": str(s["label"]),
-                    # point order matters to the polyline; the server
-                    # renderer sorts, so the embedded copy does too
-                    "t": [float(t) for t, _ in sorted(zip(s["timestamps"], s["values"]))],
-                    "v": [
-                        (None if v is None else float(v))
-                        for _, v in sorted(zip(s["timestamps"], s["values"]))
-                    ],
-                }
-                for s in data.get("series", [])
-            ],
+            "series": [series_payload(s) for s in data.get("series", [])],
         }
         # "</" -> "<\/" so a hostile series label can't close the
-        # <script> element from inside the embedded JSON
+        # <script> element from inside the embedded JSON; the DATA
+        # substitution runs LAST so the other placeholder tokens are
+        # never rewritten inside user-controlled label text
         js = (
-            _INTERACTIVE_JS.replace("__DATA__", json.dumps(embedded).replace("</", "<\\/"))
-            .replace("__PALETTE__", json.dumps(PALETTE))
+            _INTERACTIVE_JS.replace("__PALETTE__", json.dumps(PALETTE))
             .replace("__WIDTH__", str(int(width)))
             .replace("__HEIGHT__", str(int(height)))
             .replace("__SURFACE__", SURFACE)
             .replace("__GRID__", GRID)
             .replace("__INKSEC__", INK_SECONDARY)
             .replace("__INK__", INK)
+            .replace("__DATA__", json.dumps(embedded).replace("</", "<\\/"))
         )
         script = "<script>" + js + "</script>"
     return (

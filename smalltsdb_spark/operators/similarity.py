@@ -514,18 +514,19 @@ def _rank_probed(assigned: DataFrame, probes: DataFrame, k: int, dim) -> DataFra
     )
 
 
-def ivf_index_write(index: DataFrame, path: str) -> None:
+def ivf_index_write(index: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize an inverted-list index (:func:`ivf_assign` output) as
     ``_list``-partitioned parquet — the storage layout that turns probe
     pruning into PARTITION pruning at 100 TB: a probe touching nprobe of
     n_centroids lists lists/opens only those directories
     (:func:`ivf_probe_pruned`; PartitionFilters plan-pinned in
     tests/test_plans.py).  One file per list (repartition on the
-    partition column), append new batches with mode='append' — centroids
-    are fixed, so ingest never rewrites existing lists."""
-    index.repartition("_list").write.partitionBy("_list").mode(
-        "overwrite"
-    ).parquet(path)
+    partition column).  ``mode='overwrite'`` (default) builds/rebuilds
+    the whole index; incremental ingest MUST pass ``mode='append'`` —
+    centroids are fixed so a new batch only adds files to existing list
+    directories, and an accidental overwrite would drop every earlier
+    batch from ANN results."""
+    index.repartition("_list").write.partitionBy("_list").mode(mode).parquet(path)
 
 
 def ivf_probe_pruned(

@@ -273,22 +273,25 @@ def gopher_line_columns(text_col: str, line_sep: str = "\n") -> dict[str, Column
     mass is ``total_chars − chars(distinct lines)``: each copy beyond a
     line's first occurrence contributes its length, no per-line
     recount), so per-row cost is bounded by document length at any
-    corpus size.  Ratios round to 6 BEFORE threshold comparison so the
-    pass/fail boundary is bit-identical across engines.
+    corpus size.  Ratios quantize to 6 decimals with the
+    ``floor(x*1e6+0.5)/1e6`` primitive BEFORE threshold comparison —
+    the SAME expression the oracle evaluates (identical primitive ops,
+    so ties at the 6th decimal quantize the same way by construction;
+    ``F.round``/DuckDB ``round`` are different primitives that can
+    disagree on tie-adjacent values — the similarity-kernel fix).
     """
+    round6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     lines = F.split(F.col(text_col), line_sep)
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
-    ellipsis_frac = F.round(
-        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n, 6
+    ellipsis_frac = round6(
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n
     )
     bullet = lambda x: functools.reduce(  # noqa: E731
         lambda a, b: a | b, [x.startswith(p) for p in _BULLET_PREFIXES]
     )
-    bullet_frac = F.round(
-        F.size(F.filter(lines, bullet)).cast("double") / n, 6
-    )
-    dup_frac = F.round(F.lit(1.0) - nd.cast("double") / n, 6)
+    bullet_frac = round6(F.size(F.filter(lines, bullet)).cast("double") / n)
+    dup_frac = round6(F.lit(1.0) - nd.cast("double") / n)
     chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -297,7 +300,7 @@ def gopher_line_columns(text_col: str, line_sep: str = "\n") -> dict[str, Column
     )
     dup_char_frac = F.when(
         chars > 0,
-        F.round((chars - chars_distinct).cast("double") / chars, 6),
+        round6((chars - chars_distinct).cast("double") / chars),
     ).otherwise(F.lit(0.0))
 
     r_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC

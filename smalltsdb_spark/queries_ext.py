@@ -1448,12 +1448,13 @@ def _gopher_line_oracle() -> str:
     ),
     m AS (
         SELECT doc_id, len(l) AS n_lines,
-               round(len(list_filter(l, x -> suffix(x, '...')))::DOUBLE
-                     / len(l), 6) AS ef,
-               round(len(list_filter(l, x -> x LIKE '- %' OR x LIKE '• %'
+               floor(len(list_filter(l, x -> suffix(x, '...')))::DOUBLE
+                     / len(l) * 1000000 + 0.5) / 1000000 AS ef,
+               floor(len(list_filter(l, x -> x LIKE '- %' OR x LIKE '• %'
                                           OR x LIKE '* %'))::DOUBLE
-                     / len(l), 6) AS bf,
-               round(1.0 - len(list_distinct(l))::DOUBLE / len(l), 6) AS dlf,
+                     / len(l) * 1000000 + 0.5) / 1000000 AS bf,
+               floor((1.0 - len(list_distinct(l))::DOUBLE / len(l))
+                     * 1000000 + 0.5) / 1000000 AS dlf,
                list_sum(list_transform(l, x -> length(x))) AS chars,
                list_sum(list_transform(list_distinct(l), x -> length(x)))
                    AS chars_distinct
@@ -1464,20 +1465,23 @@ def _gopher_line_oracle() -> str:
            bf AS bullet_line_frac,
            dlf AS dup_line_frac,
            CASE WHEN chars > 0
-                THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                THEN floor((chars - chars_distinct)::DOUBLE / chars
+                           * 1000000 + 0.5) / 1000000
                 ELSE 0.0 END AS dup_line_char_frac,
            ef <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} AS r_ellipsis,
            bf <= {GOPHER_MAX_BULLET_LINE_FRAC} AS r_bullet,
            dlf <= {GOPHER_MAX_DUP_LINE_FRAC} AS r_dup_line,
            (CASE WHEN chars > 0
-                 THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                 THEN floor((chars - chars_distinct)::DOUBLE / chars
+                            * 1000000 + 0.5) / 1000000
                  ELSE 0.0 END) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
                AS r_dup_line_chars,
            ef <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
                AND bf <= {GOPHER_MAX_BULLET_LINE_FRAC}
                AND dlf <= {GOPHER_MAX_DUP_LINE_FRAC}
                AND (CASE WHEN chars > 0
-                         THEN round((chars - chars_distinct)::DOUBLE / chars, 6)
+                         THEN floor((chars - chars_distinct)::DOUBLE / chars
+                            * 1000000 + 0.5) / 1000000
                          ELSE 0.0 END) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
                AS passes
     FROM m

@@ -72,11 +72,64 @@ def pin_grain(root: str, grain_seconds: int) -> None:
                 f"{existing}s; cannot open with grain {grain_seconds}s"
             )
         return
+    # Unmarked root WITH existing partition data predates the marker:
+    # its pday values mean floor(ts/86400) (day was the only grain), so
+    # pinning any other grain would reinterpret — and retention would
+    # mass-delete — every legacy partition.  Day may be pinned onto it;
+    # anything else needs an explicit rewrite/migration.
+    if grain_seconds != SECONDS_PER_DAY and _has_partition_dirs(root):
+        raise ValueError(
+            f"store at {root!r} has existing pre-marker partitions "
+            f"(day grain); cannot pin grain {grain_seconds}s — rewrite "
+            "the store to change its partition grain"
+        )
     os.makedirs(root, exist_ok=True)
-    tmp = f"{marker}.tmp-{os.getpid()}"
+    tmp = f"{marker}.tmp-{os.getpid()}-{id(object())}"
     with open(tmp, "w") as f:
         f.write(str(grain_seconds))
     os.replace(tmp, marker)
+    # two concurrent creators with DIFFERENT grains both pass the
+    # no-marker check; last os.replace wins, so re-read and fail the
+    # loser instead of letting it write mismatched partitions
+    with open(marker) as f:
+        final = int(f.read().strip())
+    if final != grain_seconds:
+        raise ValueError(
+            f"store at {root!r} was concurrently pinned to grain "
+            f"{final}s; cannot open with grain {grain_seconds}s"
+        )
+
+
+def _has_partition_dirs(root: str) -> bool:
+    """True if any pday= partition directory exists under ``root``
+    (checked at the root and one level down — the store layout is
+    root/<table>/pday=N; the incoming table may also BE the root)."""
+    if not os.path.isdir(root):
+        return False
+    prefix = f"{PARTITION_COLUMN}="
+    for name in os.listdir(root):
+        sub = os.path.join(root, name)
+        if name.startswith(prefix):
+            return True
+        if os.path.isdir(sub) and not name.startswith(("_", ".")):
+            try:
+                if any(n.startswith(prefix) for n in os.listdir(sub)):
+                    return True
+            except OSError:
+                continue
+    return False
+
+
+def read_grain(root: str, default: int = SECONDS_PER_DAY) -> int:
+    """The grain a store's marker pins, or ``default`` when unmarked —
+    what every EXTERNAL writer (daemon ingest, streaming rollup) must
+    use so it cannot write mismatched partition values into a store a
+    TSDB handle created with a non-default grain."""
+    marker = os.path.join(root, GRAIN_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return default
 
 
 def with_pday(df: DataFrame, grain_seconds: int = SECONDS_PER_DAY) -> DataFrame:

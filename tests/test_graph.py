@@ -191,6 +191,21 @@ def test_interactive_script_is_injection_safe():
     assert "</script><script>alert(1)" not in body
 
 
+def test_interactive_label_containing_placeholder_survives():
+    """Template placeholders must never be rewritten inside the embedded
+    user-controlled payload (labels come from metric names): the DATA
+    substitution runs after every style/size token."""
+    import json
+    import re
+
+    data = _data(1)
+    data["series"][0]["label"] = "weird __INK__ __WIDTH__ metric"
+    html = render_graph_html(data, interactive=True)
+    m = re.search(r"var D = (\{.*?\});\n", html, re.DOTALL)
+    payload = json.loads(m.group(1))
+    assert payload["series"][0]["label"] == "weird __INK__ __WIDTH__ metric"
+
+
 def test_flask_graph_svg_endpoint(spark, tsdb_dir):
     flask = __import__("pytest").importorskip("flask")  # noqa: F841
 

@@ -104,6 +104,39 @@ def test_grain_mismatch_is_a_hard_error(spark, tsdb_dir):
         TablesTSDB(spark, tsdb_dir, partition_grain="week")
 
 
+def test_legacy_unmarked_store_refuses_new_grain(spark, tsdb_dir):
+    """A store with pre-marker day-grain partitions (created before the
+    grain marker existed) must refuse an hour-grain open at write time:
+    its pday values mean floor(ts/86400), and reinterpreting them as
+    hours would misplace reads and mass-delete data at retention."""
+    import os
+
+    clock = {"now": 0.0}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    db.insert([("m", 1.0, 1.0)])
+    os.remove(os.path.join(tsdb_dir, "_partition_grain"))  # simulate legacy
+    legacy_as_hour = TablesTSDB(
+        spark, tsdb_dir, now=lambda: clock["now"], partition_grain="hour"
+    )  # open succeeds (no marker to check) ...
+    with pytest.raises(ValueError, match="pre-marker"):
+        legacy_as_hour.insert([("m", 2.0, 1.0)])  # ... first write refuses
+    # day grain may still be pinned onto the legacy layout
+    TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"]).insert([("m", 2.0, 1.0)])
+
+
+def test_read_grain_reports_pinned_value(spark, tsdb_dir):
+    """External writers (daemon ingest/rollup, cli stream) read the
+    store's grain through storage.read_grain so they cannot write
+    mismatched partition values into an hour-grain store."""
+    from smalltsdb_spark.storage import read_grain
+
+    assert read_grain(tsdb_dir) == 86400  # unmarked -> default day
+    clock = {"now": 0.0}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"], partition_grain="hour")
+    db.insert([("m", 1.0, 1.0)])
+    assert read_grain(tsdb_dir) == 3600
+
+
 def test_retention_drops_old_partitions(spark, tsdb_dir):
     clock = {"now": 0.0}
     db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
