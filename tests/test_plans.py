@@ -340,6 +340,42 @@ def test_ivf_pruned_probe_scans_only_probed_partitions(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_ivf_index_append_mode_accumulates_batches(spark, tmp_path):
+    """The documented incremental path: build the index from the corpus,
+    append a later batch with mode='append', probe — results must equal
+    a probe over the full union (an accidental overwrite would silently
+    drop every earlier batch from ANN results)."""
+    import numpy as np
+
+    from smalltsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    corpus = df.filter(F.col("vec_id") % 4 != 0)
+    batch = df.filter(F.col("vec_id") % 4 == 0)
+    C = similarity.ivf_train(corpus, "vec_id", "embedding", n_centroids=8, seed=5)
+    index_path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(
+        similarity.ivf_assign(corpus, "vec_id", "embedding", C), index_path
+    )
+    similarity.ivf_index_write(
+        similarity.ivf_assign(batch, "vec_id", "embedding", C),
+        index_path,
+        mode="append",
+    )
+    got = similarity.ivf_probe_pruned(
+        spark, index_path, C, df.filter(F.col("vec_id") < 2),
+        "vec_id", "embedding", k=3, nprobe=2, dim=8,
+    )
+    want = similarity.ivf_probe(
+        similarity.ivf_assign(df, "vec_id", "embedding", C),
+        C, df.filter(F.col("vec_id") < 2),
+        "vec_id", "embedding", k=3, nprobe=2, dim=8,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_histogram_partial_aggregates(spark):
     """tsdb_histogram must map-side combine (partial + final hash
     aggregate around one exchange)."""
