@@ -35,6 +35,13 @@ ORACLE: dict[str, str | Callable[[], str]] = {}
 
 def query(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
+        # a duplicate name would SILENTLY shadow an already-driver-green
+        # query (and its oracle) — fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(
+                f"driver query {name!r} is already registered "
+                f"(by {QUERIES[name].__module__}.{QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -707,3 +707,44 @@ def rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "rel_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch(o_orderdate) AS o_orderdate, o_totalprice,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+)
+def rel_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q18 shape — large-volume customers: per-order quantity
+    rollup with a HAVING cut, customer annotation via broadcast.  The
+    HAVING threshold compares a sum of small-integer-valued doubles
+    (exact in IEEE-754 well below 2^53), so the cut is engine-exact
+    without rounding; the per-order aggregation map-side combines on the
+    natural join key, one fact shuffle total (the orders join reuses the
+    order-key partitioning)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("double").alias("o_orderdate"),
+            "o_totalprice",
+            F.round(F.col("_sq"), 4).alias("sum_qty"),
+        )
+    )

@@ -396,6 +396,32 @@ def test_seasonal_baseline_is_broadcast(spark):
     assert broadcast_join_count(df) >= 1, physical_plan(df)
 
 
+def test_pricing_summary_pushes_date_filter_and_partial_aggs(spark):
+    """rel_pricing_summary (the Q1 shape): the shipdate predicate must
+    reach the parquet scan, and the 8-aggregate groupBy must map-side
+    combine (partial+final around one exchange)."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["rel_pricing_summary"](spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, filters
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    # one hash exchange for the groupBy; the final ORDER BY adds at most
+    # one range exchange over the tiny |flag x status| grouped relation
+    assert exchange_count(df) <= 2, plan
+
+
+def test_shipping_priority_broadcasts_segment_customers(spark):
+    """rel_shipping_priority (the Q3 shape): the segment-filtered
+    customer dim must broadcast — lineitem⋈orders is the only fact-side
+    shuffle pair."""
+    from smalltsdb_spark.queries import QUERIES
+
+    df = QUERIES["rel_shipping_priority"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
 def test_small_qty_revenue_broadcasts_dims(spark):
     """rel_small_qty_revenue (the Q17 shape): the brand-pruned part dim
     and the per-part avg relation must both broadcast — lineitem is
