@@ -104,6 +104,41 @@ def test_grain_mismatch_is_a_hard_error(spark, tsdb_dir):
         TablesTSDB(spark, tsdb_dir, partition_grain="week")
 
 
+def test_sync_results_are_grain_invariant(spark, tmp_path):
+    """The partition grain is STORAGE layout only: the same inserts
+    synced at day grain and at hour grain must produce identical period
+    tables and identical surviving incoming rows — over a dataset that
+    straddles hour AND day boundaries (where a grain-dependent bug in
+    upsert pruning or boundary retention would show)."""
+    pts = [
+        # same path in multiple hours of one day + a second day,
+        # plus a second path to exercise per-path HWMs
+        ("a", 10.0, 1.0), ("a", 3_605.0, 2.0), ("a", 7_210.0, 3.0),
+        ("a", 86_400.0 + 15.0, 4.0),
+        ("b", 3_599.0, 5.0), ("b", 86_400.0 + 3_601.0, 6.0),
+    ]
+    now = 3 * 86_400.0  # everything final; retention cutoff active
+    results = {}
+    for grain in ("day", "hour"):
+        d = str(tmp_path / grain)
+        db = TablesTSDB(spark, d, now=lambda: now, partition_grain=grain)
+        db.insert(pts)
+        db.sync()
+        db.sync()  # idempotency at both grains
+        results[grain] = {
+            period: sorted(
+                (r.path, r.timestamp, r.n, r.min, r.max, r.avg, r.sum)
+                for r in db.period_table(period).collect()
+            )
+            for period, _ in db.periods
+        } | {
+            "_incoming": sorted(
+                (r.path, r.timestamp, r.value) for r in db.incoming().collect()
+            )
+        }
+    assert results["day"] == results["hour"]
+
+
 def test_legacy_unmarked_store_refuses_new_grain(spark, tsdb_dir):
     """A store with pre-marker day-grain partitions (created before the
     grain marker existed) must refuse an hour-grain open at write time:

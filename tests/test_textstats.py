@@ -5,6 +5,52 @@ import pytest
 from smalltsdb_spark.operators import textstats
 
 
+def test_gopher_line_rules_match_python_reference_on_random_docs(spark):
+    """Adversarial-shape equivalence: the Spark expressions must agree
+    with a straightforward pure-Python reference on randomized documents
+    covering empty lines, duplicate runs, bullets, ellipses, unicode
+    bullets, and single-line docs."""
+    import math
+    import random
+
+    rng = random.Random(1234)
+    pieces = [
+        "plain text line", "- bullet item", "• unicode bullet", "* star item",
+        "trailing dots...", "", "repeat me", "repeat me", "repeat me",
+        "another line", "x", "ends with the",
+    ]
+    docs = [
+        (i, "\n".join(rng.choice(pieces) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.gopher_line_rules(df, "doc_id", "text").collect()
+    }
+
+    def round6(x):  # the engines' shared primitive
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        n = len(lines)
+        ell = round6(sum(1 for x in lines if x.endswith("...")) / n)
+        bul = round6(
+            sum(1 for x in lines if x.startswith(("- ", "• ", "* "))) / n
+        )
+        dup = round6(1.0 - len(set(lines)) / n)
+        chars = sum(len(x) for x in lines)
+        chars_d = sum(len(x) for x in set(lines))
+        dupc = round6((chars - chars_d) / chars) if chars > 0 else 0.0
+        r = got[doc_id]
+        assert r.n_lines == n, doc_id
+        assert r.ellipsis_line_frac == ell, (doc_id, r.ellipsis_line_frac, ell)
+        assert r.bullet_line_frac == bul, (doc_id, r.bullet_line_frac, bul)
+        assert r.dup_line_frac == dup, (doc_id, r.dup_line_frac, dup)
+        assert r.dup_line_char_frac == dupc, (doc_id, r.dup_line_char_frac, dupc)
+
+
 def test_vocab_overlap_sketch_accuracy_and_determinism(spark):
     """HLL sketch estimates must land within the documented tolerance of
     the exact counts, and be IDENTICAL across partitionings (register-max
