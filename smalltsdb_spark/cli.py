@@ -113,9 +113,10 @@ def cmd_stream(args) -> None:
     # created this store with partition_grain='hour', and a day-grain
     # streaming writer would interleave mismatched pday values
     grain = read_grain(args.db)
+    mft = getattr(args, "max_files_per_trigger", None)
     queries = [
         start_ingest(
-            read_spool_stream(spark, args.spool),
+            read_spool_stream(spark, args.spool, max_files_per_trigger=mft),
             os.path.join(args.db, "incoming"),
             os.path.join(ckpt, "ingest"),
             interval=f"{int(args.interval)} seconds",
@@ -125,7 +126,7 @@ def cmd_stream(args) -> None:
     for name, seconds in PERIODS:
         queries.append(
             start_rollup(
-                read_spool_stream(spark, args.spool),
+                read_spool_stream(spark, args.spool, max_files_per_trigger=mft),
                 os.path.join(args.db, name),
                 os.path.join(ckpt, f"rollup_{name}"),
                 seconds,
@@ -244,6 +245,14 @@ def main(argv=None) -> None:
     p.add_argument("--interval", type=float, default=10.0, help="trigger seconds")
     p.add_argument("--tail", type=float, default=60.0, help="finality watermark seconds")
     p.add_argument("--checkpoints", help="checkpoint root (default <db>/_checkpoints)")
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound each micro-batch to N spool files (backpressure: a "
+        "post-outage backlog drains in bounded batches instead of one "
+        "giant catch-up batch)",
+    )
     p.set_defaults(func=cmd_stream)
 
     p = sub.add_parser("sync", help="advance finalized aggregates once (or --repeat)")

@@ -84,7 +84,12 @@ def pin_grain(root: str, grain_seconds: int) -> None:
             "the store to change its partition grain"
         )
     os.makedirs(root, exist_ok=True)
-    tmp = f"{marker}.tmp-{os.getpid()}-{id(object())}"
+    # unique tmp per writer: pid alone collides across THREADS (the six
+    # concurrent sync workers all pin on first upsert), and a colliding
+    # tmp name lets one thread os.replace the other's file away
+    import uuid
+
+    tmp = f"{marker}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(str(grain_seconds))
     os.replace(tmp, marker)

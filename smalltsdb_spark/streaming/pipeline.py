@@ -45,7 +45,10 @@ from smalltsdb_spark.sources.graphite import parse_lines_df
 
 
 def read_spool_stream(
-    spark: SparkSession, spool_dir: str, use_datasource: bool = False
+    spark: SparkSession,
+    spool_dir: str,
+    use_datasource: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming incoming relation from a daemon spool directory.
 
@@ -53,13 +56,23 @@ def read_spool_stream(
     ``use_datasource=True`` for the pure-Python ``graphite`` DataSource
     (sources/datasource.py) — same rows, useful where the spool naming
     contract (offset = filename order) matters more than throughput.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many spool
+    files (the file source's backpressure knob): after a daemon outage
+    the backlog drains in bounded batches instead of one giant catch-up
+    batch whose shuffle/state blows past executor memory — the
+    difference between a self-healing and a self-OOMing pipeline at
+    production rates.  None (default) = Spark's unbounded default.
     """
     if use_datasource:
         from smalltsdb_spark.sources.datasource import GraphiteDataSource
 
         spark.dataSource.register(GraphiteDataSource)
         return spark.readStream.format("graphite").load(spool_dir)
-    lines = spark.readStream.text(spool_dir + "/*.graphite")
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    lines = reader.text(spool_dir + "/*.graphite")
     return parse_lines_df(lines)
 
 

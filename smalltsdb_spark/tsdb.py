@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import threading
 import time
 from functools import reduce
 
@@ -108,6 +109,8 @@ class BaseTSDB:
             )
         self.partition_grain = partition_grain
         self.grain_seconds = PARTITION_GRAINS[partition_grain]
+        self._grain_lock = threading.Lock()
+        self._grain_pinned = False
         self._grain_roots = {self.path}
         if not os.path.normpath(self.incoming_path).startswith(
             os.path.normpath(self.path) + os.sep
@@ -121,9 +124,16 @@ class BaseTSDB:
 
     def _pin_grain(self) -> None:
         """Write-path hook: pin the grain markers (first write creates
-        them; later opens with a different grain then fail eagerly)."""
-        for root in self._grain_roots:
-            storage.pin_grain(root, self.grain_seconds)
+        them; later opens with a different grain then fail eagerly).
+        Serialized per handle — sync's six concurrent period workers all
+        pin on their first upsert, and pin-once is cheaper than six
+        racing tmp+rename sequences."""
+        with self._grain_lock:
+            if self._grain_pinned:
+                return
+            for root in self._grain_roots:
+                storage.pin_grain(root, self.grain_seconds)
+            self._grain_pinned = True
 
     # -- write path ---------------------------------------------------------
 

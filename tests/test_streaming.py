@@ -116,3 +116,32 @@ def test_rollup_partials_update_mode(spark, spool, tmp_path):
     # same values as the final buckets — they just became visible before
     # the watermark passed (ViewTSDB shows the same thing, tsdb.py:216-227)
     assert rows == pytest.approx(sorted(GOLDEN_A_TENSECOND))
+
+
+def test_ingest_backpressure_bounded_batches(spark, spool, tmp_path):
+    """maxFilesPerTrigger=1 drains a 4-file backlog in 4 bounded
+    micro-batches instead of one giant catch-up batch (the post-outage
+    self-healing property: at production rates an unbounded first batch
+    after downtime shuffles the whole backlog at once)."""
+    for p, t, v in GOLDEN_A_INPUT:
+        spool([(p, t, v)])  # one file per datapoint → 4+ files
+    n_files = len(
+        [f for f in os.listdir(spool.spool_dir) if f.endswith(".graphite")]
+    )
+    assert n_files >= 4
+    incoming_path = str(tmp_path / "incoming")
+    q = start_ingest(
+        read_spool_stream(spark, spool.spool_dir, max_files_per_trigger=1),
+        incoming_path,
+        str(tmp_path / "ckpt_bp"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # one batch per file: the backlog drained in n_files bounded steps
+    assert len(progress) == n_files
+    rows = sorted(
+        map(tuple, spark.read.parquet(incoming_path).select(
+            "path", "timestamp", "value").collect())
+    )
+    assert rows == sorted(GOLDEN_A_INPUT)

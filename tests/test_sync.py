@@ -5,6 +5,8 @@ injected, and the tensecond table is asserted after each step.  Pins bucket
 finalization timing, the silent-late-row drop, and sync idempotency.
 """
 
+import os
+
 import pytest
 
 from smalltsdb_spark.tsdb import TablesTSDB, TwoDatabasesTSDB
@@ -243,3 +245,32 @@ def test_overwrite_partitions_swaps_atomically(spark, tmp_path):
 
     leftovers = [n for n in _os.listdir(str(tmp_path)) if "staging" in n]
     assert leftovers == []
+
+
+def test_pin_grain_concurrent_threads(tmp_path):
+    """pin_grain from many threads of one process must not lose the
+    marker: the tmp name is per-writer (pid+uuid), so no thread can
+    os.replace another's tmp file away mid-write."""
+    import threading
+
+    from smalltsdb_spark import storage
+
+    root = str(tmp_path / "store")
+    errors = []
+
+    def pin():
+        try:
+            for _ in range(20):
+                storage.pin_grain(root, 86400)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=pin) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert storage.read_grain(root) == 86400
+    # no stranded tmp files from a lost rename race
+    assert [f for f in os.listdir(root) if ".tmp-" in f] == []
