@@ -95,6 +95,28 @@ def cmd_sync(args) -> None:
             time.sleep(max(0.0, args.repeat - (time.monotonic() - started)))
 
 
+def cmd_compact(args) -> None:
+    """Maintenance pass: coalesce fragmented partitions (see
+    TSDB.compact).  Shares the sync lock — compaction is a writer and
+    must not race an appender; readers stay safe via the per-partition
+    atomic swap."""
+    from smalltsdb_spark.session import get_spark
+    from smalltsdb_spark.storage import read_grain
+    from smalltsdb_spark.tsdb import TSDB
+
+    spark = get_spark()
+    grain = read_grain(args.db)
+    db = TSDB(
+        spark,
+        args.db,
+        partition_grain="hour" if grain == 3600 else "day",
+    )
+    with exclusive_lock(args.lock_file):
+        done = db.compact(max_files_per_partition=args.max_files)
+    for table, parts in done.items():
+        print(f"{table}: compacted {len(parts)} partition(s)")
+
+
 def cmd_stream(args) -> None:
     """The always-on flavor: daemon spool → streaming ingest → one
     watermark rollup per period (streaming/pipeline.py).  sync() becomes
@@ -261,6 +283,20 @@ def main(argv=None) -> None:
     p.add_argument("--emit-metrics", action="store_true")
     p.add_argument("--repeat", type=float, default=0.0, help="re-sync every N seconds")
     p.set_defaults(func=cmd_sync)
+
+    p = sub.add_parser(
+        "compact",
+        help="coalesce fragmented partitions to one file each (maintenance)",
+    )
+    p.add_argument("--db", required=True)
+    p.add_argument("--lock-file", help="flock here so compaction never races a writer")
+    p.add_argument(
+        "--max-files",
+        type=int,
+        default=1,
+        help="only rewrite partitions with more data files than this",
+    )
+    p.set_defaults(func=cmd_compact)
 
     p = sub.add_parser(
         "rundev",

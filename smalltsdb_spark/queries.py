@@ -834,6 +834,38 @@ def tsdb_sync_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tsdb_compact_roundtrip", _oracle_agg(3600))
+def tsdb_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction preserves the row multiset exactly, value-checked.
+
+    Four interleaved insert batches fragment every day-partition of the
+    incoming table to 4 files (storage.append adds one file per touched
+    partition per write — the daemon/streaming write pattern), then
+    ``compact()`` rewrites each fragmented partition down to one file via
+    the same atomic per-partition swap the upsert path uses.  The
+    one-hour aggregation of the compacted table equals the plain oracle
+    iff no row was lost, duplicated, or altered by the rewrite.
+
+    Scale shape: compaction reads ONLY fragmented partitions (``pday IN
+    (...)`` prunes at the file index) and rewrites one partition per
+    task — cost scales with fragmentation, not table size.  File-count
+    assertions live in tests/test_sync.py::test_compact_preserves_rows.
+    """
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    inc = events_as_incoming(spark, sf_dir)
+    base = _scratch_dir("tsdb_compact_")
+    db = TablesTSDB(spark, base, now=lambda: 0.0)
+    # one row goes to exactly one batch (hash over ALL columns, so
+    # identical duplicate rows travel together and the union of the four
+    # batches is the original multiset)
+    bucket = F.pmod(F.abs(F.hash("path", "timestamp", "value")), F.lit(4))
+    for i in range(4):
+        db.insert(inc.filter(bucket == i))
+    db.compact()
+    return _round_stats(aggregate(db.incoming(), 3600), _STATS)
+
+
 @query("tsdb_two_databases", _oracle_agg(3600))
 def tsdb_two_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 as a value-checked row: the split-location backend

@@ -261,6 +261,88 @@ def drop_partitions_below(
     return removed
 
 
+def partition_file_counts(path: str) -> dict[int, int]:
+    """Committed-data-file count per partition value under ``path``.
+
+    The fragmentation gauge: append-mode writers (daemon micro-batch
+    flushes, streaming rollups, repeated ``insert`` calls) add one file
+    per write to every partition they touch, so a partition's file count
+    grows with write frequency, not data volume.  Dot/underscore-prefixed
+    entries (in-flight ``_temporary``, crash debris) are ignored, same as
+    Spark's file index.
+    """
+    counts: dict[int, int] = {}
+    if not os.path.isdir(path):
+        return counts
+    prefix = f"{PARTITION_COLUMN}="
+    for name in os.listdir(path):
+        if not name.startswith(prefix):
+            continue
+        try:
+            unit = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        pdir = os.path.join(path, name)
+        n = 0
+        for root, dirs, files in os.walk(pdir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        counts[unit] = n
+    return counts
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    grain_seconds: int = SECONDS_PER_DAY,
+    max_files: int = 1,
+) -> list[int]:
+    """Rewrite fragmented partitions (more than ``max_files`` data files)
+    down to one file each; returns the compacted partition values.
+
+    The maintenance half of the append write path: every daemon flush,
+    streaming micro-batch, and ``insert`` call appends one file per
+    touched partition, so a hot partition accumulates files linearly
+    with write count and every later scan pays listing + footer + seek
+    per file.  Compaction reads ONLY the fragmented partitions (the
+    ``pday IN (...)`` filter prunes at the file index — untouched
+    partitions are never opened, so cost scales with fragmentation, not
+    table size) and swaps each back in atomically via
+    :func:`overwrite_partitions`, preserving the row multiset exactly.
+
+    Concurrency contract is the writer contract: run under the same
+    exclusive lock as sync (``cli.exclusive_lock``) so no append lands
+    between the read and the swap; concurrent READERS stay safe — they
+    see each partition wholly-old or wholly-new.
+
+    At 100 TB this is the difference between a streaming table that
+    degrades forever and one with bounded file counts; with a table
+    format (Delta OPTIMIZE / Iceberg rewrite_data_files) it becomes a
+    metadata-transactional drop-in, same call shape.
+    """
+    fragmented = sorted(
+        u for u, n in partition_file_counts(path).items() if n > max_files
+    )
+    if not fragmented:
+        return []
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(PARTITION_COLUMN, T.LongType())]
+    )
+    rows = (
+        spark.read.schema(read_schema)
+        .parquet(path)
+        .filter(F.col(PARTITION_COLUMN).isin(fragmented))
+        .select(*[f.name for f in schema.fields])
+    )
+    overwrite_partitions(rows, path, grain_seconds)
+    return fragmented
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -288,6 +288,33 @@ class BaseTSDB:
         """Lifecycle parity (reference tsdb.py:96-104); the SparkSession is
         shared and not owned by the handle, so nothing to release."""
 
+    def compact(self, max_files_per_partition: int = 1) -> dict[str, list[int]]:
+        """Coalesce fragmented partitions back to one file each.
+
+        Every ``insert``, daemon flush, and streaming micro-batch APPENDS
+        one file per touched partition (storage.append), so write-heavy
+        stores accumulate small files without bound — the reference's
+        SQLite B-tree absorbs this in-place (its pages self-compact);
+        parquet needs an explicit maintenance pass.  Returns
+        ``{table_name: [compacted partition values]}``.
+
+        Row multiset is preserved exactly (pinned by
+        tests/test_sync.test_compact_preserves_rows and the
+        ``tsdb_compact_roundtrip`` driver row).  Run it where sync runs —
+        under the writer lock (cli.exclusive_lock): compaction must not
+        race an appender, while readers stay safe via the per-partition
+        atomic swap.
+        """
+        return {
+            "incoming": storage.compact_partitions(
+                self.spark,
+                self.incoming_path,
+                INCOMING_SCHEMA,
+                self.grain_seconds,
+                max_files_per_partition,
+            )
+        }
+
 
 class ViewTSDB(BaseTSDB):
     """Aggregates recomputed from raw data on every read (tsdb.py:201-231)."""
@@ -375,6 +402,22 @@ class TablesTSDB(BaseTSDB):
         self._pin_grain()
         storage.overwrite_partitions(kept.unionByName(new_rows), path, grain)
         new_rows.unpersist()
+
+    def compact(self, max_files_per_partition: int = 1) -> dict[str, list[int]]:
+        """Incoming plus every period table.  Sync's own upsert writes one
+        file per partition already (storage._one_file_per_partition); the
+        fragmenting writers for period tables are append-mode STREAMING
+        rollups (streaming/pipeline.start_rollup) sharing the store."""
+        out = super().compact(max_files_per_partition)
+        for name, _seconds in self.periods:
+            out[name] = storage.compact_partitions(
+                self.spark,
+                self._period_path(name),
+                AGG_SCHEMA,
+                self.grain_seconds,
+                max_files_per_partition,
+            )
+        return out
 
     def sync(self, concurrent: bool = True, timeout: float | None = None) -> None:
         """Advance finalized aggregates for every period, then apply

@@ -247,7 +247,46 @@ def test_overwrite_partitions_swaps_atomically(spark, tmp_path):
     assert leftovers == []
 
 
-def test_pin_grain_concurrent_threads(tmp_path):
+def test_compact_preserves_rows(spark, tmp_path):
+    """compact() coalesces fragmented partitions to one file each and
+    preserves the row multiset exactly — incoming fragmented by repeated
+    inserts, a period table fragmented by append-mode (streaming rollup)
+    writes."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    base = str(tmp_path / "db")
+    db = TablesTSDB(spark, base, now=lambda: 0.0)
+    # 3 inserts × 2 days → every pday dir holds 3 files
+    for i in range(3):
+        db.insert([(f"m.{i}", 10.0 * i, 1.0), (f"m.{i}", 86400.0 + i, 2.0)])
+    counts = storage.partition_file_counts(db.incoming_path)
+    assert sorted(counts) == [0, 1] and all(n == 3 for n in counts.values())
+    before = sorted(map(tuple, db.incoming().collect()))
+
+    # fragment a period table the way streaming rollups do: append mode
+    agg_rows = [("m.0", 0.0) + (1.0,) * 8, ("m.1", 86400.0) + (2.0,) * 8]
+    onehour = db._period_path("onehour")
+    for _ in range(2):
+        storage.append(
+            spark.createDataFrame(agg_rows, AGG_SCHEMA), onehour, db.grain_seconds
+        )
+    assert all(n == 2 for n in storage.partition_file_counts(onehour).values())
+    agg_before = sorted(map(tuple, db.period_table("onehour").collect()))
+
+    done = db.compact()
+    assert done["incoming"] == [0, 1]
+    assert done["onehour"] == [0, 1]
+    assert all(
+        n == 1 for n in storage.partition_file_counts(db.incoming_path).values()
+    )
+    assert all(n == 1 for n in storage.partition_file_counts(onehour).values())
+    assert sorted(map(tuple, db.incoming().collect())) == before
+    assert sorted(map(tuple, db.period_table("onehour").collect())) == agg_before
+    # already-compact store: a second pass is a no-op (nothing rewritten)
+    again = db.compact()
+    assert set(again) == {"incoming"} | {n for n, _ in db.periods}
+    assert all(v == [] for v in again.values())
     """pin_grain from many threads of one process must not lose the
     marker: the tmp name is per-writer (pid+uuid), so no thread can
     os.replace another's tmp file away mid-write."""
