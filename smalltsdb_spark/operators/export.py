@@ -1,0 +1,81 @@
+"""Sharded JSONL export — the training-data handoff sink.
+
+Downstream training stacks consume corpora as N fixed JSONL shards with a
+DETERMINISTIC document→shard assignment (reproducible data orders, stable
+resharding diffs, per-shard resumability).  Spark's plain ``write.json``
+gives neither: output file count tracks upstream task count, and which
+rows share a file depends on the physical plan of the producing query.
+
+This sink pins both degrees of freedom:
+
+- ``shard = md5_long(id) mod n_shards`` — a content hash of the document
+  id, independent of row order, partitioning, and cluster size, and
+  reproducible outside Spark (the DuckDB rendering is
+  ``functions.md5_long_sql``, used verbatim by the ``ext_export_shards``
+  oracle);
+- ``repartition(shard)`` + ``partitionBy(shard)`` — exactly one file per
+  shard directory, rows sorted by id within the file.
+
+Scale shape: one hash-shuffle of the corpus (the minimum any deterministic
+resharding needs), then embarrassingly-parallel JSONL encoding JVM-side —
+no Python in the write path.  ``n_shards`` bounds per-file size: at 100 TB
+pick shards so each holds a few GB (e.g. 65536), giving write parallelism
+equal to shard count and downstream readers an addressable unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smalltsdb_spark.functions import md5_long
+
+SHARD_COLUMN = "shard"
+
+
+def shard_of(id_col, n_shards: int):
+    """The deterministic shard assignment column: ``md5_long(id) mod n``.
+
+    ``md5_long`` is a positive 60-bit hash, so plain ``%`` agrees across
+    engines; ``pmod`` keeps the invariant explicit.  The id is cast to
+    string first so integer and string ids hash identically.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(md5_long(c.cast("string")), F.lit(n_shards)).cast("int")
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Write ``df`` as ``n_shards`` JSONL shard directories under
+    ``out_dir`` (``shard=K/part-*.json``), one file per shard, rows
+    ordered by ``id_col`` within each file."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sharded = df.withColumn(SHARD_COLUMN, shard_of(id_col, n_shards))
+    (
+        sharded.repartition(F.col(SHARD_COLUMN))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy(SHARD_COLUMN)
+        .mode("overwrite")
+        .json(out_dir)
+    )
+
+
+def read_jsonl_shards(
+    spark: SparkSession, out_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Read an export back with its shard partition column.
+
+    The schema is explicit (no inference job over the whole export; JSON
+    inference would also widen absent-in-some-shard columns).  ``shard``
+    comes from the directory names, typed int to match :func:`shard_of`.
+    """
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(SHARD_COLUMN, T.IntegerType())]
+    )
+    return spark.read.schema(read_schema).json(out_dir)

@@ -2297,6 +2297,61 @@ def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_export_shards",
+    f"""
+    SELECT CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql("text")} % 1000000007) AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ext_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSONL export sink, value-checked through a full round
+    trip: write the corpus as 8 deterministic JSONL shards
+    (operators/export.py — shard = md5_long(doc_id) mod 8, one file per
+    shard), read the export BACK with the shard partition column, and
+    fingerprint each shard (doc count, char count, content-hash sum).
+    Equality with the oracle — computed from the SOURCE table with the
+    same hash rendered in SQL — proves the assignment is deterministic
+    and the JSONL encode/decode preserved every document byte-for-byte
+    (the content hash is taken AFTER the round trip).
+
+    Scale shape: one hash-shuffle on shard (the minimum for any
+    deterministic resharding), JVM-side JSONL codec, no Python; the
+    read-back aggregates shard-locally (input already partitioned by
+    shard directory)."""
+    from pyspark.sql import types as T
+
+    from smalltsdb_spark.operators.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+    )
+    from smalltsdb_spark.queries import _scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    out = f"{_scratch_dir('export_shards_')}/corpus"
+    export_jsonl_shards(docs, out, n_shards=8)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = read_jsonl_shards(spark, out, schema)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(F.pmod(md5_long(F.col("text")), F.lit(1000000007))).alias(
+            "content_sum"
+        ),
+    )
+
+
 def _ewma_oracle(alpha: float = 0.125) -> str:
     """Recursive-CTE oracle for the EW mean/variance recurrence: one
     iteration per row rank, the working table carrying each path's state.

@@ -1,0 +1,71 @@
+"""Sharded JSONL export sink (operators/export.py).
+
+Pins the sink's three contracts: deterministic shard assignment (pure
+function of the id — stable across row order and partitioning), exactly
+one file per shard directory, and in-file ordering by id.  The full
+value round trip vs the source table is the ``ext_export_shards`` driver
+row (tests/test_oracle_parity.py runs it locally).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from smalltsdb_spark.operators.export import (
+    SHARD_COLUMN,
+    export_jsonl_shards,
+    read_jsonl_shards,
+    shard_of,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"doc {i} " + "tricky éń text\nwith newline") for i in range(n)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_one_file_per_shard_sorted(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    export_jsonl_shards(_docs(spark), out, n_shards=4)
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs  # at least one non-empty shard
+    for d in shard_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".json") and not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1  # one file per shard
+        with open(os.path.join(out, d, files[0])) as f:
+            ids = [json.loads(line)["doc_id"] for line in f]
+        assert ids == sorted(ids)  # in-file ordering by id
+
+
+def test_roundtrip_and_deterministic_assignment(spark, tmp_path):
+    docs = _docs(spark)
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    export_jsonl_shards(docs, out1, n_shards=4)
+    # same data, different incoming order/partitioning → same assignment
+    export_jsonl_shards(docs.orderBy("text").repartition(7), out2, n_shards=4)
+    b1 = read_jsonl_shards(spark, out1, SCHEMA)
+    b2 = read_jsonl_shards(spark, out2, SCHEMA)
+    r1 = sorted(map(tuple, b1.collect()))
+    r2 = sorted(map(tuple, b2.collect()))
+    assert r1 == r2
+    # round trip is lossless, including the newline-bearing unicode text
+    src = sorted(map(tuple, docs.withColumn(SHARD_COLUMN, shard_of("doc_id", 4)).collect()))
+    assert r1 == src
+
+
+def test_bad_shard_count(spark):
+    with pytest.raises(ValueError):
+        export_jsonl_shards(_docs(spark, 2), "/tmp/never-written", 0)
