@@ -200,3 +200,151 @@ def interval_join(
             for c in intervals.columns
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join
+# ---------------------------------------------------------------------------
+
+#: hard cap on the Bloom bitmap (bits): 2^27 bits = 16 MiB broadcast —
+#: large enough for ~10 M keys at 1% fpp, small enough that the driver OR
+#: and the executor broadcast stay trivial.  Beyond this, fpp degrades
+#: gracefully (the filter stays CORRECT — the exact join removes the extra
+#: false positives; only the prefilter's selectivity suffers).
+BLOOM_MAX_BITS = 1 << 27
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes) for a Bloom filter: m = -n ln p / ln2²,
+    k = (m/n) ln2 — capped at BLOOM_MAX_BITS and byte-aligned."""
+    import math
+
+    n = max(1, int(expected_items))
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = min(max(m, 64), BLOOM_MAX_BITS)
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _hash_pair(col):
+    """Two independent 64-bit hashes of a column, computed JVM-side
+    (xxhash64 — whole-stage-codegen, no Python in the scan), combined by
+    double hashing ``(h1 + i*h2) mod m`` on the Python side.  Both the
+    build and the probe use this same pair, so membership is consistent
+    by construction."""
+    return F.xxhash64(col), F.xxhash64(col, F.lit(1))
+
+
+def build_bloom(
+    keys: DataFrame, key_col: str, expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter over ``keys[key_col]`` distributedly.
+
+    Each partition materializes its own m-bit bitmap from JVM-computed
+    hash pairs (numpy-vectorized bit setting inside one Arrow batch
+    loop), and the driver ORs the per-partition bitmaps — driver traffic
+    is ``n_partitions × m/8`` bytes, independent of key count.  No
+    shuffle, no distinct: duplicate keys set the same bits.
+
+    ``expected_items=None`` sizes the filter with a ``keys.count()`` —
+    one extra scan of an uncached input; pass the hint when the caller
+    already knows the cardinality (same contract as the blocked GEMM's
+    ``n_blocks`` hint, operators/similarity.py).
+
+    Returns ``(bitmap_bytes, m_bits, k_hashes)``.
+    """
+    import numpy as np
+
+    if expected_items is None:
+        expected_items = keys.count()
+    m, k = _bloom_params(expected_items, fpp)
+    h1, h2 = _hash_pair(F.col(key_col))
+    hashed = keys.select(h1.alias("_h1"), h2.alias("_h2"))
+
+    mbytes = m // 8
+
+    def build(batches):
+        bm = np.zeros(mbytes, dtype=np.uint8)
+        import pandas as pd
+
+        for pdf in batches:
+            a = pdf["_h1"].to_numpy().astype(np.uint64)
+            b = pdf["_h2"].to_numpy().astype(np.uint64)
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % np.uint64(m)
+                np.bitwise_or.at(
+                    bm, (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+                )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hashed.mapInPandas(build, "bm binary").collect()
+    out = np.zeros(mbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row.bm, dtype=np.uint8)
+    return out.tobytes(), m, k
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Left-semi join with a Bloom prefilter on the big side.
+
+    The scale pattern for "filter a huge fact table by a key set too big
+    to broadcast exactly": a plain left-semi join shuffles ALL of
+    ``left`` on the key; here ``left`` is first filtered by a broadcast
+    Bloom filter of the right keys (16 MiB cap regardless of key count),
+    so the exact join's shuffle carries only true matches plus an
+    ``fpp`` fraction of non-matches.  With ``exact=True`` (default) the
+    result EQUALS the plain semi join — the Bloom filter only shrinks
+    the shuffle, false positives are removed by the final join (which is
+    why the driver row ``rel_bloom_semi_join`` can be value-checked
+    against a plain ``IN`` oracle).  ``exact=False`` returns the
+    candidate superset (matches + ~fpp of the rest) and skips the join
+    entirely — the one-shuffle-cheaper mode for pipelines that tolerate
+    a bounded over-selection (e.g. candidate generation).
+
+    Spark's AQE injects a similar runtime bloom under specific plan
+    shapes only (selective build side, shuffle on both sides); this
+    operator makes the pattern explicit, portable, and usable from the
+    probe side of any plan.
+
+    Both sides must present the key in the SAME data type — xxhash64
+    hashes the native representation, so ``int 5`` and ``string "5"``
+    hash differently.
+    """
+    bits, m, k = build_bloom(right, on, expected_items, fpp)
+    import numpy as np
+    import pandas as pd
+
+    bc = left.sparkSession.sparkContext.broadcast(bits)
+
+    def _member_fn(h1, h2):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            idx = (a + np.uint64(i) * b) % np.uint64(m)
+            bit = bm[(idx >> np.uint64(3)).astype(np.int64)] >> (
+                idx & np.uint64(7)
+            )
+            ok &= (bit & np.uint8(1)).astype(bool)
+        return pd.Series(ok)
+
+    # registered without type hints (pandas is a local import here, so
+    # string annotations would not resolve) → scalar pandas UDF
+    _member = F.pandas_udf(_member_fn, "boolean")
+
+    h1, h2 = _hash_pair(F.col(on))
+    candidates = left.filter(_member(h1, h2))
+    if not exact:
+        return candidates
+    return candidates.join(right.select(on), on, "left_semi")

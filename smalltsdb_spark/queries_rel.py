@@ -748,3 +748,47 @@ def rel_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_sq"), 4).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "rel_bloom_semi_join",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.bloom_semi_join):
+    revenue of lineitems belonging to urgent orders, where the order-key
+    set is treated as too big to broadcast exactly (the 100 TB stance —
+    at scale the filtered dimension can be billions of keys).  The fact
+    table is first filtered by a 16 MiB-capped broadcast Bloom filter of
+    the urgent keys (JVM xxhash64 + Arrow-vectorized membership), so the
+    exact semi join's shuffle carries only matches + ~1% false
+    positives; the final join removes those, which is why the row is
+    value-exact against the plain ``IN`` oracle.
+
+    ``expected_items=None`` sizes the filter with one count() of the
+    (already filtered, small-by-selectivity) build side — the documented
+    trade; callers with a known cardinality pass the hint instead."""
+    from smalltsdb_spark.operators.joins import bloom_semi_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    matched = bloom_semi_join(l, urgent, "l_orderkey", fpp=0.01)
+    return matched.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

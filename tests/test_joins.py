@@ -281,3 +281,53 @@ def test_interval_join_left_nondeterministic_points_lineage(spark):
         **{i: 9 for i in range(50, 60)},
         **{i: 10 for i in range(150, 160)},
     }
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_params_math():
+    from smalltsdb_spark.operators.joins import BLOOM_MAX_BITS, _bloom_params
+
+    m, k = _bloom_params(1000, 0.01)
+    # textbook optimum: ~9.59 bits/key, ~7 hashes at 1% fpp
+    assert 9000 <= m <= 10000 and k == 7
+    assert m % 8 == 0
+    # cap holds for absurd inputs, and k stays sane
+    m, k = _bloom_params(10**12, 1e-9)
+    assert m == BLOOM_MAX_BITS and 1 <= k <= 16
+
+
+def test_bloom_semi_join_exact_equals_plain_semi(spark):
+    from smalltsdb_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame(
+        [(i, f"p{i % 7}") for i in range(500)], "k long, payload string"
+    )
+    right = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "k long")
+    got = sorted(map(tuple, bloom_semi_join(left, right, "k").collect()))
+    want = sorted(map(tuple, left.join(right, "k", "left_semi").collect()))
+    assert got == want
+    # hint path: same result without the build-side count
+    got_hint = sorted(
+        map(tuple, bloom_semi_join(left, right, "k", expected_items=200).collect())
+    )
+    assert got_hint == want
+
+
+def test_bloom_candidates_superset_and_bounded(spark):
+    """exact=False returns every true match plus a bounded false-positive
+    tail: with fpp=0.01 over 2000 non-matching keys, expect ~20 extras —
+    assert a generous 5x bound so the test is not flaky, while still
+    catching a broken filter (which would pass all 2000)."""
+    from smalltsdb_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([(i,) for i in range(2500)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    cand = bloom_semi_join(left, right, "k", fpp=0.01, exact=False)
+    ids = {r.k for r in cand.collect()}
+    assert set(range(500)) <= ids  # no false negatives, ever
+    extras = len(ids) - 500
+    assert extras <= 0.05 * 2000  # 5x the 1% design fpp
