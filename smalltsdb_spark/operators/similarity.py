@@ -1196,3 +1196,119 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dot", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (embedding whitening / dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact full-corpus PCA in ONE distributed pass.
+
+    The embedding-pipeline preprocessing step (whitening before SemDeDup
+    clustering, dimensionality reduction before ANN indexing — the
+    OPQ/PCA stage of the FAISS recipe).  Spark-first shape: each
+    partition reduces to its sufficient statistics ``(n, Σx, ΣxxT)``
+    inside one Arrow batch loop (BLAS ``X.T @ X``), the driver combines
+    ``n_partitions`` rows of ``dim + dim²`` doubles — corpus-independent
+    — and eigendecomposes the dim×dim covariance with numpy.  No
+    iteration, no corpus collect, no second scan; the corpus-sized work
+    is embarrassingly parallel and the shuffle is zero (mapInPandas →
+    driver-side combine of a bounded relation).
+
+    Returns ``(mean[dim], components[dim, dim], eigvals[dim])`` with
+    components as COLUMNS ordered by descending eigenvalue (population
+    covariance, matching ``np.cov(X.T, bias=True)``).
+    """
+
+    def stats(batches):
+        n = 0
+        s = None
+        o = None
+        for pdf in batches:
+            X = _as_matrix(pdf[vec_col])
+            if not len(X):
+                continue
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            o = g if o is None else o + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]}
+            )
+
+    parts = corpus.select(vec_col).mapInPandas(
+        stats, "n long, s array<double>, o array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty corpus")
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    dim = len(s)
+    o = np.sum([np.asarray(r.o).reshape(dim, dim) for r in parts], axis=0)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    # eigh: ascending eigenvalues of the symmetric covariance → reverse
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return mean, v[:, order], np.maximum(w[order], 0.0)
+
+
+def pca_project(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """Project every vector onto the top-``k`` components:
+    ``p = (x − mean) @ W[:, :k]`` — one Arrow-batched GEMM per
+    partition, (mean, W) broadcast with the closure (dim×k doubles).
+    Returns ``(id_col, proj array<double>)``."""
+    W = np.asarray(components)[:, :k]
+    mu = np.asarray(mean)
+
+    def project(batches):
+        for pdf in batches:
+            X = _as_matrix(pdf[vec_col])
+            P = (X - mu) @ W if len(X) else np.zeros((0, k))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "proj": [row.tolist() for row in P]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, proj array<double>"
+    )
+
+
+def pca_reconstruction_error(
+    corpus: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    k: int,
+) -> float:
+    """Max elementwise |x − (mean + ((x−mean)@W_k)@W_kᵀ)| over the
+    corpus — distributed (per-partition max, driver max of scalars).
+    With ``k = dim`` this is a THEOREM-zero (orthogonal basis), which
+    the ``sim_pca_check`` driver row value-gates."""
+    W = np.asarray(components)[:, :k]
+    mu = np.asarray(mean)
+
+    def err(batches):
+        m = 0.0
+        for pdf in batches:
+            X = _as_matrix(pdf[vec_col])
+            if not len(X):
+                continue
+            R = (X - mu) @ W @ W.T + mu
+            m = max(m, float(np.abs(R - X).max()))
+        yield pd.DataFrame({"e": [m]})
+
+    rows = corpus.select(vec_col).mapInPandas(err, "e double").collect()
+    return max((r.e for r in rows), default=0.0)

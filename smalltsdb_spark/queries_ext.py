@@ -2352,6 +2352,121 @@ def ext_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_label_centroids",
+    """
+    WITH ex AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i, avg(v) AS c FROM ex GROUP BY 1, 2
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           floor(sum(a.c * b.c)
+                 / sqrt(sum(a.c * a.c) * sum(b.c * b.c)) * 1000000 + 0.5)
+           / 1000000 AS cos_sim
+    FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group centroid similarity matrix — the corpus-composition
+    diagnostic (how close are two sources/clusters in embedding space;
+    the signal behind source-mix weighting and cluster-merge decisions).
+
+    Spark-first: the ONLY corpus-sized movement is one posexplode →
+    map-side-combined groupBy(label, i) computing per-position means;
+    the centroid relation is labels × dim rows (bounded, independent of
+    corpus size), so the pairwise half-join and the cosine reduction
+    over it are driver-trivial at any scale.  Scores quantized with the
+    shared floor(x*1e6+0.5)/1e6 primitive (similarity._round6 contract:
+    both engines evaluate the identical expression)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    cent = ex.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    a, b = cent.alias("a"), cent.alias("b")
+    agg = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("_dot"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("_na2"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("_nb2"),
+        )
+    )
+    cos = F.col("_dot") / F.sqrt(F.col("_na2") * F.col("_nb2"))
+    return agg.select(
+        "label_a",
+        "label_b",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cos_sim"),
+    )
+
+
+@query(
+    "sim_pca_check",
+    """
+    SELECT CAST(0 AS BIGINT) AS orth_violations,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(1 AS BIGINT) AS variance_conserved,
+           CAST(1 AS BIGINT) AS full_rank_reconstructs
+    """,
+)
+def sim_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (similarity.pca_fit — one-pass sufficient
+    statistics, driver eigendecomposition of the dim×dim covariance),
+    value-gated by its own mathematical invariants: the oracle is a
+    CONSTANT row, but every value is the outcome of a theorem the
+    fitted model must satisfy, so any regression in the distributed
+    statistics, the combine, or the projection flips a bit (the
+    tsdb_agg_onehour_approx / text_vocab_overlap_sketch self-check
+    pattern for non-SQL-expressible algorithms):
+
+    - ``orth_violations``: entries of WᵀW − I beyond 1e-8 (eigh
+      orthonormality, survives the distributed combine);
+    - ``order_violations``: eigenvalue ordering is descending;
+    - ``variance_conserved``: Σ eigenvalues equals the total population
+      variance computed INDEPENDENTLY — JVM-side posexplode +
+      ``var_pop`` per position, a completely separate plan from the
+      Arrow-batched XᵀX pass, agreeing to 1e-6 relative;
+    - ``full_rank_reconstructs``: max elementwise error of the k=dim
+      round trip (project → reconstruct, distributed) below 1e-9.
+    """
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, W, eig = similarity.pca_fit(emb, "vec_id", "embedding")
+    dim = len(mean)
+    orth = int((np.abs(W.T @ W - np.eye(dim)) > 1e-8).sum())
+    order_v = int((np.diff(eig) > 1e-9).sum())
+    total_var = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.var_pop("v").alias("s"))
+        .agg(F.sum("s"))
+        .first()[0]
+    )
+    var_ok = int(abs(float(eig.sum()) - float(total_var)) <= 1e-6 * max(1.0, total_var))
+    recon = similarity.pca_reconstruction_error(emb, "embedding", mean, W, dim)
+    full_rank = int(recon < 1e-9)
+    return spark.createDataFrame(
+        [(orth, order_v, var_ok, full_rank)],
+        "orth_violations long, order_violations long, "
+        "variance_conserved long, full_rank_reconstructs long",
+    )
+
+
 def _ewma_oracle(alpha: float = 0.125) -> str:
     """Recursive-CTE oracle for the EW mean/variance recurrence: one
     iteration per row rank, the working table carrying each path's state.

@@ -449,3 +449,58 @@ def test_semantic_near_dup_single_cluster_shuffle_no_broadcast(spark):
     plan = physical_plan(df)
     assert "BroadcastExchange" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the per-cluster GEMM stage
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed sufficient-statistics PCA equals a single-node numpy
+    PCA on the collected data: same eigenvalues, same subspace (columns
+    equal up to sign), projections carry the eigenvalue variances."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # anisotropic 6-dim cloud with a known strong direction
+    X = rng.normal(size=(400, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    X32 = X.astype(np.float32).astype(np.float64)  # what Spark stored
+
+    mean, W, eig = similarity.pca_fit(df, "vec_id", "embedding")
+    assert mean == pytest.approx(X32.mean(axis=0), abs=1e-9)
+    cov = np.cov(X32.T, bias=True)
+    w_ref, v_ref = np.linalg.eigh(cov)
+    assert eig == pytest.approx(w_ref[::-1], rel=1e-9, abs=1e-9)
+    # same principal axes up to per-column sign
+    v_ref = v_ref[:, ::-1]
+    for j in range(6):
+        assert min(
+            float(np.abs(W[:, j] - v_ref[:, j]).max()),
+            float(np.abs(W[:, j] + v_ref[:, j]).max()),
+        ) < 1e-8
+
+    proj = similarity.pca_project(df, "vec_id", "embedding", mean, W, k=2)
+    P = np.array(
+        [r.proj for r in proj.orderBy("vec_id").collect()]
+    )
+    # projected variance per component == top eigenvalues
+    assert P.var(axis=0, ddof=0) == pytest.approx(eig[:2], rel=1e-9)
+
+    # reconstruction error decreases with k, and k=dim is ~zero
+    errs = [
+        similarity.pca_reconstruction_error(df, "embedding", mean, W, k)
+        for k in (1, 3, 6)
+    ]
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 1e-9
+
+
+def test_pca_empty_corpus_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.pca_fit(df, "vec_id", "embedding")
