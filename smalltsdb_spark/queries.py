@@ -1572,3 +1572,43 @@ def tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         F.round(F.avg("bucket_avg").over(w), 6).alias("moving_avg"),
     )
+
+
+@query(
+    "tsdb_rolling_p99",
+    """
+    SELECT event_type AS path,
+           round(epoch(ts), 6) AS point_ts,
+           round(quantile_cont(value, 0.99) OVER (
+               PARTITION BY event_type ORDER BY epoch(ts)
+               RANGE BETWEEN 240 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_p99
+    FROM events
+    """,
+)
+def tsdb_rolling_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-minute p99 per path at every datapoint — the
+    latency-SLO dashboard query, and the EXACT percentile running as a
+    WINDOW aggregate (every other percentile use is a groupBy; the
+    sliding form is what alerting evaluates).  RANGE framing on the raw
+    epoch keys the lookback to TIME, not row count, so burst and quiet
+    periods window correctly.  Both engines interpolate linearly
+    (Spark ``percentile`` == DuckDB ``quantile_cont``), rounded to 6.
+
+    Scale shape: one shuffle on path; per-row work is bounded by the
+    frame's datapoint count (rate × 240 s), independent of corpus size —
+    the frame bound is the operator's admission contract, same as the
+    Gopher gate's word-count bound."""
+    ev = events_as_incoming(spark, sf_dir)
+    w = (
+        Window.partitionBy("path")
+        .orderBy("timestamp")
+        .rangeBetween(-240, Window.currentRow)
+    )
+    return ev.select(
+        "path",
+        F.round(F.col("timestamp"), 6).alias("point_ts"),
+        F.round(F.percentile("value", F.lit(0.99)).over(w), 6).alias(
+            "rolling_p99"
+        ),
+    )

@@ -117,3 +117,69 @@ def test_flatten_is_flat(d):
     flat = flatten(d)
     for v in flat.values():
         assert not isinstance(v, (dict, list))
+
+
+# -- Bloom filter kernel ------------------------------------------------------
+
+
+@given(
+    n=st.integers(1, 10**13),
+    fpp=st.floats(1e-9, 0.5),
+)
+def test_bloom_params_always_sane(n, fpp):
+    from smalltsdb_spark.operators.joins import BLOOM_MAX_BITS, _bloom_params
+
+    m, k = _bloom_params(n, fpp)
+    assert 64 <= m <= BLOOM_MAX_BITS
+    assert m % 8 == 0
+    assert 1 <= k <= 16
+
+
+@given(
+    hashes=st.lists(
+        st.tuples(
+            st.integers(-(2**63), 2**63 - 1), st.integers(-(2**63), 2**63 - 1)
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    extra=st.tuples(
+        st.integers(-(2**63), 2**63 - 1), st.integers(-(2**63), 2**63 - 1)
+    ),
+    fpp=st.sampled_from([0.5, 0.1, 0.01]),
+)
+@settings(max_examples=200)
+def test_bloom_kernel_no_false_negatives(hashes, extra, fpp):
+    """The pure bit-set/bit-test kernel bloom_semi_join runs on both
+    sides: EVERY inserted (h1, h2) pair — including negative int64
+    values, whose uint64 wraparound must match between build and probe —
+    tests as a member.  False positives are allowed by design; false
+    negatives are a correctness bug at any fpp."""
+    import numpy as np
+
+    from smalltsdb_spark.operators.joins import _bloom_params
+
+    m, k = _bloom_params(len(hashes), fpp)
+    bm = np.zeros(m // 8, dtype=np.uint8)
+    a = np.array([h[0] for h in hashes], dtype=np.int64).astype(np.uint64)
+    b = np.array([h[1] for h in hashes], dtype=np.int64).astype(np.uint64)
+    for i in range(k):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        np.bitwise_or.at(
+            bm,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+        )
+
+    def member(h1, h2):
+        x = np.array([h1], dtype=np.int64).astype(np.uint64)
+        y = np.array([h2], dtype=np.int64).astype(np.uint64)
+        for i in range(k):
+            idx = (x + np.uint64(i) * y) % np.uint64(m)
+            if not (bm[int(idx[0]) >> 3] >> (int(idx[0]) & 7)) & 1:
+                return False
+        return True
+
+    assert all(member(h1, h2) for h1, h2 in hashes)
+    # an un-inserted pair may be a false positive but must never crash
+    member(*extra)
