@@ -137,6 +137,60 @@ def read_grain(root: str, default: int = SECONDS_PER_DAY) -> int:
     return default
 
 
+STREAM_METADATA_DIR = "_spark_metadata"
+
+
+def is_streaming_sink(path: str) -> bool:
+    """True if ``path`` was written by a Structured Streaming file sink
+    (its ``_spark_metadata`` transaction log is present).  Spark reads
+    such a table THROUGH the log — the directory listing is ignored —
+    so any file mutation the log doesn't know about (batch append,
+    partition rewrite, compaction, retention delete) either vanishes
+    from reads or breaks them with FileNotFound."""
+    return os.path.isdir(os.path.join(path, STREAM_METADATA_DIR))
+
+
+def _assert_mutable(path: str, op: str) -> None:
+    """Refuse file-level mutations on log-tracked streaming-sink tables.
+
+    Verified failure mode (pinned in tests/test_sync.py::
+    test_streaming_sink_tables_refuse_file_mutation): compacting a
+    stream-written table makes every subsequent ``spark.read.parquet``
+    throw FAILED_READ_FILE.FILE_NOT_EXIST, because the log still lists
+    the swapped-out files.  The batch mutators below are therefore
+    hard-gated; the migration path is
+    :func:`decommission_streaming_sink`.  At 100 TB the real answer is
+    a table format whose log the rewrite participates in (Delta
+    OPTIMIZE / Iceberg rewrite_data_files); plain parquet must choose
+    one writer protocol per table.
+    """
+    if is_streaming_sink(path):
+        raise ValueError(
+            f"cannot {op} {path!r}: the table is tracked by a Structured "
+            "Streaming file-sink log (_spark_metadata); file-level changes "
+            "behind the log corrupt log-based reads.  Stop the streaming "
+            "query permanently, then call "
+            "storage.decommission_streaming_sink(path) to convert it to a "
+            "plain directory-listed table."
+        )
+
+
+def decommission_streaming_sink(path: str) -> bool:
+    """One-way migration: remove a file sink's ``_spark_metadata`` log so
+    the table is read by directory listing again (making batch append /
+    upsert / retention / compaction legal on it).
+
+    Only safe once the streaming query is stopped FOREVER: a resumed
+    query would re-create a log listing only post-resume files, hiding
+    everything older from log-based readers.  Returns True if a log was
+    removed."""
+    md = os.path.join(path, STREAM_METADATA_DIR)
+    if not os.path.isdir(md):
+        return False
+    shutil.rmtree(md)
+    return True
+
+
 def with_pday(df: DataFrame, grain_seconds: int = SECONDS_PER_DAY) -> DataFrame:
     return df.withColumn(
         PARTITION_COLUMN,
@@ -177,6 +231,7 @@ def _one_file_per_partition(df: DataFrame) -> DataFrame:
 
 
 def append(df: DataFrame, path: str, grain_seconds: int = SECONDS_PER_DAY) -> None:
+    _assert_mutable(path, "batch-append into")
     _one_file_per_partition(with_pday(df, grain_seconds)).write.partitionBy(
         PARTITION_COLUMN
     ).mode("append").parquet(path)
@@ -211,6 +266,7 @@ def overwrite_partitions(
     """
     import uuid
 
+    _assert_mutable(path, "overwrite partitions of")
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
     _one_file_per_partition(with_pday(df, grain_seconds)).write.partitionBy(
@@ -246,6 +302,7 @@ def drop_partitions_below(
     """
     if not os.path.isdir(path):
         return []
+    _assert_mutable(path, "drop partitions of")
     cutoff_unit = int(cutoff_ts // grain_seconds)
     removed = []
     for name in os.listdir(path):
@@ -330,6 +387,7 @@ def compact_partitions(
     )
     if not fragmented:
         return []
+    _assert_mutable(path, "compact")
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(PARTITION_COLUMN, T.LongType())]
     )

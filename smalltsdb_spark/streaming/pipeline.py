@@ -87,7 +87,14 @@ def start_ingest(
 ) -> StreamingQuery:
     """Append the parsed stream to the incoming parquet table,
     partitioned like the batch writer (storage.append; pass the store's
-    ``grain_seconds`` when it was created with partition_grain='hour')."""
+    ``grain_seconds`` when it was created with partition_grain='hour').
+
+    The file sink OWNS the table from first write on: it tracks
+    committed files in a ``_spark_metadata`` log and readers list files
+    through it, so batch mutators (insert/upsert/retention/compact) are
+    refused by the storage layer while the log exists
+    (storage._assert_mutable); a retired stream's table is converted
+    back with ``storage.decommission_streaming_sink``."""
     writer = (
         incoming_stream.withColumn(
             PARTITION_COLUMN,

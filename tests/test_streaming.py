@@ -145,3 +145,54 @@ def test_ingest_backpressure_bounded_batches(spark, spool, tmp_path):
             "path", "timestamp", "value").collect())
     )
     assert rows == sorted(GOLDEN_A_INPUT)
+
+
+def test_streaming_sink_tables_refuse_file_mutation(spark, spool, tmp_path):
+    """A stream-written table is read THROUGH its _spark_metadata log, so
+    file-level batch mutations (append/compact/retention/upsert) corrupt
+    log-based reads (verified: compaction left every spark.read throwing
+    FILE_NOT_EXIST).  The storage layer must refuse them while the log
+    exists, and work again after an explicit decommission."""
+    import pytest
+
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+
+    for p, t, v in GOLDEN_A_INPUT:
+        spool([(p, t, v)])
+    incoming_path = str(tmp_path / "incoming")
+    q = start_ingest(
+        read_spool_stream(spark, spool.spool_dir),
+        incoming_path,
+        str(tmp_path / "ckpt_guard"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert storage.is_streaming_sink(incoming_path)
+    one_row = spark.createDataFrame([("m", 1.0, 1.0)], INCOMING_SCHEMA)
+
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        storage.append(one_row, incoming_path)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        storage.overwrite_partitions(one_row, incoming_path)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        storage.drop_partitions_below(incoming_path, 10**9)
+    # compaction only mutates when fragmented — force >1 file in pday=0
+    counts = storage.partition_file_counts(incoming_path)
+    if max(counts.values()) > 1:
+        with pytest.raises(ValueError, match="_spark_metadata"):
+            storage.compact_partitions(spark, incoming_path, INCOMING_SCHEMA)
+
+    before = sorted(map(tuple, spark.read.parquet(incoming_path).select(
+        "path", "timestamp", "value").collect()))
+    assert storage.decommission_streaming_sink(incoming_path)
+    assert not storage.is_streaming_sink(incoming_path)
+    assert storage.decommission_streaming_sink(incoming_path) is False  # idempotent
+    # now a normal directory-listed table: mutation works and reads agree
+    storage.compact_partitions(spark, incoming_path, INCOMING_SCHEMA)
+    after = sorted(map(tuple, spark.read.parquet(incoming_path).select(
+        "path", "timestamp", "value").collect()))
+    assert after == before
+    assert all(
+        n == 1 for n in storage.partition_file_counts(incoming_path).values()
+    )
