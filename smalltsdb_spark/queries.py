@@ -838,8 +838,8 @@ def tsdb_sync_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tsdb_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction preserves the row multiset exactly, value-checked.
 
-    Four interleaved insert batches fragment every day-partition of the
-    incoming table to 4 files (storage.append adds one file per touched
+    Two interleaved insert batches fragment every day-partition of the
+    incoming table to 2 files (storage.append adds one file per touched
     partition per write — the daemon/streaming write pattern), then
     ``compact()`` rewrites each fragmented partition down to one file via
     the same atomic per-partition swap the upsert path uses.  The
@@ -857,10 +857,10 @@ def tsdb_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("tsdb_compact_")
     db = TablesTSDB(spark, base, now=lambda: 0.0)
     # one row goes to exactly one batch (hash over ALL columns, so
-    # identical duplicate rows travel together and the union of the four
+    # identical duplicate rows travel together and the union of the two
     # batches is the original multiset)
-    bucket = F.pmod(F.abs(F.hash("path", "timestamp", "value")), F.lit(4))
-    for i in range(4):
+    bucket = F.pmod(F.abs(F.hash("path", "timestamp", "value")), F.lit(2))
+    for i in range(2):
         db.insert(inc.filter(bucket == i))
     db.compact()
     return _round_stats(aggregate(db.incoming(), 3600), _STATS)
