@@ -588,3 +588,69 @@ def duplicated_segments(
             (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document line dedup (the C4/CCNet boilerplate scrubber):
+    drop every line that occurs in more than ``max_docs`` DISTINCT
+    documents, and reassemble each document from its surviving lines in
+    original order.
+
+    This is dedup at the granularity documents actually share template
+    content (nav bars, license headers, cookie banners): whole-doc
+    hashing misses it, and pair-producing near-dup methods pay for the
+    pair structure this operator doesn't need.  Returns
+    ``(id_col, n_lines, n_removed, text_clean)`` with ``text_clean``
+    joined by ``line_sep`` (empty string when nothing survives).
+
+    Scale shape — linear, no pairs: posexplode to (doc, pos, line), one
+    groupBy(line) counting distinct docs, one hash-partitioned join
+    back on line (both sides clustered on it; AQE plans the exchange
+    once), one groupBy(doc) to reassemble.  A line shared by f docs
+    costs f rows, never f².  Grouping is on the raw line string —
+    exact; at corpus scale group on ``md5_long(line)`` first and carry
+    the line only through the join-back, so the count shuffle moves
+    16-byte keys instead of text (the doc_grams pattern).
+    """
+    lines = F.split(F.col(text_col), F.lit(line_sep), -1)
+    ex = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.size(lines).alias("n_lines"),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    counts = ex.select("line", "doc").distinct().groupBy("line").agg(
+        F.count("doc").alias("_nd")
+    )
+    kept = (
+        ex.join(counts, "line")
+        .filter(F.col("_nd") <= max_docs)
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("text_clean"),
+        )
+    )
+    per_doc = ex.select("doc", "n_lines").distinct()
+    return (
+        per_doc.join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -2467,6 +2467,62 @@ def sim_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lines_c4",
+    """
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    t AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(w, i*2 + 1, i*2 + 2), ' ')
+               ) AS l
+        FROM w0
+    ),
+    ex AS (
+        SELECT doc_id, len(l) AS n_lines, unnest(l) AS line,
+               unnest(range(len(l))) AS pos
+        FROM t
+    ),
+    cnt AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1),
+    kept AS (SELECT e.* FROM ex e JOIN cnt c USING (line) WHERE c.nd <= 1)
+    SELECT d.doc_id,
+           CAST(d.n_lines AS BIGINT) AS n_lines,
+           CAST(d.n_lines - count(k.line) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+               AS text_clean
+    FROM (SELECT DISTINCT doc_id, n_lines FROM ex) d
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n_lines
+    """,
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (C4/CCNet boilerplate scrubbing,
+    operators/dedup.remove_duplicated_lines): every line occurring in
+    more than one DISTINCT document is dropped from all of them, and
+    each document is reassembled from its surviving lines in order —
+    the CLEANED TEXT ITSELF is compared against the oracle, not just
+    counts.  Lines are the same derived 2-token chunks the line-gate
+    row uses (the fixture is single-line; both engines derive the
+    identical column).  Within-document repeats survive (distinct-doc
+    count = 1) — the operator targets cross-document template content,
+    which whole-doc hashing cannot see.
+
+    Scale shape: linear — explode, one distinct + count groupBy on the
+    line, one hash-partitioned join back, one reassembly groupBy; a
+    line shared by f documents costs f rows, never f²."""
+    w = tokens("text")
+    n_chunks = F.ceil(F.size(w) / F.lit(2.0)).cast("int")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(w, i * 2 + 1, 2), " "),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(raw, "\n").alias("_text_nl")
+    )
+    return dedup.remove_duplicated_lines(docs, "doc_id", "_text_nl")
+
+
 def _ewma_oracle(alpha: float = 0.125) -> str:
     """Recursive-CTE oracle for the EW mean/variance recurrence: one
     iteration per row rank, the working table carrying each path's state.

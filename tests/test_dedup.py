@@ -269,3 +269,27 @@ def test_duplicated_segments_internal_repeat_not_cross_doc(spark):
         for r in dedup.duplicated_segments(docs, "doc_id", "text", width=3).collect()
     }
     assert rows[1].n_segments == 2 and rows[1].dup_segments == 0
+
+
+def test_remove_duplicated_lines(spark):
+    """Cross-doc lines vanish from every holder; within-doc repeats
+    survive; a doc made entirely of boilerplate comes back empty; order
+    is preserved."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nalpha beta\nalpha beta\nunique one"),
+            (2, "COOKIE BANNER\nunique two\nNAV BAR"),
+            (3, "COOKIE BANNER\nNAV BAR"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in remove_duplicated_lines(docs, "doc_id", "text").collect()
+    }
+    # doc 1: banner removed; the within-doc duplicate 'alpha beta' kept twice
+    assert got[1] == (4, 1, "alpha beta\nalpha beta\nunique one")
+    assert got[2] == (3, 2, "unique two")
+    assert got[3] == (2, 2, "")
