@@ -2523,6 +2523,106 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicated_lines(docs, "doc_id", "_text_nl")
 
 
+BPE_MERGES = 8
+
+_BPE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def bpe_reference(texts, n_merges: int, min_freq: int = 2):
+    """Independent pure-Python BPE (Sennrich et al. 2016) used by the
+    oracle generator AND the differential unit test: dict-based word
+    frequencies, Counter pair counts, greedy left-to-right merge — no
+    shared code with the Spark implementation beyond the tie-break
+    contract (freq DESC, left ASC, right ASC)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    symbols = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            sym = symbols[w]
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < min_freq:
+            break
+        merges.append((a, b, n))
+        for w, sym in symbols.items():
+            out: list = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            symbols[w] = out
+    return merges
+
+
+def _bpe_oracle() -> str:
+    """Generated-constant oracle: the pure-Python reference BPE trains
+    the same merge sequence over the same corpus and renders it as
+    literal VALUES (the sim_ivf_ann / sim_kmeans precedent for
+    iterative, non-SQL-expressible algorithms)."""
+    import os
+
+    import duckdb
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _BPE_ORACLE_CACHE:
+        return _BPE_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    merges = bpe_reference(texts, BPE_MERGES)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n        ".join(
+        f"({i + 1}, {lit(a)}, {lit(b)}, {n})"
+        for i, (a, b, n) in enumerate(merges)
+    )
+    sql = f"""
+    SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym,
+           CAST(freq AS BIGINT) AS freq
+    FROM (VALUES
+        {rows}
+    ) AS t(rank, left_sym, right_sym, freq)
+    """
+    _BPE_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("text_bpe_train", _bpe_oracle)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (textstats.bpe_train): the
+    corpus reduces once to its distinct-word frequency relation, then
+    each of the 8 merge iterations is one pair-count shuffle over that
+    bounded relation with exactly ONE row (the argmax pair) reaching
+    the driver.  Compared against an independently implemented
+    pure-Python reference trained on the same corpus (generated-constant
+    oracle); the differential unit test covers crafted corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textstats.bpe_train(docs, "text", BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, freq long",
+    )
+
+
 def _ewma_oracle(alpha: float = 0.125) -> str:
     """Recursive-CTE oracle for the EW mean/variance recurrence: one
     iteration per row rank, the working table carrying each path's state.

@@ -319,3 +319,36 @@ def test_gopher_gate_long_doc_bounded_time(spark):
     # every token appears 10 times -> top fraction 10/100000 = 1e-4: passes
     assert row.r_top_token
     assert elapsed < 30, f"long-doc Gopher projection took {elapsed:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_matches_reference(spark):
+    """Differential: the distributed BPE trains the exact merge sequence
+    of the independent pure-Python reference, including tie-breaks and
+    the greedy left-to-right overlap rule ('aaaa' + pair (a,a) merges
+    positions 1-2 and 3-4, never 2-3)."""
+    from smalltsdb_spark.operators.textstats import bpe_train
+    from smalltsdb_spark.queries_ext import bpe_reference
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa banana bandana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(docs, "text", 10, min_freq=2)
+    want = bpe_reference(texts, 10, min_freq=2)
+    assert got == want
+    assert len(got) >= 5  # the corpus supports a real merge sequence
+
+
+def test_bpe_train_min_freq_stops(spark):
+    from smalltsdb_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame([("ab cd ef",)], "text string")
+    # every pair occurs once -> below min_freq=2 -> no merges
+    assert bpe_train(docs, "text", 5, min_freq=2) == []
