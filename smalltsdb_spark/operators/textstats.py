@@ -623,3 +623,57 @@ def bpe_train(
         if parent is not None:
             parent.unpersist()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+) -> DataFrame:
+    """Apply a trained BPE merge sequence (from :func:`bpe_train`) to
+    every document: whitespace words → character symbols → each merge
+    folded in rank order with the same greedy left-to-right rule the
+    trainer used.  Returns ``(id_col, n_words, n_symbols)`` — the
+    REAL tokenizer-aware token count (token_stats' regex count is the
+    cheap proxy; this is the exact budget a model with this vocabulary
+    would see).
+
+    Pure JVM column expressions: the merge list is corpus-independent
+    model state baked into the plan as literals (k nested folds —
+    bounded by merge count, the plan is the model), so encoding is a
+    shuffle-free projection at any corpus size.
+    """
+    words = tokens(text_col)
+
+    def apply_merge(sym, a: str, b: str):
+        return F.aggregate(
+            sym,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    def encode_word(w):
+        sym = F.split(w, "")
+        for a, b, *_ in merges:
+            sym = apply_merge(sym, a, b)
+        return F.size(sym)
+
+    counted = F.filter(words, lambda w: F.length(w) > 0)
+    n_symbols = F.aggregate(
+        F.transform(counted, encode_word),
+        F.lit(0).cast("long"),
+        lambda acc, n: acc + n,
+    )
+    return spread(df).select(
+        F.col(id_col),
+        F.size(counted).cast("long").alias("n_words"),
+        n_symbols.alias("n_symbols"),
+    )

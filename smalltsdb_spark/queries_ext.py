@@ -2606,6 +2606,104 @@ def _bpe_oracle() -> str:
     return sql
 
 
+_BPE_TRAINED: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train once per (process, sf_dir): the train and encode rows share
+    one model, mirroring a real pipeline (fit once, apply everywhere)."""
+    if sf_dir not in _BPE_TRAINED:
+        _BPE_TRAINED[sf_dir] = textstats.bpe_train(
+            _t(spark, sf_dir, "documents"), "text", BPE_MERGES
+        )
+    return _BPE_TRAINED[sf_dir]
+
+
+def _bpe_encode_oracle() -> str:
+    """Generated-constant oracle: the pure-Python reference trains AND
+    encodes, aggregated per source (any per-document miscount moves a
+    total)."""
+    import os
+
+    import duckdb
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    key = f"encode:{sf_dir}"
+    if key in _BPE_ORACLE_CACHE:
+        return _BPE_ORACLE_CACHE[key]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    merges = bpe_reference([t for _, t in rows], BPE_MERGES)
+
+    def encode_len(text: str) -> tuple[int, int]:
+        n_words = n_sym = 0
+        for w in text.split(" "):
+            if not w:
+                continue
+            n_words += 1
+            sym = list(w)
+            for a, b, *_ in merges:
+                out: list = []
+                for s in sym:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                sym = out
+            n_sym += len(sym)
+        return n_words, n_sym
+
+    totals: dict[str, list[int]] = {}
+    for source, text in rows:
+        w, s = encode_len(text)
+        agg = totals.setdefault(source, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += w
+        agg[2] += s
+    values = ",\n        ".join(
+        f"('{src}', {v[0]}, {v[1]}, {v[2]})" for src, v in sorted(totals.items())
+    )
+    sql = f"""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_words AS BIGINT) AS total_words,
+           CAST(total_symbols AS BIGINT) AS total_symbols
+    FROM (VALUES
+        {values}
+    ) AS t(source, n_docs, total_words, total_symbols)
+    """
+    _BPE_ORACLE_CACHE[key] = sql
+    return sql
+
+
+@query("text_bpe_encode", _bpe_encode_oracle)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of the tokenizer lifecycle: encode every document
+    with the trained merge sequence (textstats.bpe_encode — the merges
+    are plan literals, so encoding is a SHUFFLE-FREE projection at any
+    corpus size) and report the real per-source token budget.  The
+    model is shared with text_bpe_train via a per-process cache — fit
+    once, apply everywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    enc = textstats.bpe_encode(docs, "doc_id", "text", merges)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_symbols").alias("total_symbols"),
+        )
+    )
+
+
 @query("text_bpe_train", _bpe_oracle)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (textstats.bpe_train): the
@@ -2615,8 +2713,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver.  Compared against an independently implemented
     pure-Python reference trained on the same corpus (generated-constant
     oracle); the differential unit test covers crafted corpora."""
-    docs = _t(spark, sf_dir, "documents")
-    merges = textstats.bpe_train(docs, "text", BPE_MERGES)
+    merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, freq long",

@@ -352,3 +352,45 @@ def test_bpe_train_min_freq_stops(spark):
     docs = spark.createDataFrame([("ab cd ef",)], "text string")
     # every pair occurs once -> below min_freq=2 -> no merges
     assert bpe_train(docs, "text", 5, min_freq=2) == []
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encode differential incl. non-ASCII (Spark's empty-pattern split
+    is code-point based, same as Python list()) and within-word repeats."""
+    from smalltsdb_spark.operators.textstats import bpe_encode, bpe_train
+    from smalltsdb_spark.queries_ext import bpe_reference
+
+    texts = ["low low lower é😀é é😀é lowest", "new newer aaaa aa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", 6, min_freq=2)
+    assert merges == bpe_reference(texts, 6, min_freq=2)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_symbols)
+        for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+
+    def ref_encode(text):
+        nw = ns = 0
+        for w in text.split(" "):
+            if not w:
+                continue
+            nw += 1
+            sym = list(w)
+            for a, b, *_ in merges:
+                out = []
+                for s in sym:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                sym = out
+            ns += len(sym)
+        return nw, ns
+
+    assert got == {i: ref_encode(t) for i, t in enumerate(texts)}
+    # merges actually compress: fewer symbols than characters
+    chars = sum(len(w) for t in texts for w in t.split(" ") if w)
+    assert sum(s for _, s in got.values()) < chars
