@@ -79,9 +79,26 @@ def run_suite(docs, n_docs: int) -> dict[str, float]:
                                         bands=4, threshold=0.5)
         noop(dedup_cluster_labels(docs, "doc_id", pairs))
 
+    def lines():
+        # line_sep=' ': every token is a 'line' — the per-line explode
+        # carries the FULL corpus token count, the op's worst case; the
+        # replica token prefixes keep per-line doc counts constant as
+        # the corpus grows (the linear-cost shape being pinned)
+        noop(dedup.remove_duplicated_lines(docs, "doc_id", "text",
+                                           line_sep=" "))
+
+    def bpe():
+        from smalltsdb_spark.operators.textstats import bpe_train
+
+        # corpus → distinct-word reduction is the only corpus-sized
+        # pass; 4 iterations then run on the vocabulary relation, so
+        # wall time should be near-flat in corpus size
+        bpe_train(docs, "text", 4)
+
     out = {}
     for name, fn in [("jaccard", jaccard), ("minhash", minhash),
-                     ("clusters", clusters)]:
+                     ("clusters", clusters), ("lines", lines),
+                     ("bpe", bpe)]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
