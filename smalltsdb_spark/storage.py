@@ -302,9 +302,8 @@ def drop_partitions_below(
     """
     if not os.path.isdir(path):
         return []
-    _assert_mutable(path, "drop partitions of")
     cutoff_unit = int(cutoff_ts // grain_seconds)
-    removed = []
+    doomed = []
     for name in os.listdir(path):
         if not name.startswith(f"{PARTITION_COLUMN}="):
             continue
@@ -313,9 +312,17 @@ def drop_partitions_below(
         except ValueError:
             continue
         if unit < cutoff_unit:
-            shutil.rmtree(os.path.join(path, name))
-            removed.append(name)
-    return removed
+            doomed.append(name)
+    if not doomed:
+        # nothing to mutate → legal on ANY table, including one tracked
+        # by a streaming-sink log (retention over a stream-written
+        # incoming is a no-op until data ages past the cutoff — the
+        # hybrid ingest-stream/sync-batch flow must not fail eagerly)
+        return []
+    _assert_mutable(path, "drop partitions of")
+    for name in doomed:
+        shutil.rmtree(os.path.join(path, name))
+    return doomed
 
 
 def partition_file_counts(path: str) -> dict[int, int]:

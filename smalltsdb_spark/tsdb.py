@@ -502,7 +502,16 @@ class TablesTSDB(BaseTSDB):
         """``delete from incoming where timestamp < now - tail - max_period``
         (tsdb.py:412-420): whole-partition drops below the cutoff's
         partition (day or hour grain), plus a rewrite of the boundary
-        partition."""
+        partition.
+
+        Hybrid-flow note (streaming ingest + batch sync): while incoming
+        is tracked by the ingest stream's file-sink log, retention stays
+        legal as long as it has nothing to delete (the storage layer
+        raises only on an ACTUAL mutation behind the log).  Once data
+        ages past the cutoff the delete raises with the
+        decommission_streaming_sink recipe — plain parquet has no
+        log-aware delete; a table format's row-level delete is the
+        at-scale answer."""
         grain = self.grain_seconds
         max_period = max(s for _, s in self.periods)
         cutoff = now - self.tail - max_period

@@ -443,3 +443,36 @@ def test_priority_returns_semi_join_pushes_filter(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert any("l_returnflag" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_bloom_probe_hashes_jvm_side(spark):
+    """The Bloom prefilter's only Python operator is the Arrow-batched
+    membership test over TWO JVM-computed xxhash64 columns — the scan,
+    the hashing, and the post-filter plan stay JVM-side (no
+    row-at-a-time BatchEvalPython anywhere)."""
+    from smalltsdb_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(0, 100, 5)], "k long")
+    plan = physical_plan(bloom_semi_join(left, right, "k", expected_items=20))
+    assert "BatchEvalPython" not in plan
+    # ≤2 Arrow nodes: the probe + Catalyst's constraint-propagated copy
+    # on the build side (the formatted plan prints each node twice)
+    assert plan.count("ArrowEvalPython") <= 4
+    assert "xxhash64" in plan  # hashes computed JVM-side, not in Python
+
+
+def test_export_shards_single_exchange(spark):
+    """The export sink's corpus-sized movement is exactly ONE exchange
+    (the hash repartition on shard) — the minimum any deterministic
+    resharding needs; JSONL encode adds no shuffle."""
+    from smalltsdb_spark.operators.export import SHARD_COLUMN, shard_of
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    staged = df.withColumn(SHARD_COLUMN, shard_of("doc_id", 8)).repartition(
+        F.col(SHARD_COLUMN)
+    ).sortWithinPartitions("doc_id")
+    assert exchange_count(staged) == 1
+    assert "BatchEvalPython" not in physical_plan(staged)
