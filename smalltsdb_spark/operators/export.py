@@ -66,6 +66,51 @@ def export_jsonl_shards(
     )
 
 
+def export_jsonl_shards_incremental(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental export: write only the rows whose id is NOT already
+    in the export at ``out_dir`` (the daily-dump pattern — each run
+    appends one new file per touched shard, never rewrites or
+    re-emits).
+
+    The document→shard map is the same content hash as
+    :func:`export_jsonl_shards`, so an export grown incrementally is
+    LOGICALLY IDENTICAL to a one-shot export of the union — pinned by
+    the ``ext_export_incremental`` driver row, which compares the
+    incrementally-built export against the one-shot oracle.
+
+    Already-exported ids come from a projection read of the export
+    itself (only ``id_col`` is parsed), removed with a left-anti join —
+    at corpus scale, prefilter with :func:`~smalltsdb_spark.operators.
+    joins.bloom_semi_join` ``exact=False`` inverted if the exported-id
+    relation is too big to shuffle comfortably.  File counts grow one
+    per shard per increment; ``compact``-style maintenance applies if
+    increments are frequent.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    sharded = df.withColumn(SHARD_COLUMN, shard_of(id_col, n_shards))
+    if os.path.isdir(out_dir):
+        id_field = next(f for f in df.schema.fields if f.name == id_col)
+        existing = read_jsonl_shards(
+            df.sparkSession, out_dir, T.StructType([id_field])
+        ).select(id_col)
+        sharded = sharded.join(existing, id_col, "left_anti")
+    (
+        sharded.repartition(F.col(SHARD_COLUMN))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy(SHARD_COLUMN)
+        .mode("append")
+        .json(out_dir)
+    )
+
+
 def read_jsonl_shards(
     spark: SparkSession, out_dir: str, schema: T.StructType
 ) -> DataFrame:

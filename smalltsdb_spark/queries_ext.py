@@ -2606,6 +2606,57 @@ def _bpe_oracle() -> str:
     return sql
 
 
+@query(
+    "ext_export_incremental",
+    f"""
+    SELECT CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql("text")} % 1000000007) AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ext_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally grown export equals a one-shot export — the daily
+    dump invariant: export the first half of the corpus, then run the
+    incremental exporter over the FULL corpus three times (the second
+    and third must add only the missing half, then nothing), and
+    fingerprint the read-back.  The oracle is the one-shot full-corpus
+    export's fingerprints (the ext_export_shards oracle verbatim), so
+    equality proves: stable assignment across increments, no row ever
+    re-emitted (idempotent re-run), none lost."""
+    from pyspark.sql import types as T
+
+    from smalltsdb_spark.operators.export import (
+        export_jsonl_shards_incremental,
+        read_jsonl_shards,
+    )
+    from smalltsdb_spark.queries import _scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    out = f"{_scratch_dir('export_inc_')}/corpus"
+    export_jsonl_shards_incremental(docs.filter(F.col("doc_id") % 2 == 0), out, 8)
+    export_jsonl_shards_incremental(docs, out, 8)  # adds only the odd half
+    export_jsonl_shards_incremental(docs, out, 8)  # idempotent no-op
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = read_jsonl_shards(spark, out, schema)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(F.pmod(md5_long(F.col("text")), F.lit(1000000007))).alias(
+            "content_sum"
+        ),
+    )
+
+
 _BPE_TRAINED: dict[str, list] = {}
 
 

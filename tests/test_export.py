@@ -69,3 +69,24 @@ def test_roundtrip_and_deterministic_assignment(spark, tmp_path):
 def test_bad_shard_count(spark):
     with pytest.raises(ValueError):
         export_jsonl_shards(_docs(spark, 2), "/tmp/never-written", 0)
+
+
+def test_incremental_export_idempotent_and_complete(spark, tmp_path):
+    from smalltsdb_spark.operators.export import (
+        export_jsonl_shards,
+        export_jsonl_shards_incremental,
+    )
+
+    docs = _docs(spark, 30)
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    export_jsonl_shards_incremental(docs.filter("doc_id < 10"), inc_dir, 4)
+    export_jsonl_shards_incremental(docs, inc_dir, 4)  # adds 10..29
+    export_jsonl_shards_incremental(docs, inc_dir, 4)  # no-op
+    export_jsonl_shards(docs, full_dir, 4)
+    from smalltsdb_spark.operators.export import read_jsonl_shards
+
+    got = sorted(map(tuple, read_jsonl_shards(spark, inc_dir, SCHEMA).collect()))
+    want = sorted(map(tuple, read_jsonl_shards(spark, full_dir, SCHEMA).collect()))
+    assert got == want  # same logical content incl. shard assignment
+    # no duplicates from the idempotent third run
+    assert len(got) == 30
