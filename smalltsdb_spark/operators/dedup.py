@@ -618,7 +618,11 @@ def remove_duplicated_lines(
     the line only through the join-back, so the count shuffle moves
     16-byte keys instead of text (the doc_grams pattern).
     """
-    lines = F.split(F.col(text_col), F.lit(line_sep), -1)
+    import re as _re
+
+    # split's pattern is a regex while the reassembly join is literal —
+    # escape so separators like '.' or '|' split exactly where they join
+    lines = F.split(F.col(text_col), F.lit(_re.escape(line_sep)), -1)
     ex = spread(df).select(
         F.col(id_col).alias("doc"),
         F.size(lines).alias("n_lines"),

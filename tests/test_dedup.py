@@ -293,3 +293,36 @@ def test_remove_duplicated_lines(spark):
     assert got[1] == (4, 1, "alpha beta\nalpha beta\nunique one")
     assert got[2] == (3, 2, "unique two")
     assert got[3] == (2, 2, "")
+
+
+def test_remove_duplicated_lines_differential(spark):
+    """Differential vs a pure-Python reference over edge-shaped docs:
+    leading/trailing separators (empty lines), unicode, regex-special
+    separators ('.') — the split pattern is escaped so it cuts exactly
+    where the reassembly joins."""
+    from collections import Counter
+
+    from smalltsdb_spark.operators.dedup import remove_duplicated_lines
+
+    def reference(docs, sep, max_docs=1):
+        holders = Counter()
+        for _, text in docs:
+            for line in set(text.split(sep)):
+                holders[line] += 1
+        out = {}
+        for doc_id, text in docs:
+            lines = text.split(sep)
+            kept = [l for l in lines if holders[l] <= max_docs]
+            out[doc_id] = (len(lines), len(lines) - len(kept), sep.join(kept))
+        return out
+
+    for sep, docs in [
+        ("\n", [(1, "\nshared\na é b\n"), (2, "shared\nx"), (3, "x\n\n")]),
+        (".", [(1, "a.b.c"), (2, "b.d"), (3, "..a")]),
+    ]:
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+            for r in remove_duplicated_lines(df, "doc_id", "text", line_sep=sep).collect()
+        }
+        assert got == reference(docs, sep), (sep, got)
