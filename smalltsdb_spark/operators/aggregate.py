@@ -126,6 +126,45 @@ def rate(
     )
 
 
+def counter_rate(
+    agg: DataFrame,
+    stat: str = "max",
+    partition_col: str = "path",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Reset-aware counter rate (the Prometheus ``rate()`` semantic for
+    monotone counters that restart at 0 on process restart).
+
+    A plain delta goes hugely negative at a reset and poisons every
+    downstream sum; the counter convention instead treats a drop as a
+    restart and counts the increase from zero:
+    ``increase = stat - lag(stat) if stat >= lag(stat) else stat``.
+    ``resets`` flags the restart buckets so dashboards can annotate
+    them.  First bucket per path gets nulls (no predecessor), matching
+    :func:`rate`; the rate divides by the OBSERVED timestamp gap, so
+    missing buckets don't inflate it.
+
+    Same scale shape as :func:`rate`: one shuffle on ``path``, lag(1)
+    streams.  The division is raw IEEE (identical integers divide
+    bit-identically across engines); the oracle mirrors the CASE."""
+    w = Window.partitionBy(partition_col).orderBy(ts_col)
+    prev_v = F.lag(stat).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    increase = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(F.col(stat) >= prev_v, F.col(stat) - prev_v)
+        .otherwise(F.col(stat))
+    )
+    return agg.select(
+        partition_col,
+        ts_col,
+        F.col(stat),
+        increase.alias("increase"),
+        (F.col(stat) < prev_v).alias("reset"),
+        (increase / (F.col(ts_col) - prev_t)).alias("rate"),
+    )
+
+
 def aggregate(
     incoming: DataFrame,
     seconds: int,

@@ -792,3 +792,65 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@query(
+    "tsdb_counter_rate",
+    """
+    WITH agg AS (
+        SELECT event_type AS path,
+               CAST(floor(epoch(ts) / 60) * 60 AS DOUBLE) AS ts,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ctr AS (
+        SELECT path, ts,
+               CAST(sum(n) OVER (
+                   PARTITION BY path ORDER BY ts
+               ) AS DOUBLE) % 1000 AS counter
+        FROM agg
+    ),
+    lagged AS (
+        SELECT path, ts, counter,
+               lag(counter) OVER (PARTITION BY path ORDER BY ts) AS pv,
+               lag(ts) OVER (PARTITION BY path ORDER BY ts) AS pt
+        FROM ctr
+    )
+    SELECT path, ts AS "timestamp", counter,
+           CASE WHEN pv IS NULL THEN NULL
+                WHEN counter >= pv THEN counter - pv
+                ELSE counter END AS increase,
+           counter < pv AS reset,
+           CASE WHEN pv IS NULL THEN NULL
+                WHEN counter >= pv THEN counter - pv
+                ELSE counter END / (ts - pt) AS rate
+    FROM lagged
+    """,
+)
+def tsdb_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate (operators/aggregate.counter_rate — the
+    Prometheus ``rate()`` semantic): a drop in a monotone counter is a
+    process restart, so the bucket's increase counts from zero instead
+    of going hugely negative and poisoning downstream sums.
+
+    The fixture has no counter column, so BOTH engines derive the same
+    one (the line-gate derived-input pattern): cumulative per-minute
+    event count per path, mod 1000 — the mod injects deterministic
+    resets wherever the running count crosses a multiple of 1000.
+    Every value is an exact small integer in a double, so the increase
+    arithmetic and the raw-IEEE rate division are bit-identical across
+    engines with no rounding step."""
+    from smalltsdb_spark.operators.aggregate import counter_rate
+
+    ev = events_as_incoming(spark, sf_dir)
+    agg = ev.groupBy(
+        "path",
+        (F.floor(F.col("timestamp") / 60) * 60).cast("double").alias("timestamp"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("path").orderBy("timestamp")
+    ctr = agg.select(
+        "path",
+        "timestamp",
+        F.pmod(F.sum("n").over(w), F.lit(1000.0)).alias("counter"),
+    )
+    return counter_rate(ctr, stat="counter")

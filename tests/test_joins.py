@@ -331,3 +331,24 @@ def test_bloom_candidates_superset_and_bounded(spark):
     assert set(range(500)) <= ids  # no false negatives, ever
     extras = len(ids) - 500
     assert extras <= 0.05 * 2000  # 5x the 1% design fpp
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A counter drop is a restart: increase counts from zero, never
+    negative; first bucket per path gets nulls (no predecessor)."""
+    from smalltsdb_spark.operators.aggregate import counter_rate
+
+    agg = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 60.0, 25.0), ("a", 120.0, 5.0),
+         ("a", 240.0, 11.0), ("b", 0.0, 3.0)],
+        "path string, timestamp double, max double",
+    )
+    got = {
+        (r.path, r.timestamp): (r.increase, r.reset, r.rate)
+        for r in counter_rate(agg).collect()
+    }
+    assert got[("a", 0.0)] == (None, None, None)      # no predecessor
+    assert got[("a", 60.0)] == (15.0, False, 0.25)    # plain delta
+    assert got[("a", 120.0)] == (5.0, True, 5.0 / 60) # reset: count from 0
+    assert got[("a", 240.0)] == (6.0, False, 6.0 / 120)  # gap-aware divisor
+    assert got[("b", 0.0)] == (None, None, None)
