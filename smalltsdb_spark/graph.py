@@ -174,14 +174,20 @@ def render_graph_svg(data: dict, width: int = 900, height: int = 360) -> str:
 
     for i, s in enumerate(series):
         color = PALETTE[i % len(PALETTE)]
-        pts = sorted(zip(s["timestamps"], s["values"]))
-        path = " ".join(f"{sx(t):.1f},{sy(v):.1f}" for t, v in pts)
+        # key on timestamp only — tuple tie-breaking would compare a
+        # None value with a float and raise on duplicate stamps
+        pts = sorted(zip(s["timestamps"], s["values"]), key=lambda p: p[0])
+        path = " ".join(
+            f"{sx(t):.1f},{sy(v):.1f}" for t, v in pts if v is not None
+        )
         out.append(
             f'<polyline points="{path}" fill="none" stroke="{color}" '
             f'stroke-width="2" stroke-linejoin="round" stroke-linecap="round"/>'
         )
         # hover readouts: native SVG tooltips, one per datapoint
         for t, v in pts:
+            if v is None:
+                continue
             d = _dt.datetime.fromtimestamp(t, _dt.timezone.utc)
             out.append(
                 f'<circle cx="{sx(t):.1f}" cy="{sy(v):.1f}" r="6" '
@@ -386,7 +392,9 @@ def render_graph_html(
         def series_payload(s: dict) -> dict:
             # point order matters to the polyline; the server renderer
             # sorts, so the embedded copy does too (one sort per series)
-            pts = sorted(zip(s["timestamps"], s["values"]))
+            # key on timestamp only — tuple tie-breaking would compare
+            # a None value with a float and raise on duplicate stamps
+            pts = sorted(zip(s["timestamps"], s["values"]), key=lambda p: p[0])
             return {
                 "label": str(s["label"]),
                 "t": [float(t) for t, _ in pts],

@@ -32,6 +32,14 @@ from pyspark.sql import types as T
 from smalltsdb_spark.functions import md5_long
 
 SHARD_COLUMN = "shard"
+N_SHARDS_MARKER = "_n_shards"
+
+
+def _write_n_shards_marker(out_dir: str, n_shards: int) -> None:
+    import os
+
+    with open(os.path.join(out_dir, N_SHARDS_MARKER), "w") as f:
+        f.write(f"{n_shards}\n")
 
 
 def shard_of(id_col, n_shards: int):
@@ -64,6 +72,7 @@ def export_jsonl_shards(
         .mode("overwrite")
         .json(out_dir)
     )
+    _write_n_shards_marker(out_dir, n_shards)
 
 
 def export_jsonl_shards_incremental(
@@ -95,8 +104,39 @@ def export_jsonl_shards_incremental(
 
     from pyspark.sql import types as T
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     sharded = df.withColumn(SHARD_COLUMN, shard_of(id_col, n_shards))
     if os.path.isdir(out_dir):
+        # the shard map is part of the export's identity: appending with
+        # a different n_shards would interleave two inconsistent maps and
+        # break incremental-equals-one-shot determinism
+        marker = os.path.join(out_dir, N_SHARDS_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                recorded = int(f.read().strip())
+            if recorded != n_shards:
+                raise ValueError(
+                    f"existing export at {out_dir} was written with "
+                    f"n_shards={recorded} but this increment passed "
+                    f"n_shards={n_shards}; increments must reuse the "
+                    "original shard count"
+                )
+        else:
+            # pre-marker export: the dir names bound the original count
+            # from below (empty shards leave no dir), catching the
+            # too-small case; write the marker for future increments
+            existing_shards = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_dir)
+                if d.startswith(f"{SHARD_COLUMN}=")
+            ]
+            if existing_shards and max(existing_shards) >= n_shards:
+                raise ValueError(
+                    f"existing export at {out_dir} has shard dirs up to "
+                    f"{max(existing_shards)} but n_shards={n_shards}; "
+                    "increments must reuse the original shard count"
+                )
         id_field = next(f for f in df.schema.fields if f.name == id_col)
         existing = read_jsonl_shards(
             df.sparkSession, out_dir, T.StructType([id_field])
@@ -109,6 +149,7 @@ def export_jsonl_shards_incremental(
         .mode("append")
         .json(out_dir)
     )
+    _write_n_shards_marker(out_dir, n_shards)
 
 
 def read_jsonl_shards(

@@ -281,7 +281,11 @@ def gopher_line_columns(text_col: str, line_sep: str = "\n") -> dict[str, Column
     disagree on tie-adjacent values — the similarity-kernel fix).
     """
     round6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    lines = F.split(F.col(text_col), line_sep)
+    import re as _re
+
+    # split's pattern is a regex — escape so separators like '.' or '|'
+    # split literally (the remove_duplicated_lines convention)
+    lines = F.split(F.col(text_col), F.lit(_re.escape(line_sep)), -1)
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
     ellipsis_frac = round6(

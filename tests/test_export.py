@@ -90,3 +90,43 @@ def test_incremental_export_idempotent_and_complete(spark, tmp_path):
     assert got == want  # same logical content incl. shard assignment
     # no duplicates from the idempotent third run
     assert len(got) == 30
+
+
+def test_incremental_rejects_mismatched_shard_count(spark, tmp_path):
+    """ADVICE r7: an increment run with a different n_shards would mix
+    two shard maps and silently break incremental == one-shot."""
+    from smalltsdb_spark.operators.export import (
+        export_jsonl_shards,
+        export_jsonl_shards_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(_docs(spark, 10), out, 4)
+    with pytest.raises(ValueError, match="n_shards"):
+        export_jsonl_shards_incremental(_docs(spark, 20), out, 8)
+    with pytest.raises(ValueError, match="n_shards"):
+        export_jsonl_shards_incremental(_docs(spark, 20), out, 2)
+    with pytest.raises(ValueError, match="n_shards"):
+        export_jsonl_shards_incremental(_docs(spark, 20), out, 0)
+    # the matching count still appends fine
+    export_jsonl_shards_incremental(_docs(spark, 20), out, 4)
+
+
+def test_incremental_marker_backfills_pre_r8_exports(spark, tmp_path):
+    """Exports written before the marker existed are still guarded by
+    the shard-dir bound, and gain the marker on first increment."""
+    import os
+
+    from smalltsdb_spark.operators.export import (
+        N_SHARDS_MARKER,
+        export_jsonl_shards,
+        export_jsonl_shards_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(_docs(spark, 10), out, 4)
+    os.remove(os.path.join(out, N_SHARDS_MARKER))  # simulate pre-r8
+    with pytest.raises(ValueError, match="shard dirs"):
+        export_jsonl_shards_incremental(_docs(spark, 20), out, 2)
+    export_jsonl_shards_incremental(_docs(spark, 20), out, 4)
+    assert os.path.exists(os.path.join(out, N_SHARDS_MARKER))

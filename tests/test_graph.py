@@ -230,3 +230,20 @@ def test_flask_graph_svg_endpoint(spark, tsdb_dir):
         "&metrics-0-stat=avg&start=0&end=100"
     )
     assert r2.is_json  # default JSON contract unchanged
+
+
+def test_interactive_payload_sorts_none_values_without_typeerror():
+    """ADVICE r7: duplicate timestamps where one value is None must not
+    raise from tuple tie-breaking in the embedded-series sort."""
+    data = {
+        "interval": (0, 10),
+        "series": [
+            {
+                "label": "s",
+                "timestamps": [5.0, 5.0, 1.0],
+                "values": [None, 2.0, 1.0],
+            }
+        ],
+    }
+    html = render_graph_html(data, interactive=True)
+    assert "<script>" in html
