@@ -43,27 +43,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return out
 
 
-# Round in which a query's SEMANTICS last changed (scoring primitive, plan
-# output, oracle rewrite).  A query whose most recent driver-green round
-# predates its touch round is STALE — its green rows validated old code —
-# and jumps to the head of the check order regardless of how many past
-# greens it accumulated.  Maintained by hand at each semantic change; the
-# default (absent) is 0 = never touched after registration.
-TOUCHED_ROUND: dict[str, int] = {
-    # r6: half-up score quantization (floor(x*1e6+0.5)/1e6) replaced
-    # round() in 7 cosine-family oracles; r7: the Spark-side lsh/ivf
-    # kernels moved from F.round to the same floor primitive.  Last
-    # driver-green rows for all nine predate r6 (VERDICT r6 item 1).
-    "sim_cosine_topk": 7,
-    "sim_lsh_ann": 7,
-    "sim_ivf_ann": 7,
-    "sim_ivf_distributed": 7,
-    "sim_ivf_incremental": 7,
-    "sim_ivf_pq": 7,
-    "sim_pq_adc": 7,
-    "sim_recall_eval": 7,
-    "dedup_embedding_cosine": 7,
+# Round in which a query's SEMANTICS last changed.  A query whose most
+# recent driver-green round predates its touch round is STALE — its green
+# rows validated old code — and jumps to the head of the check order
+# regardless of how many past greens it accumulated.
+#
+# Since r8 this is DERIVED from git (smalltsdb_spark/staleness.py): round
+# boundaries come from the driver's own "round N: verdict/..." commits,
+# per-query dependencies from the AST (the registered function, its lazy
+# oracle, every same-file helper it references, and every
+# smalltsdb_spark module segment reachable through its imports), and the
+# change round from hashing each dependency segment at adjacent boundary
+# snapshots.  VERDICT r7 item 2's failure mode — r7 rewrote the storage
+# layer under six long-green queries and the hand list missed all six —
+# cannot recur: a storage.py edit now bumps every query whose closure
+# reaches the edited segment, automatically, including uncommitted work.
+#
+# _MANUAL_TOUCHED stays as a floor for judgment calls the AST cannot
+# make (e.g. a judge-requested re-confirmation); the effective round is
+# the max of both sources.
+_MANUAL_TOUCHED: dict[str, int] = {
+    # VERDICT r7 item 2 names six queries for fresh r8 confirmation.
+    # Four derive touch=7 mechanically (storage/streaming closure); the
+    # other two do not — tsdb_retention's driver row filters the events
+    # relation directly and never enters storage.py, and git shows
+    # sources/daemon.py last changed in r6, not r7 — but the judge asked
+    # for all six, so floor them in.
+    "tsdb_retention": 7,
+    "tsdb_daemon_ingest": 7,
 }
+
+
+def _touched_rounds() -> dict[str, int]:
+    from smalltsdb_spark.staleness import touch_rounds
+
+    derived = touch_rounds(QUERIES, ORACLE)
+    merged = dict(derived)
+    for name, rnd in _MANUAL_TOUCHED.items():
+        merged[name] = max(merged.get(name, 0), rnd)
+    return merged
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -100,12 +118,17 @@ def _driver_order(names: list[str]) -> list[str]:
             if n in greens and isinstance(row, dict) and row.get("hash_match"):
                 greens[n] += 1
                 last_green[n] = max(last_green[n], rnd)
+    touched = _touched_rounds()
     pos = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
-            # stale (green rows predate the last semantic touch) → first
-            last_green[n] >= TOUCHED_ROUND.get(n, 0),
+            # stale (green rows predate the last semantic touch) → first;
+            # within the stale bucket the OLDEST certification goes
+            # first, so a budget overflow drops the most recently
+            # re-certified stale rows, never the most outdated ones
+            last_green[n] >= touched.get(n, 0),
+            last_green[n],
             greens[n],
             -pos[n],
         ),
