@@ -2755,6 +2755,30 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bpe_encode_arrow", _bpe_encode_oracle)
+def text_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of bpe_encode (VERDICT r7 item 3): the same 8
+    trained merges forced through the broadcast-ranks Arrow kernel
+    (``max_fold_merges=0``) instead of the plan-as-model nested folds.
+    Same oracle as text_bpe_encode — the two physical strategies must
+    produce byte-identical per-source budgets.  At a real 30k-merge
+    vocabulary only this path compiles (plan size is constant in merge
+    count); the 1200-merge bounded-time case is pinned in
+    tests/test_textstats.py."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    enc = textstats.bpe_encode(docs, "doc_id", "text", merges, max_fold_merges=0)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_symbols").alias("total_symbols"),
+        )
+    )
+
+
 @query("text_bpe_train", _bpe_oracle)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (textstats.bpe_train): the

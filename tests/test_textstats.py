@@ -394,3 +394,89 @@ def test_bpe_encode_matches_reference(spark):
     # merges actually compress: fewer symbols than characters
     chars = sum(len(w) for t in texts for w in t.split(" ") if w)
     assert sum(s for _, s in got.values()) < chars
+
+
+def test_bpe_encode_arrow_path_matches_fold_path(spark):
+    """The two physical strategies of bpe_encode must agree exactly
+    (VERDICT r7 item 3): fold path (plan-as-model, <=16 merges) vs the
+    broadcast-ranks Arrow path, on the same trained merges, including
+    non-ASCII, repeats, and empty-token edge cases."""
+    from smalltsdb_spark.operators.textstats import bpe_encode, bpe_train
+
+    texts = [
+        "low low lower é😀é é😀é lowest",
+        "new newer aaaa aa",
+        "  double  spaces  ",
+        "singleword",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", 8, min_freq=2)
+    assert 0 < len(merges) <= 16
+    fold = {
+        r.doc_id: (r.n_words, r.n_symbols)
+        for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    arrow = {
+        r.doc_id: (r.n_words, r.n_symbols)
+        for r in bpe_encode(
+            docs, "doc_id", "text", merges, max_fold_merges=0
+        ).collect()
+    }
+    assert fold == arrow
+    assert set(fold) == set(range(len(texts)))
+
+
+def test_bpe_encode_survives_production_merge_count(spark):
+    """A real tokenizer has 30k-50k merges; the fold path cannot compile
+    that (plan size grows with k). The Arrow path must encode with >=1000
+    merges in bounded time — this is the r8 'Done' criterion."""
+    import time
+
+    from smalltsdb_spark.operators.textstats import (
+        BPE_FOLD_MAX_MERGES,
+        bpe_encode,
+    )
+
+    # synthetic but well-formed merge table: every output symbol exists
+    # before any merge that consumes it (rank order respects creation),
+    # over a 26-letter alphabet: (a,b)->ab, (ab,c)->abc, ... plus pair
+    # merges of doubled letters
+    merges = []
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for ch in alphabet:
+        merges.append((ch, ch, 2))  # 'aa'
+    seed = "a"
+    for ch in alphabet[1:]:
+        merges.append((seed, ch, 2))  # 'ab', 'abc', ...
+        seed += ch
+    while len(merges) < 1200:
+        i = len(merges)
+        a = alphabet[i % 26]
+        b = alphabet[(i * 7 + 3) % 26]
+        pair = (a + a, b + b)  # doubles exist from the first block
+        merges.append((pair[0], pair[1], 2))
+    assert len(merges) >= 1000 > BPE_FOLD_MAX_MERGES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abcdefg aabbcc abcdefghijklmnopqrstuvwxyz"),
+            (1, "aa bb aabb " * 50),
+            (2, "zzzz yyyy xxxx"),
+        ],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    rows = {r.doc_id: r for r in bpe_encode(docs, "doc_id", "text", merges).collect()}
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"1200-merge encode took {elapsed:.1f}s"
+    # spot-check semantics: 'abcdefg' -> chain merges collapse prefix
+    # 'abcdefg' fully: a+b->ab, ab+c->abc ... abcdef+g->abcdefg = 1 symbol
+    assert rows[0].n_words == 3
+    assert rows[0].n_symbols == 1 + 3 + 1  # abcdefg=1, aabbcc=aa/bb/cc=3, alphabet=1
+    # 'aabb' -> aa,bb then (aa,bb) merge if present in table
+    aabb_rank = [(a, b) for a, b, _ in merges].count(("aa", "bb"))
+    expected_aabb = 1 if aabb_rank else 2
+    assert rows[1].n_symbols == 50 * (1 + 1 + expected_aabb)
