@@ -69,6 +69,7 @@ class BaseTSDB:
         exact_percentiles: bool = True,
         retention: dict[str, float] | None = None,
         partition_grain: str = "day",
+        commit_protocol: str = "manifest",
     ):
         self.spark = spark
         self.path = path
@@ -109,6 +110,23 @@ class BaseTSDB:
             )
         self.partition_grain = partition_grain
         self.grain_seconds = PARTITION_GRAINS[partition_grain]
+        # commit protocol for PERIOD-table mutations (r8 verdict item):
+        # 'manifest' (default) = whole-table transactional commit, one
+        # os.replace per sync per table — a sync killed mid-write leaves
+        # readers on the old consistent snapshot (the reference gets
+        # this from SQLite's transaction; storage.py module docstring
+        # has the protocol).  'dirswap' = legacy per-partition swap for
+        # stores that must keep plain directory-listing reads; a table
+        # that already HAS a manifest stays manifest-committed either
+        # way (mixing protocols would hide dirswap writes from manifest
+        # readers).  Incoming always stays dirswap/append: its writers
+        # (daemon flushes, inserts) don't coordinate through a manifest.
+        if commit_protocol not in ("manifest", "dirswap"):
+            raise ValueError(
+                f"unknown commit_protocol {commit_protocol!r}; "
+                "expected 'manifest' or 'dirswap'"
+            )
+        self.commit_protocol = commit_protocol
         self._grain_lock = threading.Lock()
         self._grain_pinned = False
         self._grain_roots = {self.path}
@@ -400,7 +418,12 @@ class TablesTSDB(BaseTSDB):
             .join(new_rows, ["path", "timestamp"], "left_anti")
         )
         self._pin_grain()
-        storage.overwrite_partitions(kept.unionByName(new_rows), path, grain)
+        storage.overwrite_partitions(
+            kept.unionByName(new_rows),
+            path,
+            grain,
+            manifest=(self.commit_protocol == "manifest") or None,
+        )
         new_rows.unpersist()
 
     def compact(self, max_files_per_partition: int = 1) -> dict[str, list[int]]:
