@@ -56,6 +56,16 @@ def main() -> None:
         app_name="smalltsdb-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the bench session exposes the status API (UI) so per-query
+        # output/shuffle byte counts can be recorded (r8 protocol:
+        # I/O-heaviness must be visible per entry); retainedStages is
+        # raised so the cumulative totals stay monotonic across the
+        # whole ~130-query session instead of silently evicting
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "30000",
+            "spark.ui.retainedJobs": "30000",
+        },
     )
 
     # warm the JVM + file listing so per-query numbers measure the queries
@@ -116,6 +126,72 @@ def main() -> None:
             _warm_py, "id long"
         ).write.mode("overwrite").format("noop").save()
 
+    # Host-interference probes (r8 protocol — VERDICT r7 item 1).  The
+    # r7 sessions proved the CPU probe alone is "necessary but not
+    # sufficient": parquet-write-heavy phases stalled while it stayed
+    # flat.  Two fixed workloads now run side by side on a cadence, so a
+    # stall window is attributable to the side it hits:
+    #  - cpu: a 50 M-row whole-stage-codegen aggregation (no I/O);
+    #  - write: a fixed 32-partition/400 k-row partitioned parquet
+    #    write + recursive delete — the sync upsert's write shape.
+    # The timeline lands in BENCH_DETAIL under "probes", one entry per
+    # ~20 measured queries, each tagged with the query it preceded.
+    def run_cpu_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            ((F.col("id") * 3 + 1) % 7).alias("x")
+        ).agg(F.sum("x")).collect()
+        return time.perf_counter() - t0
+
+    def run_write_probe() -> float:
+        d = tempfile.mkdtemp(prefix="bench_write_probe_")
+        df = spark.range(400_000).select(
+            (F.col("id") % 32).alias("p"), F.col("id").alias("v")
+        )
+        t0 = time.perf_counter()
+        df.repartition(F.col("p")).write.partitionBy("p").mode(
+            "overwrite"
+        ).parquet(d)
+        elapsed = time.perf_counter() - t0
+        shutil.rmtree(d, ignore_errors=True)
+        return elapsed
+
+    probes: list[dict] = []
+
+    def take_probes(near: str) -> None:
+        probes.append(
+            {
+                "before": near,
+                "cpu_sec": round(run_cpu_probe(), 3),
+                "write_sec": round(run_write_probe(), 3),
+            }
+        )
+
+    # Per-query I/O accounting via the status API: cumulative completed-
+    # stage totals, delta'd around each measured run, so BENCH_DETAIL
+    # shows how write-amplified each entry is (the r7 3-way
+    # tsdb_sync_idempotent discrepancy was unattributable without this).
+    def stage_totals() -> dict[str, int]:
+        import urllib.request
+
+        sc = spark.sparkContext
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )
+        try:
+            with urllib.request.urlopen(url, timeout=15) as r:
+                stages = json.load(r)
+        except Exception:
+            return {}
+        return {
+            "output_bytes": sum(s.get("outputBytes", 0) for s in stages),
+            "output_records": sum(s.get("outputRecords", 0) for s in stages),
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes", 0) for s in stages
+            ),
+        }
+
     # Measurement protocol (VERDICT r5 item 1 — make the committed number
     # trustworthy): two isolated runs per query; if they disagree by more
     # than 2x, a third run breaks the tie and the MEDIAN of three is
@@ -127,22 +203,36 @@ def main() -> None:
     # BENCH_DETAIL.json under "runs" so outliers stay visible.
     timings: dict[str, float] = {}
     runs_record: dict[str, list[float]] = {}
+    io_record: dict[str, dict[str, int]] = {}
+    measured_count = {"n": 0}
 
     def measure(name: str, run_once) -> None:
         """run_once() executes the workload once and returns elapsed sec
         (timing its own timed region so per-run setup stays untimed)."""
+        if measured_count["n"] % 20 == 0:
+            take_probes(name)
+        measured_count["n"] += 1
         runs = []
+        io_before = io_after = {}
         for _ in range(2):
             isolate()
+            io_before = stage_totals()
             runs.append(run_once())
+            io_after = stage_totals()
         if max(runs) > 2 * min(runs):
             isolate()
+            io_before = stage_totals()
             runs.append(run_once())
+            io_after = stage_totals()
             value = sorted(runs)[1]
         else:
             value = min(runs)
         timings[name] = round(value, 3)
         runs_record[name] = [round(r, 3) for r in runs]
+        if io_before and io_after:
+            io_record[name] = {
+                k: io_after.get(k, 0) - io_before.get(k, 0) for k in io_after
+            }
 
     def timed_noop(df_fn):
         def run_once() -> float:
@@ -245,7 +335,9 @@ def main() -> None:
         finally:
             shutil.rmtree(sync_dir, ignore_errors=True)
 
+    take_probes("baseline_sync_1m")  # bracket the write-heaviest entry
     measure("baseline_sync_1m", run_sync)
+    take_probes("after_baseline_sync_1m")
     sync_sec = timings["baseline_sync_1m"]
     big.unpersist()
 
@@ -305,6 +397,12 @@ def main() -> None:
         # stdout stays within the driver's 2000-char tail); 3 entries
         # mean the 2 runs disagreed >2x and the median was recorded
         "runs": runs_record,
+        # r8 protocol: host-interference probe timeline (cpu + fixed
+        # partitioned-write, every ~20 queries) and per-query output/
+        # shuffle byte deltas from the status API — I/O-heaviness and
+        # stall windows are attributable per entry now
+        "probes": probes,
+        "io": io_record,
     }
 
     # The driver's capture keeps only the LAST 2000 chars of stdout and
@@ -326,6 +424,8 @@ def main() -> None:
     def render(keep: int) -> str:
         line = dict(result)
         line.pop("runs", None)  # raw runs live in the detail file only
+        line.pop("io", None)
+        line.pop("probes", None)
         line["queries"] = dict(sorted(by_cost[:keep]))
         line["queries_total"] = len(timings)
         line["queries_shown"] = keep

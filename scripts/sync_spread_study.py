@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Isolated re-measurement of the two write-heavy bench entries whose r7
+numbers disagreed 3-way (builder 8.3 s / judge 28 s / driver 58-96 s for
+``tsdb_sync_idempotent`` — VERDICT r7 "Next round" #1).
+
+One FRESH session per invocation: warms the JVM/worker pools exactly like
+bench.py, takes the cpu + parquet-write probes before and after each
+entry, runs the entry once, and APPENDS one JSON line to
+``SYNC_STUDY.jsonl`` at the repo root.  Run it several times, spaced
+across hours, to separate host I/O phase from plan cost: if the entry's
+time moves while both probes stay flat, the plan is implicated; if the
+write probe moves with it, the host is.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from smalltsdb_spark.queries import QUERIES, events_as_incoming
+from smalltsdb_spark import queries_ext  # noqa: F401
+from smalltsdb_spark import queries_rel  # noqa: F401
+from smalltsdb_spark.operators import spread
+from smalltsdb_spark.session import get_spark
+from smalltsdb_spark.tsdb import TSDB
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="sync-spread-study",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    events_as_incoming(spark, sf_dir).limit(1).count()
+
+    def cpu_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            ((F.col("id") * 3 + 1) % 7).alias("x")
+        ).agg(F.sum("x")).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    def write_probe() -> float:
+        d = tempfile.mkdtemp(prefix="study_write_probe_")
+        df = spark.range(400_000).select(
+            (F.col("id") % 32).alias("p"), F.col("id").alias("v")
+        )
+        t0 = time.perf_counter()
+        df.repartition(F.col("p")).write.partitionBy("p").mode(
+            "overwrite"
+        ).parquet(d)
+        elapsed = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(d, ignore_errors=True)
+        return elapsed
+
+    record: dict = {
+        "wallclock": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "sf_dir": sf_dir,
+        "entries": {},
+    }
+
+    def probes() -> dict:
+        return {"cpu_sec": cpu_probe(), "write_sec": write_probe()}
+
+    # entry 1: the driver query itself (3 syncs x 2 period tables)
+    record["entries"]["tsdb_sync_idempotent"] = {"probes_before": probes()}
+    t0 = time.perf_counter()
+    QUERIES["tsdb_sync_idempotent"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    record["entries"]["tsdb_sync_idempotent"]["sec"] = round(
+        time.perf_counter() - t0, 3
+    )
+    record["entries"]["tsdb_sync_idempotent"]["probes_after"] = probes()
+
+    # entry 2: baseline_sync_1m (full 6-period sync of >=1M rows)
+    inc = spread(events_as_incoming(spark, sf_dir))
+    n = inc.count()
+    reps = max(1, -(-1_000_000 // max(n, 1)))
+    big = (
+        inc.crossJoin(F.broadcast(spark.range(reps))).select(
+            "path",
+            (F.col("timestamp") + F.col("id") * 0.001).alias("timestamp"),
+            "value",
+        )
+        if reps > 1
+        else inc
+    ).cache()
+    big.count()
+    record["entries"]["baseline_sync_1m"] = {"probes_before": probes()}
+    sync_dir = tempfile.mkdtemp(prefix="study_sync_")
+    try:
+        db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
+        db.insert(big)
+        t0 = time.perf_counter()
+        db.sync()
+        record["entries"]["baseline_sync_1m"]["sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(sync_dir, ignore_errors=True)
+    record["entries"]["baseline_sync_1m"]["probes_after"] = probes()
+    big.unpersist()
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SYNC_STUDY.jsonl",
+    )
+    with open(out, "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+    print(json.dumps(record, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,5 +5,6 @@ from smalltsdb_spark.streaming.pipeline import (  # noqa: F401
     read_spool_stream,
     start_ingest,
     start_rollup,
+    start_rollup_partials,
     streaming_aggregate,
 )

@@ -158,6 +158,88 @@ def streaming_aggregate(
     )
 
 
+def _upsert_agg_batch(batch: DataFrame, path: str, grain_seconds: int) -> None:
+    """foreachBatch body for the partials sink: ``insert or replace``
+    keyed (path, timestamp) into a manifest-committed parquet table —
+    the same upsert shape as TablesTSDB._upsert, so a replayed
+    micro-batch (checkpoint recovery) re-writes identical values instead
+    of duplicating rows: idempotence is what turns foreachBatch's
+    at-least-once into exactly-once table contents."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    batch = batch.cache()
+    try:
+        affected = [
+            r.d
+            for r in batch.select(
+                F.floor(F.col("timestamp") / grain_seconds)
+                .cast("long")
+                .alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return
+        existing = storage.read_table(batch.sparkSession, path, AGG_SCHEMA)
+        kept = existing.filter(
+            F.floor(F.col("timestamp") / grain_seconds)
+            .cast("long")
+            .isin(affected)
+        ).join(batch, ["path", "timestamp"], "left_anti")
+        storage.overwrite_partitions(
+            kept.unionByName(batch), path, grain_seconds, manifest=True
+        )
+    finally:
+        batch.unpersist()
+
+
+def start_rollup_partials(
+    incoming_stream: DataFrame,
+    partial_path: str,
+    checkpoint: str,
+    seconds: int,
+    *,
+    tail: float = DEFAULT_TAIL,
+    interval: str | None = "10 seconds",
+    available_now: bool = False,
+    exact: bool = True,
+    grain_seconds: int = SECONDS_PER_DAY,
+) -> StreamingQuery:
+    """The PARTIAL-interval rollup (T2's capability upgrade, SURVEY §2.8):
+    the same aggregation as :func:`start_rollup` in **update** mode, so
+    every trigger emits the CURRENT value of each changed bucket —
+    including buckets the finality rule hasn't closed yet.  The reference
+    computes this partial interval on every sync but never materializes
+    it (reference tsdb.py:372-374); here it is a real table a dashboard
+    can read for the freshest half-built bucket.
+
+    Sink shape: update mode cannot use the append-only file sink, so each
+    micro-batch upserts (replace-by-key) into a manifest-committed
+    parquet table via foreachBatch — readers get whole-table snapshot
+    isolation per query, and the table CONVERGES to the append-mode
+    (final) table as the watermark passes each bucket: late rows beyond
+    the tail are dropped by the same watermark, so a bucket's last
+    update IS its final value.  State size is the same (active paths ×
+    open windows) as the append rollup; the extra cost is one bounded
+    upsert write per trigger (changed buckets only), not a table
+    rewrite."""
+    agg = streaming_aggregate(incoming_stream, seconds, tail=tail, exact=exact)
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, _id: _upsert_agg_batch(batch, partial_path, grain_seconds)
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
 def start_rollup(
     incoming_stream: DataFrame,
     period_path: str,

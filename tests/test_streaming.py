@@ -196,3 +196,78 @@ def test_streaming_sink_tables_refuse_file_mutation(spark, spool, tmp_path):
     assert all(
         n == 1 for n in storage.partition_file_counts(incoming_path).values()
     )
+
+
+def test_partials_rollup_exposes_open_buckets_and_converges(spark, spool, tmp_path):
+    """start_rollup_partials (r8, T2 upgrade): update mode materializes
+    buckets the finality rule hasn't closed — absent from the append
+    table — at their CURRENT values; once more data arrives, the upsert
+    REPLACES the partial row (no duplicates), converging on the final
+    aggregation."""
+    from smalltsdb_spark.storage import read_table
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+    from smalltsdb_spark.streaming import start_rollup_partials
+
+    partial = str(tmp_path / "tensecond_partial")
+    final = str(tmp_path / "tensecond_final")
+
+    def run_both():
+        for starter, out, ck in [
+            (start_rollup, final, "ckf"),
+            (start_rollup_partials, partial, "ckp"),
+        ]:
+            q = starter(
+                read_spool_stream(spark, spool.spool_dir),
+                out,
+                str(tmp_path / ck),
+                10,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+    def partial_rows():
+        return {
+            (r.path, r.timestamp): (r.n, r.min, r.max, r.sum)
+            for r in read_table(spark, partial, AGG_SCHEMA).collect()
+        }
+
+    # batch 1: bucket 0 has data; bucket 20 row moves the watermark so
+    # bucket 0 finalizes; bucket 20 itself stays OPEN (tail=60)
+    spool([("m", 1.0, 10.0), ("m", 2.0, 20.0), ("m", 25.0, 100.0)])
+    run_both()
+    finals = _table(spark, tmp_path, "tensecond_final")
+    assert [(p, t, n) for p, t, n, *_ in finals] == []  # nothing final yet
+    got = partial_rows()
+    assert got[("m", 0.0)] == (2.0, 10.0, 20.0, 30.0)  # OPEN bucket visible
+    assert got[("m", 20.0)] == (1.0, 100.0, 100.0, 100.0)
+
+    # batch 2: watermark carried from run 1 is max(25)-60 < 0, so bucket
+    # 0 is still inside the tail — the ("m", 3.0) row MERGES (in-tail
+    # late data updates its open bucket, reference semantics) and the
+    # partial row is REPLACED in place, not duplicated; the 95.0 row
+    # advances the post-batch watermark to 35
+    spool([("m", 27.0, 50.0), ("m", 3.0, 999.0), ("m", 95.0, 1.0)])
+    run_both()
+    got = partial_rows()
+    assert got[("m", 0.0)] == (3.0, 10.0, 999.0, 1029.0)  # merged in-tail
+    assert got[("m", 20.0)] == (2.0, 50.0, 100.0, 150.0)  # replaced in place
+    assert got[("m", 90.0)] == (1.0, 1.0, 1.0, 1.0)
+
+    # batch 3: watermark is now 35 > bucket 0's end — the ("m", 4.0) row
+    # is TOO LATE and must be dropped (same rule as append mode); the
+    # 200.0 row pushes the watermark so buckets 0 and 20 finalize
+    spool([("m", 4.0, 777.0), ("m", 200.0, 5.0)])
+    run_both()
+    got = partial_rows()
+    assert got[("m", 0.0)] == (3.0, 10.0, 999.0, 1029.0)  # late row dropped
+    assert got[("m", 20.0)] == (2.0, 50.0, 100.0, 150.0)
+    # exactly one row per (path, bucket): the upsert replaces, never appends
+    all_rows = read_table(spark, partial, AGG_SCHEMA).collect()
+    assert len(all_rows) == len(got)
+    # for every bucket the append table has finalized, the partial row
+    # equals the final row (the partials table converges on finality)
+    finals = {
+        (p, t): (n, mn, mx, s)
+        for p, t, n, mn, mx, _avg, s, *_ in _table(spark, tmp_path, "tensecond_final")
+    }
+    assert finals and all(got[k] == v for k, v in finals.items())
