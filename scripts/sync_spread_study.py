@@ -72,15 +72,21 @@ def main() -> None:
     def probes() -> dict:
         return {"cpu_sec": cpu_probe(), "write_sec": write_probe()}
 
-    # entry 1: the driver query itself (3 syncs x 2 period tables)
+    # entry 1: the driver query itself (3 syncs x 2 period tables).
+    # TWO runs: run 1 is cold (fresh-session JIT/codegen/worker costs),
+    # run 2 is warm — the bench's min-of-2 protocol reports the warm
+    # number, so the cold/warm split IS the r7 builder-vs-judge spread
+    # hypothesis under test.
     record["entries"]["tsdb_sync_idempotent"] = {"probes_before": probes()}
-    t0 = time.perf_counter()
-    QUERIES["tsdb_sync_idempotent"](spark, sf_dir).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    record["entries"]["tsdb_sync_idempotent"]["sec"] = round(
-        time.perf_counter() - t0, 3
-    )
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES["tsdb_sync_idempotent"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    record["entries"]["tsdb_sync_idempotent"]["sec"] = runs[-1]
+    record["entries"]["tsdb_sync_idempotent"]["runs"] = runs
     record["entries"]["tsdb_sync_idempotent"]["probes_after"] = probes()
 
     # entry 2: baseline_sync_1m (full 6-period sync of >=1M rows)
@@ -98,17 +104,19 @@ def main() -> None:
     ).cache()
     big.count()
     record["entries"]["baseline_sync_1m"] = {"probes_before": probes()}
-    sync_dir = tempfile.mkdtemp(prefix="study_sync_")
-    try:
-        db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
-        db.insert(big)
-        t0 = time.perf_counter()
-        db.sync()
-        record["entries"]["baseline_sync_1m"]["sec"] = round(
-            time.perf_counter() - t0, 3
-        )
-    finally:
-        shutil.rmtree(sync_dir, ignore_errors=True)
+    runs = []
+    for _ in range(2):
+        sync_dir = tempfile.mkdtemp(prefix="study_sync_")
+        try:
+            db = TSDB(spark, sync_dir, now=lambda: 4_000_000_000.0)
+            db.insert(big)
+            t0 = time.perf_counter()
+            db.sync()
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(sync_dir, ignore_errors=True)
+    record["entries"]["baseline_sync_1m"]["sec"] = runs[-1]
+    record["entries"]["baseline_sync_1m"]["runs"] = runs
     record["entries"]["baseline_sync_1m"]["probes_after"] = probes()
     big.unpersist()
 

@@ -3997,3 +3997,126 @@ def ext_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "r")
         .agg(seq.cast("long").alias("seq"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classification (r8 — operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+#: classifier driver-row hyperparameters — shared by the Spark query and
+#: the generated-constant oracle (identical training by the determinism
+#: contract in operators/classifier.py)
+CLS_DIM = 4096
+CLS_ITERS = 12
+CLS_LR = 0.5
+CLS_LABEL_MIN_TOKENS = 60
+
+_CLS_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _cls_label_py(text: str) -> int:
+    return int(len([w for w in text.split(" ") if w]) >= CLS_LABEL_MIN_TOKENS)
+
+
+def _cls_oracle() -> str:
+    """Generated-constant oracle: the pure-Python reference implementation
+    (operators/classifier.reference_fit_predict) trains on the same corpus
+    with the same hashing and fixed-point arithmetic, so per-source
+    decision counts must match EXACTLY — no float comparison anywhere
+    (predictions are margin-sign decisions, and margins are integer-sum
+    deterministic)."""
+    import os
+
+    import duckdb
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _CLS_ORACLE_CACHE:
+        return _CLS_ORACLE_CACHE[sf_dir]
+    from smalltsdb_spark.operators.classifier import reference_fit_predict
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    scored = reference_fit_predict(
+        [(doc_id, text) for doc_id, _, text in rows],
+        CLS_DIM,
+        _cls_label_py,
+        iters=CLS_ITERS,
+        lr=CLS_LR,
+    )
+    totals: dict[str, list[int]] = {}
+    for doc_id, source, _text in rows:
+        if doc_id not in scored:
+            continue
+        label, score = scored[doc_id]
+        pred = int(score >= 0.5)
+        agg = totals.setdefault(source, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += label
+        agg[2] += pred
+        agg[3] += int(pred == label)
+    values = ",\n        ".join(
+        f"('{s}', {v[0]}, {v[1]}, {v[2]}, {v[3]})"
+        for s, v in sorted(totals.items())
+    )
+    sql = f"""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_label_pos AS BIGINT) AS n_label_pos,
+           CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+           CAST(n_correct AS BIGINT) AS n_correct
+    FROM (VALUES
+        {values}
+    ) AS t(source, n_docs, n_label_pos, n_pred_pos, n_correct)
+    """
+    _CLS_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("text_quality_classifier", _cls_oracle)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality gate (fastText recipe — operators/classifier):
+    hashed unigram+bigram features, distributed full-batch logistic GD
+    with FIXED-POINT gradient sums (order-independent, hence engine- and
+    partitioning-exact), prediction by margin sign.  Labels here are a
+    deterministic length rule — the row certifies the TRAINING
+    ALGORITHM, not label quality.  Per-source decision counts compared
+    exactly against an independently implemented pure-Python trainer."""
+    from smalltsdb_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        (
+            F.size(F.filter(tokens("text"), lambda w: F.length(w) > 0))
+            >= CLS_LABEL_MIN_TOKENS
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM)
+    model = classifier.fit(
+        feats, labels, "doc_id", CLS_DIM, iters=CLS_ITERS, lr=CLS_LR
+    )
+    scored = classifier.predict(feats, model, "doc_id")
+    return (
+        scored.join(labels, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("long").alias("n_label_pos"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_pred_pos"),
+            F.sum(
+                ((F.col("score") >= 0.5).cast("int") == F.col("label")).cast(
+                    "long"
+                )
+            ).alias("n_correct"),
+        )
+    )

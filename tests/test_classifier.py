@@ -1,0 +1,99 @@
+"""Hashed-feature logistic quality classifier (operators/classifier, r8).
+
+The determinism contract is the load-bearing claim: distributed training
+must reproduce the pure-Python reference EXACTLY (fixed-point sums are
+order-independent), and the model must actually learn a separable rule.
+"""
+
+import pytest
+
+from smalltsdb_spark.operators import classifier
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # separable by vocabulary: "good" docs use one word family, "bad"
+    # docs another; lengths vary so length is NOT the signal
+    good = [f"alpha beta gamma delta {'alpha ' * (i % 5)}".strip() for i in range(30)]
+    bad = [f"zork quux blarg {'zork ' * (i % 7)}".strip() for i in range(30)]
+    return good + bad
+
+
+def test_distributed_training_matches_reference_exactly(spark, corpus):
+    """Same hashing + fixed-point arithmetic ⇒ bit-identical margins:
+    every per-doc decision AND every 6-decimal score must agree with the
+    independent pure-Python implementation."""
+    dim, iters, lr = 512, 8, 0.5
+    label_fn = lambda t: int(t.split(" ")[0] == "alpha")  # noqa: E731
+
+    docs = _docs(spark, corpus)
+    from pyspark.sql import functions as F
+
+    labels = docs.select(
+        "doc_id",
+        (F.split("text", " ")[0] == "alpha").cast("int").alias("label"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", dim)
+    model = classifier.fit(feats, labels, "doc_id", dim, iters=iters, lr=lr)
+    got = {
+        r.doc_id: r.score
+        for r in classifier.predict(feats, model, "doc_id").collect()
+    }
+
+    want = classifier.reference_fit_predict(
+        list(enumerate(corpus)), dim, label_fn, iters=iters, lr=lr
+    )
+    assert set(got) == set(want)
+    for doc_id, (label, ref_score) in want.items():
+        assert (got[doc_id] >= 0.5) == (ref_score >= 0.5), doc_id
+        # scores agree well past the 6-decimal convention (same integer
+        # margins; only the final sigmoid's libm ulp can differ)
+        assert abs(got[doc_id] - ref_score) < 1e-9, doc_id
+
+
+def test_model_learns_separable_vocabulary(spark, corpus):
+    dim = 512
+    docs = _docs(spark, corpus)
+    from pyspark.sql import functions as F
+
+    labels = docs.select(
+        "doc_id",
+        (F.split("text", " ")[0] == "alpha").cast("int").alias("label"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", dim)
+    model = classifier.fit(feats, labels, "doc_id", dim, iters=12, lr=0.5)
+    # loss decreases monotonically on a separable problem
+    assert model.losses == sorted(model.losses, reverse=True)
+    scored = classifier.predict(feats, model, "doc_id").collect()
+    lab = {r.doc_id: r.label for r in labels.collect()}
+    correct = sum((r.score >= 0.5) == bool(lab[r.doc_id]) for r in scored)
+    assert correct == len(scored)  # fully separable → fully learned
+    assert all(0.0 < r.score < 1.0 for r in scored)
+
+
+def test_featurize_mean_pooling_and_empty_docs(spark):
+    docs = _docs(spark, ["a a b", "", "   "])
+    feats = classifier.featurize(docs, "doc_id", "text", 64).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append(r.x)
+    # doc 0: grams = [a, a, b, "a a", "a b"] → 5 grams; x sums to 1
+    assert abs(sum(by_doc[0]) - 1.0) < 1e-12
+    # empty / whitespace-only docs produce no features
+    assert set(by_doc) == {0}
+
+
+def test_fit_refuses_empty_input(spark):
+    docs = _docs(spark, [""])
+    from pyspark.sql import functions as F
+
+    feats = classifier.featurize(docs, "doc_id", "text", 16)
+    labels = docs.select("doc_id", F.lit(1).alias("label"))
+    with pytest.raises(ValueError, match="no labeled documents"):
+        classifier.fit(feats, labels, "doc_id", 16, iters=1)
