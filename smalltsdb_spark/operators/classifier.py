@@ -140,6 +140,12 @@ def fit(
             # err = sigmoid(margin) − label, per doc — margin is already
             # deterministic, so err is too; everything summed below is
             # fixed-point quantized per row
+            # persisted: err feeds BOTH the gradient join and the scalar
+            # aggregate below — without the cache the whole margin pass
+            # (broadcast join + corpus groupBy) would run twice per
+            # iteration.  docs-sized (one row per doc); AQE's runtime
+            # stats pick broadcast vs shuffle join for it — broadcast at
+            # bench scale, shuffle at corpus scale, both correct.
             err = (
                 margins.join(labels, id_col)
                 .select(
@@ -151,6 +157,7 @@ def fit(
                     "margin",
                     F.col("label").cast("double").alias("_y"),
                 )
+                .persist()
             )
             stats = (
                 fx.select(id_col, "feature", "x")
@@ -184,6 +191,7 @@ def fit(
                     )
                 ).alias("loss_sum"),
             ).first()
+            err.unpersist()
             for row in stats:
                 f = int(row.feature)
                 w[f] -= lr * (row.g_int / FP_SCALE) / n_docs

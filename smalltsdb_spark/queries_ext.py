@@ -4120,3 +4120,93 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text -> embedding bridge (r8 — operators/embedding.py)
+# ---------------------------------------------------------------------------
+
+EMB_FEATURES = 1 << 15
+EMB_DIM = 16
+
+_EMB_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _embed_oracle() -> str:
+    """Generated-constant oracle, integer-exact: the pure-Python mirror
+    produces the same per-doc fixed-point long sums the Spark pipeline
+    produces (determinism contract in operators/embedding.py), so the
+    per-source absolute-sum checksums compare as INTEGERS — the whole
+    tfidf→projection→sum pipeline value-checked with no float compare."""
+    import os
+
+    import duckdb
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _EMB_ORACLE_CACHE:
+        return _EMB_ORACLE_CACHE[sf_dir]
+    from smalltsdb_spark.operators.embedding import reference_embed
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = reference_embed(
+        [(doc_id, text) for doc_id, _, text in rows], EMB_FEATURES, EMB_DIM
+    )
+    totals: dict[str, list[int]] = {}
+    for doc_id, source, _text in rows:
+        if doc_id not in vecs:
+            continue
+        agg = totals.setdefault(source, [0, 0])
+        agg[0] += 1
+        agg[1] += sum(abs(v) for v in vecs[doc_id])
+    values = ",\n        ".join(
+        f"('{s}', {v[0]}, {v[1]})" for s, v in sorted(totals.items())
+    )
+    sql = f"""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(abs_checksum AS BIGINT) AS abs_checksum
+    FROM (VALUES
+        {values}
+    ) AS t(source, n_docs, abs_checksum)
+    """
+    _EMB_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("text_embed_rp", _embed_oracle)
+def text_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text→embedding bridge (operators/embedding.py): hashed TF-IDF
+    + signed random projection, fully deterministic via fixed-point long
+    sums.  The row checksums every doc's every dimension as exact
+    integers per source — if any tf, df, idf, hash, sign, or sum differs
+    anywhere in the pipeline, the checksum moves."""
+    from smalltsdb_spark.operators.embedding import embed_text
+    from smalltsdb_spark.operators.classifier import FP_SCALE
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text(docs, "doc_id", "text", n_features=EMB_FEATURES, d=EMB_DIM)
+    per_doc = emb.select(
+        "doc_id",
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.abs((e * F.lit(FP_SCALE)).cast("long")),
+        ).alias("_abs"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_abs").alias("abs_checksum"),
+        )
+    )
