@@ -196,6 +196,9 @@ def main() -> None:
             # 216 s cumulative with flat GC and flat I/O probes); wall
             # >> run is scheduling/stall; gc spike is memory pressure
             "executor_run_ms": sum(s.get("executorRunTime", 0) for s in stages),
+            "executor_cpu_ms": int(
+                sum(s.get("executorCpuTime", 0) for s in stages) / 1e6
+            ),
             "jvm_gc_ms": sum(s.get("jvmGcTime", 0) for s in stages),
         }
 

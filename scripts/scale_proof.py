@@ -257,9 +257,34 @@ def run_pipeline_suite(docs, emb, n_docs: int) -> dict[str, float]:
             )
         )
 
+    def embed():
+        # r8 text->embedding bridge: one explode/groupBy + broadcast
+        # projection join + one groupBy(doc) of long sums -- linear
+        from smalltsdb_spark.operators.embedding import embed_text
+
+        noop(embed_text(docs, "doc_id", "text", n_features=1 << 15, d=16))
+
+    def classifier_fit():
+        # r8 learned quality gate: 3 iterations over the cached
+        # (doc, feature) relation -- per-iteration cost is the proof
+        # target (corpus scans, model-sized driver traffic)
+        from pyspark.sql import functions as FF
+
+        from smalltsdb_spark.functions import tokens
+        from smalltsdb_spark.operators import classifier as clf
+
+        labels = docs.select(
+            "doc_id",
+            (FF.size(FF.filter(tokens("text"), lambda w: FF.length(w) > 0))
+             >= 60).cast("int").alias("label"),
+        )
+        feats = clf.featurize(docs, "doc_id", "text", 4096)
+        clf.fit(feats, labels, "doc_id", 4096, iters=3, lr=0.5)
+
     out = {}
     for name, fn in [("segments", segments), ("novelty", novelty),
-                     ("tfidf", tfidf), ("kmeans", kmeans)]:
+                     ("tfidf", tfidf), ("kmeans", kmeans),
+                     ("embed", embed), ("classifier", classifier_fit)]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -286,7 +311,8 @@ def main_pipeline(replicas: int):
     rN = run_pipeline_suite(big, emN, n * replicas)
     ratios = {
         k.replace("_sec", ""): round(rN[k] / r1[k], 2)
-        for k in ("segments_sec", "novelty_sec", "tfidf_sec", "kmeans_sec")
+        for k in ("segments_sec", "novelty_sec", "tfidf_sec", "kmeans_sec",
+                  "embed_sec", "classifier_sec")
     }
     print(json.dumps({"sf0.1": r1, f"{replicas}x": rN,
                       f"time_ratio_at_{replicas}x_data": ratios}))

@@ -47,11 +47,19 @@ __all__ = ["tfidf_features", "random_projection_matrix", "embed_text"]
 
 
 def tfidf_features(
-    df: DataFrame, id_col: str, text_col: str, n_features: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int,
+    _tf: DataFrame | None = None,
 ) -> DataFrame:
     """(id, feature, w) — mean-pooled TF × smoothed IDF, with ``w``
-    pre-quantized to 2^-24 so downstream sums are deterministic."""
-    tf = featurize(df, id_col, text_col, n_features)
+    pre-quantized to 2^-24 so downstream sums are deterministic.
+    ``_tf`` lets :func:`embed_text` pass an already-CACHED term-frequency
+    relation (the tf plan feeds the doc count, the idf aggregate, the
+    projection-matrix distinct, AND the contribution join — uncached it
+    executes once per consumer)."""
+    tf = _tf if _tf is not None else featurize(df, id_col, text_col, n_features)
     n_docs = tf.select(id_col).distinct().count()
     idf = tf.groupBy("feature").agg(
         F.count(F.lit(1)).alias("_df")  # featurize emits one row per (doc, feature)
@@ -115,8 +123,18 @@ def embed_text(
 ) -> DataFrame:
     """(id, embedding: array<double>) — the deterministic LSA-style
     embedding.  Element j is ``(Σ_f floor(w_f·sign_fj·2^24+0.5)) / 2^24``
-    — a long sum, hence partitioning-independent and engine-exact."""
-    feats = tfidf_features(df, id_col, text_col, n_features)
+    — a long sum, hence partitioning-independent and engine-exact.
+
+    EAGER: the result is materialized (persisted docs × d relation — the
+    smallest relation in the pipeline) before returning, so the hashed
+    term-frequency cache it is built from can be released here.  The tf
+    relation feeds FOUR consumers (doc count, idf aggregate, projection-
+    matrix distinct — a broadcast-side plan — and the contribution
+    join); uncached, each consumer re-runs the full tokenize/explode/
+    groupBy pass (measured at sf0.1: ~4× the CPU, which the host's
+    throughput phases then amplify into minute-long cold runs)."""
+    tf = featurize(df, id_col, text_col, n_features).persist()
+    feats = tfidf_features(df, id_col, text_col, n_features, _tf=tf)
     proj = random_projection_matrix(feats, d)
     contrib = feats.join(F.broadcast(proj), "feature").select(
         id_col,
@@ -133,12 +151,15 @@ def embed_text(
             for j in range(d)
         ]
     )
-    return sums.select(
+    out = sums.select(
         id_col,
         F.array(
             *[(F.col(f"_e{j}") / F.lit(FP_SCALE)).cast("double") for j in range(d)]
         ).alias("embedding"),
-    )
+    ).persist()
+    out.count()  # materialize so tf can be released
+    tf.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
