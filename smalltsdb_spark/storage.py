@@ -274,15 +274,31 @@ def _listing_as_manifest(path: str) -> dict[int, list[str]]:
     return files
 
 
-def _gc_unmanifested(path: str, manifest: dict[int, list[str]]) -> list[str]:
+def _gc_unmanifested(
+    path: str,
+    manifest: dict[int, list[str]],
+    min_age_seconds: float = 0.0,
+) -> list[str]:
     """Remove data files the manifest does not know about: files REPLACED
     by the previous commit (kept until now as the in-flight-reader grace
     window — one sync cycle) and debris from a writer that crashed after
     staging but before its manifest swap.  Runs under the single-writer
     sync lock, at the START of the next mutation, so it never races a
-    commit.  Returns the removed relative paths."""
+    commit.  Returns the removed relative paths.
+
+    ``min_age_seconds`` keeps young unmanifested files (mtime-gated) —
+    the high-frequency-writer grace window: a per-trigger streaming
+    upsert commits every ~10 s, so without the gate a replaced file
+    would vanish one trigger after retirement and an in-flight reader's
+    already-resolved snapshot would hit FileNotFoundException mid-scan.
+    mtime is a conservative proxy (a file is at least as old as its
+    retirement), so the gate can only lengthen the grace, never cut it
+    below ``min_age − write→retire lag``."""
+    import time
+
     live = {f for fs in manifest.values() for f in fs}
     removed = []
+    keep_after = time.time() - min_age_seconds if min_age_seconds > 0 else None
     prefix = f"{PARTITION_COLUMN}="
     for name in list(os.listdir(path)) if os.path.isdir(path) else []:
         if not name.startswith(prefix):
@@ -296,7 +312,14 @@ def _gc_unmanifested(path: str, manifest: dict[int, list[str]]) -> list[str]:
                     continue
                 rel = os.path.join(rel_root, f)
                 if rel not in live:
-                    os.remove(os.path.join(root, f))
+                    full = os.path.join(root, f)
+                    if keep_after is not None:
+                        try:
+                            if os.path.getmtime(full) > keep_after:
+                                continue
+                        except OSError:
+                            continue  # already gone — racing nobody
+                    os.remove(full)
                     removed.append(rel)
             if not os.listdir(root):
                 os.rmdir(root)
@@ -414,6 +437,7 @@ def overwrite_partitions(
     path: str,
     grain_seconds: int = SECONDS_PER_DAY,
     manifest: bool | None = None,
+    gc_min_age: float = 0.0,
 ) -> None:
     """Replace only the pdays present in ``df``.
 
@@ -453,7 +477,9 @@ def overwrite_partitions(
     _assert_mutable(path, "overwrite partitions of")
     existing_manifest = read_manifest(path)
     if existing_manifest is not None or manifest:
-        _overwrite_partitions_manifest(df, path, grain_seconds, existing_manifest)
+        _overwrite_partitions_manifest(
+            df, path, grain_seconds, existing_manifest, gc_min_age=gc_min_age
+        )
         return
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
@@ -481,6 +507,7 @@ def _overwrite_partitions_manifest(
     path: str,
     grain_seconds: int,
     existing: dict[int, list[str]] | None,
+    gc_min_age: float = 0.0,
 ) -> None:
     """The transactional commit protocol (VERDICT r7 "What's missing" #1).
 
@@ -501,7 +528,7 @@ def _overwrite_partitions_manifest(
 
     base = existing if existing is not None else _listing_as_manifest(path)
     os.makedirs(path, exist_ok=True)
-    _gc_unmanifested(path, base)
+    _gc_unmanifested(path, base, min_age_seconds=gc_min_age)
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(path, f".staging-{token}")
     _one_file_per_partition(with_pday(df, grain_seconds)).write.partitionBy(
@@ -557,14 +584,19 @@ def drop_partitions_below(
     _assert_mutable(path, "drop partitions of")
     manifest = read_manifest(path)
     if manifest is not None:
-        # commit the drop FIRST (readers stop resolving the doomed
-        # partitions the instant the manifest swaps), then reclaim disk
+        # commit the drop (readers stop resolving the doomed partitions
+        # the instant the manifest swaps) and DEFER physical deletion to
+        # the next mutation's _gc_unmanifested — an in-flight reader that
+        # resolved the previous manifest keeps its whole snapshot for the
+        # same one-cycle grace window the overwrite path promises
+        # (ADVICE r8; previously the rmtree here cut the window to zero)
         survivors = {
             u: fs
             for u, fs in manifest.items()
             if f"{PARTITION_COLUMN}={u}" not in set(doomed)
         }
         write_manifest(path, survivors)
+        return doomed
     for name in doomed:
         shutil.rmtree(os.path.join(path, name))
     return doomed

@@ -43,6 +43,11 @@ from smalltsdb_spark.config import DEFAULT_TAIL, QUANTILES
 from smalltsdb_spark.schemas import PARTITION_COLUMN, SECONDS_PER_DAY
 from smalltsdb_spark.sources.graphite import parse_lines_df
 
+#: minimum age (mtime) before the per-trigger partials upsert physically
+#: reclaims a manifest-retired file — the in-flight-reader grace window
+#: for the high-frequency commit path (see _upsert_agg_batch)
+STREAM_GC_MIN_AGE = 300.0
+
 
 def read_spool_stream(
     spark: SparkSession,
@@ -188,8 +193,18 @@ def _upsert_agg_batch(batch: DataFrame, path: str, grain_seconds: int) -> None:
             .cast("long")
             .isin(affected)
         ).join(batch, ["path", "timestamp"], "left_anti")
+        # gc_min_age: this commit path runs EVERY trigger (default 10 s),
+        # so an ungated GC would delete a replaced file one trigger after
+        # retirement — far short of the one-sync-cycle grace the batch
+        # path gives in-flight readers (ADVICE r8).  The mtime gate keeps
+        # retired files ≥5 min; debris is bounded (≈ grace/interval
+        # generations of the touched partitions' files).
         storage.overwrite_partitions(
-            kept.unionByName(batch), path, grain_seconds, manifest=True
+            kept.unionByName(batch),
+            path,
+            grain_seconds,
+            manifest=True,
+            gc_min_age=STREAM_GC_MIN_AGE,
         )
     finally:
         batch.unpersist()

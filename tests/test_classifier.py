@@ -51,10 +51,58 @@ def test_distributed_training_matches_reference_exactly(spark, corpus):
     )
     assert set(got) == set(want)
     for doc_id, (label, ref_score) in want.items():
-        assert (got[doc_id] >= 0.5) == (ref_score >= 0.5), doc_id
-        # scores agree well past the 6-decimal convention (same integer
-        # margins; only the final sigmoid's libm ulp can differ)
-        assert abs(got[doc_id] - ref_score) < 1e-9, doc_id
+        # bit-exact: margins are integer-sum deterministic and the
+        # sigmoid is a driver-built table lookup (no JVM transcendental),
+        # so the double coming back IS the mirror's double
+        assert got[doc_id] == ref_score, doc_id
+
+
+def test_sampled_training_matches_reference_exactly(spark, corpus):
+    """fit(sample_frac=) trains on the md5-gated subset and the mirror
+    reproduces it bit-exactly; every doc is still scored."""
+    dim, iters, lr, frac = 512, 6, 0.5, 0.5
+    label_fn = lambda t: int(t.split(" ")[0] == "alpha")  # noqa: E731
+
+    docs = _docs(spark, corpus)
+    from pyspark.sql import functions as F
+
+    labels = docs.select(
+        "doc_id",
+        (F.split("text", " ")[0] == "alpha").cast("int").alias("label"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", dim)
+    model = classifier.fit(
+        feats, labels, "doc_id", dim, iters=iters, lr=lr, sample_frac=frac
+    )
+    got = {
+        r.doc_id: r.score
+        for r in classifier.predict(feats, model, "doc_id").collect()
+    }
+    want = classifier.reference_fit_predict(
+        list(enumerate(corpus)), dim, label_fn, iters=iters, lr=lr,
+        sample_frac=frac,
+    )
+    assert set(got) == set(want)  # every doc scored, sampled or not
+    assert got == {d: s for d, (_l, s) in want.items()}
+    # the gate actually subsets (statistically certain at frac=0.5, n=60)
+    n_in = sum(classifier.reference_in_sample(d, frac) for d in range(len(corpus)))
+    assert 0 < n_in < len(corpus)
+    # and a different sample trains a different model
+    full = classifier.reference_fit_predict(
+        list(enumerate(corpus)), dim, label_fn, iters=iters, lr=lr
+    )
+    assert any(full[d][1] != want[d][1] for d in want)
+
+
+def test_fit_rejects_bad_sample_frac(spark, corpus):
+    docs = _docs(spark, corpus[:2])
+    from pyspark.sql import functions as F
+
+    feats = classifier.featurize(docs, "doc_id", "text", 16)
+    labels = docs.select("doc_id", F.lit(1).alias("label"))
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="sample_frac"):
+            classifier.fit(feats, labels, "doc_id", 16, iters=1, sample_frac=bad)
 
 
 def test_model_learns_separable_vocabulary(spark, corpus):

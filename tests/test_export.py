@@ -130,3 +130,35 @@ def test_incremental_marker_backfills_pre_r8_exports(spark, tmp_path):
         export_jsonl_shards_incremental(_docs(spark, 20), out, 2)
     export_jsonl_shards_incremental(_docs(spark, 20), out, 4)
     assert os.path.exists(os.path.join(out, N_SHARDS_MARKER))
+
+
+def test_incremental_rejects_larger_shard_count_on_markerless_export(
+    spark, tmp_path
+):
+    """ADVICE r8: the dir-name bound only catches a SMALLER n_shards.  A
+    marker-less export incremented with a LARGER count passes it and
+    would interleave two inconsistent shard maps — the data-derived
+    consistency check (recorded shard vs shard_of(id, n_shards)) must
+    refuse."""
+    import os
+
+    from smalltsdb_spark.operators.export import (
+        N_SHARDS_MARKER,
+        export_jsonl_shards,
+        export_jsonl_shards_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(_docs(spark, 40), out, 4)
+    os.remove(os.path.join(out, N_SHARDS_MARKER))  # simulate pre-r8
+    with pytest.raises(ValueError, match="inconsistent"):
+        export_jsonl_shards_incremental(_docs(spark, 60), out, 8)
+    # the refused increment wrote nothing and left no marker claiming 8
+    assert not os.path.exists(os.path.join(out, N_SHARDS_MARKER))
+    # a consistent re-increment at the true count still works
+    export_jsonl_shards_incremental(_docs(spark, 60), out, 4)
+    got = sorted(
+        r.doc_id
+        for r in read_jsonl_shards(spark, out, SCHEMA).collect()
+    )
+    assert got == list(range(60))

@@ -91,9 +91,37 @@ def test_decorator_and_oracle_sql_are_inside_the_hashed_segment():
     assert "SELECT count(*) AS kept" in src
 
 
-def test_degrades_to_empty_outside_a_git_repo(monkeypatch, tmp_path):
+def test_fails_closed_outside_a_git_repo(monkeypatch, tmp_path, capsys):
+    """A broken derivation must not masquerade as 'nothing stale'
+    (ADVICE r8): outside git, EVERY query is reported touched at
+    STALE_ROUND (sorts stale) and a visible warning is printed."""
     monkeypatch.setattr(staleness, "REPO", str(tmp_path))
-    assert staleness.touch_rounds(QUERIES, ORACLE) == {}
+    tr = staleness.touch_rounds(QUERIES, ORACLE)
+    assert set(tr) == set(QUERIES)
+    assert all(r == staleness.STALE_ROUND for r in tr.values())
+    assert "failing closed" in capsys.readouterr().err
+
+
+def test_current_round_touches_sort_into_driver_prefix():
+    """The property the whole staleness machinery exists to guarantee
+    (VERDICT r8 item 5): every query whose derived touch round is the
+    CURRENT round — i.e. whose implementation changed since the last
+    driver certification — must sort into the first 50 of
+    ``_driver_order`` (the driver's per-round check budget)."""
+    import __spark_entry__ as e
+
+    BUDGET = 50
+    order = e._driver_order(list(e.QUERIES))
+    cur = staleness._Repo().current_round
+    touched = e._touched_rounds()
+    hot = {n for n in e.QUERIES if touched.get(n, 0) >= cur}
+    assert hot, "a build round always touches at least one query"
+    prefix = set(order[:BUDGET])
+    if len(hot) <= BUDGET:
+        assert hot <= prefix, sorted(hot - prefix)
+    else:
+        # budget overflow: the prefix must consist solely of hot queries
+        assert prefix <= hot, sorted(prefix - hot)
 
 
 def test_uncommitted_edits_count_as_current_round(tmp_path):

@@ -491,3 +491,120 @@ def test_legacy_dirswap_store_upgrades_to_manifest_seamlessly(spark, tsdb_dir):
     assert _on_disk_parquet(table) >= {
         f for fs in manifest.values() for f in fs
     }
+
+
+def test_manifest_gc_grace_window_for_inflight_readers(spark, tsdb_dir):
+    """SCALE.md's promise, pinned (VERDICT r8 item 4): an in-flight reader
+    that resolved the manifest keeps a working snapshot for one full sync
+    cycle after its files are replaced — the replacing sync does NOT
+    delete them (it only GCs the PREVIOUS generation); the sync after
+    that reclaims them."""
+    from smalltsdb_spark import storage
+
+    day = 86400.0
+    clock = {"now": day}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    db.insert([("m", 5.0, 1.0)])
+    db.sync()
+    table = os.path.join(tsdb_dir, "tensecond")
+    v1_files = {
+        f for fs in storage.read_manifest(table).values() for f in fs
+    }
+    assert v1_files
+
+    # the in-flight reader: plan (and pin the file listing of) a query
+    # against the v1 snapshot, but do not collect it yet
+    inflight = db.period_table("tensecond").select("path", "timestamp", "n")
+    inflight_rows = None
+
+    # sync #2 replaces the day-0 partition (late row in the same bucket's
+    # partition) -> v1 files leave the manifest but MUST stay on disk
+    db.insert([("m", 15.0, 2.0)])
+    clock["now"] = 2 * day
+    db.sync()
+    assert _on_disk_parquet(table) >= v1_files, (
+        "replaced files must survive the replacing sync (grace window)"
+    )
+    # the already-planned DataFrame still collects correctly from v1
+    inflight_rows = sorted((r.path, r.timestamp, r.n) for r in inflight.collect())
+    assert inflight_rows == [("m", 0.0, 1.0)]
+
+    # sync #3 (the NEXT mutation) reclaims the v1 generation
+    db.insert([("m", day + 5.0, 3.0)])
+    clock["now"] = 3 * day
+    db.sync()
+    on_disk = _on_disk_parquet(table)
+    assert not (on_disk & v1_files), f"v1 files survived GC: {on_disk & v1_files}"
+
+
+def test_retention_drop_defers_physical_deletion_on_manifest_tables(
+    spark, tmp_path
+):
+    """ADVICE r8 storage.py item: drop_partitions_below on a manifest
+    table must swap the manifest immediately but leave the doomed files
+    for the next mutation's GC — same one-cycle grace as overwrites."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    path = str(tmp_path / "t")
+    day = 86400.0
+
+    def agg_rows(ts_values):
+        return spark.createDataFrame(
+            [("p", ts, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0) for ts in ts_values],
+            AGG_SCHEMA,
+        )
+
+    storage.overwrite_partitions(agg_rows([5.0, day + 5.0]), path, manifest=True)
+    doomed_files = {
+        f
+        for u, fs in storage.read_manifest(path).items()
+        if u == 0
+        for f in fs
+    }
+    assert doomed_files
+
+    dropped = storage.drop_partitions_below(path, day)
+    assert dropped == ["pday=0"]
+    # manifest no longer resolves day 0 ...
+    assert 0 not in storage.read_manifest(path)
+    reader = storage.read_table(spark, path, AGG_SCHEMA)
+    assert [r.timestamp for r in reader.collect()] == [day + 5.0]
+    # ... but the files are still on disk (reader grace window)
+    assert _on_disk_parquet(path) >= doomed_files
+    # the next mutation's GC reclaims them
+    storage.overwrite_partitions(agg_rows([2 * day + 5.0]), path)
+    assert not (_on_disk_parquet(path) & doomed_files)
+
+
+def test_gc_min_age_keeps_young_unmanifested_files(spark, tmp_path):
+    """The per-trigger streaming upsert's grace mechanism: unmanifested
+    files younger than min_age_seconds survive the GC; older ones go."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [("p", 5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)], AGG_SCHEMA
+    )
+    storage.overwrite_partitions(rows, path, manifest=True)
+    manifest = storage.read_manifest(path)
+    live = {f for fs in manifest.values() for f in fs}
+    pdir = os.path.join(path, "pday=0")
+    young = os.path.join(pdir, "part-young.parquet")
+    old = os.path.join(pdir, "part-old.parquet")
+    src = os.path.join(path, next(iter(live)))
+    import shutil as _sh
+
+    _sh.copy(src, young)
+    _sh.copy(src, old)
+    os.utime(old, (0.0, 0.0))  # epoch mtime: ancient
+    removed = storage._gc_unmanifested(path, manifest, min_age_seconds=300.0)
+    assert removed == [os.path.join("pday=0", "part-old.parquet")]
+    assert os.path.exists(young)
+    # ungated GC (the batch-sync path) reclaims the young file too
+    removed = storage._gc_unmanifested(path, manifest)
+    assert removed == [os.path.join("pday=0", "part-young.parquet")]
+    assert {os.path.join(path, f) for fs in manifest.values() for f in fs} == {
+        os.path.join(path, f) for f in live
+    }
