@@ -65,6 +65,11 @@ def main() -> None:
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "30000",
             "spark.ui.retainedJobs": "30000",
+            # the console progress bar writes \r-frames that land in the
+            # driver's captured output ahead of the final JSON line — in
+            # r8 that junk consumed ~100 chars of the 2000-char tail and
+            # cut the line mid-JSON (VERDICT r8 "What's wrong" #3)
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
@@ -99,6 +104,39 @@ def main() -> None:
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
         _warm_py, "id long"
     ).write.mode("overwrite").format("noop").save()
+
+    # r9 JIT warm-up (VERDICT r8 item 1 — mitigate, not just diagnose,
+    # the tiered-compilation churn that put 10-45x cold-run outliers in
+    # the official record: text_embed_rp raw [340.4, 11.1, 4.8] in r8).
+    # Whole-stage-codegen classes are plan-shape-specific, not
+    # data-sized, so ONE pass of the heaviest codegen families at
+    # sf0.001 compiles exactly the classes their sf0.1 measured runs
+    # need.  Evidence: SYNC_STUDY.jsonl warm-up sessions — cold:warm for
+    # tsdb_sync_idempotent / baseline_sync_1m dropped from 1.6-2.4x to
+    # ~1.1x, both landing on the historical warm floor.  ~45 s once per
+    # session, amortized against multi-minute collapse outliers.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARMUP_SF", "/root/testdata/sf0.001")
+    if warm_sf and os.path.isdir(warm_sf) and os.path.abspath(
+        warm_sf
+    ) != os.path.abspath(sf_dir):
+        for _warm_name in (
+            "tsdb_sync_idempotent",   # sync upsert + manifest path
+            "text_embed_rp",          # explode/groupBy + long-sum folds
+            "text_quality_classifier",  # GD iteration plans
+        ):
+            try:
+                noop_sink(QUERIES[_warm_name](spark, warm_sf))
+            except Exception:
+                pass  # warm-up must never fail the bench
+        _wsync = tempfile.mkdtemp(prefix="bench_warm_sync_")
+        try:
+            _wdb = TSDB(spark, _wsync, now=lambda: 4_000_000_000.0)
+            _wdb.insert(spread(events_as_incoming(spark, warm_sf)))
+            _wdb.sync()  # compiles all 6 period-aggregation plans
+        except Exception:
+            pass
+        finally:
+            shutil.rmtree(_wsync, ignore_errors=True)
 
     def isolate() -> None:
         """Reset session state between timed queries so each number is
@@ -428,6 +466,12 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
+    # A FULL 131-entry queries map is ~3.3k chars compact — physically
+    # bigger than the 2000-char tail, so the complete per-query record
+    # lives in BENCH_DETAIL.json (committed every round) and the stdout line
+    # carries the slowest entries that fit.  With the progress bar off
+    # (above) the whole budget is ours and the line is the LAST output,
+    # so the tail parse sees one clean JSON document.
     budget = 1900  # tail is 2000 chars; leave headroom
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
 
@@ -445,7 +489,8 @@ def main() -> None:
     keep = len(by_cost)
     while keep > 1 and len(render(keep)) > budget:
         keep -= 1
-    print(render(keep))
+    sys.stdout.flush()
+    print(render(keep), flush=True)
 
 
 if __name__ == "__main__":

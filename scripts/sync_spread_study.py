@@ -43,6 +43,26 @@ def main() -> None:
     )
     events_as_incoming(spark, sf_dir).limit(1).count()
 
+    def jit_stats() -> dict:
+        """JIT compiler telemetry (r9 — VERDICT r8 item 1): cumulative
+        compilation wall-ms and per-CodeHeap occupancy, so a slow entry
+        is attributable to compile churn (compile_ms delta ~ the gap)
+        vs host throughput (flat compile, proportional run time)."""
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        out = {"compile_ms": int(mf.getCompilationMXBean().getTotalCompilationTime())}
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            p = it.next()
+            name = p.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                key = (
+                    name.replace(" ", "_").replace("'", "").lower()
+                    + "_used_mb"
+                )
+                out[key] = round(p.getUsage().getUsed() / 1e6, 1)
+        return out
+
     def cpu_probe() -> float:
         t0 = time.perf_counter()
         spark.range(50_000_000).select(
@@ -66,11 +86,36 @@ def main() -> None:
     record: dict = {
         "wallclock": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "sf_dir": sf_dir,
+        "java_opts": os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", ""),
         "entries": {},
     }
 
     def probes() -> dict:
-        return {"cpu_sec": cpu_probe(), "write_sec": write_probe()}
+        return {"cpu_sec": cpu_probe(), "write_sec": write_probe(), **jit_stats()}
+
+    # Optional JIT warm-up pass (r9 mitigation experiment, VERDICT r8
+    # item 1): run the SAME plan shapes at a tiny scale factor first, so
+    # the cold measured run below finds the generated classes already
+    # compiled.  Whole-stage-codegen classes are plan-shape-specific, not
+    # data-sized, so an sf0.001 pass compiles exactly what the sf0.1 run
+    # needs.  SYNC_STUDY_WARMUP=<sf_dir> enables it.
+    warm_sf = os.environ.get("SYNC_STUDY_WARMUP")
+    if warm_sf:
+        t0 = time.perf_counter()
+        QUERIES["tsdb_sync_idempotent"](spark, warm_sf).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        wdir = tempfile.mkdtemp(prefix="study_warm_sync_")
+        try:
+            wdb = TSDB(spark, wdir, now=lambda: 4_000_000_000.0)
+            wdb.insert(spread(events_as_incoming(spark, warm_sf)))
+            wdb.sync()  # compiles all 6 period-aggregation plans
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+        record["warmup"] = {
+            "sf_dir": warm_sf,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
 
     # entry 1: the driver query itself (3 syncs x 2 period tables).
     # TWO runs: run 1 is cold (fresh-session JIT/codegen/worker costs),

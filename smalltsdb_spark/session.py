@@ -58,7 +58,14 @@ def get_spark(
         # Harmless when already-running JVMs ignore it.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            # SPARK_GRAFT_EXTRA_JAVA_OPTIONS appends experiment flags
+            # (the r9 JIT-churn study A/Bs code-cache/compiler settings
+            # through it without code edits; scripts/sync_spread_study.py
+            # records the active flags in every JSONL line)
+            (
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", "")
+            ).strip(),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -189,8 +189,22 @@ class BaseTSDB:
     def _period_path(self, period: str) -> str:
         return os.path.join(self.path, period)
 
+    def _partial_table(self, period: str) -> DataFrame | None:
+        """Open (not-yet-final) buckets of ``period``, or None when the
+        period table serves them already (ViewTSDB recomputes every
+        bucket on read, so there is nothing to add)."""
+        return None
+
     def get_metric_df(
-        self, path, period, stat, interval, *, limit: int | None = None, offset: int = 0
+        self,
+        path,
+        period,
+        stat,
+        interval,
+        *,
+        limit: int | None = None,
+        offset: int = 0,
+        include_partial: bool = False,
     ) -> DataFrame:
         """One stat of one metric over a closed interval, ordered by time.
 
@@ -200,17 +214,37 @@ class BaseTSDB:
         reference only TODOs ("can exhaust memory, paginate",
         tsdb.py:150) — Catalyst turns sort+limit into
         TakeOrderedAndProject (no full sort materialization).
-        """
+
+        ``include_partial=True`` additionally serves the OPEN buckets —
+        the windows the finality rule hasn't closed yet, which the
+        reference computes on every sync but never exposes to reads
+        (reference tsdb.py:372-374): on TablesTSDB they are recomputed
+        from incoming past the finality cut (ViewTSDB-parity for open
+        windows — same values a ViewTSDB over the same storage returns,
+        pinned by tests/test_sync.py); on ViewTSDB it is a no-op (its
+        reads already include them).  Materialized rows always win: a
+        bucket present in the period table is never shadowed by the
+        recompute (left-anti on the bucket key — broadcast-sized, one
+        metric's rows)."""
         validate_period(period, self.period_seconds)
         validate_stat(stat)
         start, end = (coerce_epoch(x) for x in interval)
-        df = (
+        base = (
             self.period_table(period)
             .filter(F.col("path") == path)
             .filter(F.col("timestamp").between(start, end))
-            .select("timestamp", stat)
-            .orderBy("timestamp")
         )
+        df = base.select("timestamp", stat)
+        if include_partial:
+            extra = self._partial_table(period)
+            if extra is not None:
+                df = df.unionByName(
+                    extra.filter(F.col("path") == path)
+                    .filter(F.col("timestamp").between(start, end))
+                    .join(base.select("timestamp"), "timestamp", "left_anti")
+                    .select("timestamp", stat)
+                )
+        df = df.orderBy("timestamp")
         if offset:
             df = df.offset(offset)
         if limit is not None:
@@ -276,9 +310,18 @@ class BaseTSDB:
         limit: int | None = None,
         offset: int = 0,
         timeout: float | None = None,
+        include_partial: bool = False,
     ) -> list[tuple[float, float]]:
         with self.timer("get_metric"), self.query_timeout(timeout):
-            df = self.get_metric_df(path, period, stat, interval, limit=limit, offset=offset)
+            df = self.get_metric_df(
+                path,
+                period,
+                stat,
+                interval,
+                limit=limit,
+                offset=offset,
+                include_partial=include_partial,
+            )
             return [tuple(r) for r in df.collect()]
 
     def list_metrics_df(self) -> DataFrame:
@@ -351,6 +394,21 @@ class TablesTSDB(BaseTSDB):
     def period_table(self, period: str) -> DataFrame:
         validate_period(period, self.period_seconds)
         return storage.read_table(self.spark, self._period_path(period), AGG_SCHEMA)
+
+    def _partial_table(self, period: str) -> DataFrame:
+        """The open buckets (bucket start ≥ the finality cut at read
+        time), recomputed from incoming on demand — the batch twin of the
+        streaming partials table (streaming/pipeline.start_rollup_
+        partials), and exactly what the reference computes per sync but
+        never stores (reference tsdb.py:372-374).  Cost: one aggregation
+        of the incoming tail; the path filter pushes below the
+        aggregation (path is a grouping key), so a one-metric read scans
+        one metric's raw rows."""
+        seconds = validate_period(period, self.period_seconds)
+        fe = float(final_end(seconds, self.tail, self._now()))
+        return aggregate(
+            self.incoming(), seconds, exact=self.exact_percentiles
+        ).filter(F.col("timestamp") >= F.lit(fe))
 
     # -- incremental sync ---------------------------------------------------
 

@@ -476,3 +476,30 @@ def test_export_shards_single_exchange(spark):
     ).sortWithinPartitions("doc_id")
     assert exchange_count(staged) == 1
     assert "BatchEvalPython" not in physical_plan(staged)
+
+
+def test_text_semdedup_e2e_pair_stage_never_joins_the_corpus(spark):
+    """text_semdedup_e2e (raw text → semantic dup pairs, VERDICT r8 item
+    3): the pair search must be cluster-pruned — one spread repartition
+    plus ONE cluster-keyed exchange into a per-cluster GEMM, with NO
+    join anywhere (a candidate join would re-shuffle the 16-dim
+    embedding column against a corpus-sized relation); and the embedding
+    stage must scan only (doc_id, text) from the documents parquet."""
+    from smalltsdb_spark.operators import classifier
+
+    df = QUERIES["text_semdedup_e2e"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # the ONLY joins anywhere (including inside the cached embed subplan,
+    # which the formatted plan inlines) are broadcast joins against
+    # feature-sized relations (idf literals, projection matrix) — the
+    # corpus itself is never the shuffled side of a join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-cluster GEMM
+    # the pair stage is fed by ONE cluster-keyed exchange
+    assert "hashpartitioning(_list" in plan
+
+    # the text scan feeding the embedding prunes every other column
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = classifier.featurize(docs, "doc_id", "text", 1 << 15)
+    assert scan_columns(feats) == [{"doc_id", "text"}]

@@ -608,3 +608,56 @@ def test_gc_min_age_keeps_young_unmanifested_files(spark, tmp_path):
     assert {os.path.join(path, f) for fs in manifest.values() for f in fs} == {
         os.path.join(path, f) for f in live
     }
+
+
+def test_get_metric_include_partial_serves_open_buckets(spark, tsdb_dir):
+    """VERDICT r8 item 7: get_metric(include_partial=True) returns the
+    open (not-yet-final) buckets alongside the synced finals — the
+    ViewTSDB-parity behavior for open windows, simulated-clock golden."""
+    from smalltsdb_spark.tsdb import ViewTSDB
+
+    clock = {"now": 0.0}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    db.insert([("one", 1, 1.0), ("one", 12, 2.0), ("one", 22, 4.0),
+               ("one", 24, 6.0), ("two", 23, 9.0)])
+    clock["now"] = 80.0  # finality cut = floor((80-60)/10)*10 = 20
+    db.sync()
+
+    final = db.get_metric("one", "tensecond", "avg", (0, 100))
+    assert final == [(0.0, 1.0), (10.0, 2.0)]  # bucket 20 still open
+
+    with_partial = db.get_metric(
+        "one", "tensecond", "avg", (0, 100), include_partial=True
+    )
+    assert with_partial == [(0.0, 1.0), (10.0, 2.0), (20.0, 5.0)]
+    # n is served too, and the other path's open bucket stays separate
+    assert db.get_metric(
+        "two", "tensecond", "n", (0, 100), include_partial=True
+    ) == [(20.0, 1.0)]
+
+    # ViewTSDB parity: a view over the same storage returns the same
+    # rows a partial-inclusive TablesTSDB read does
+    view = ViewTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    assert with_partial == view.get_metric("one", "tensecond", "avg", (0, 100))
+    # ... and on ViewTSDB the flag is an accepted no-op
+    assert with_partial == view.get_metric(
+        "one", "tensecond", "avg", (0, 100), include_partial=True
+    )
+
+    # interval/limit/offset compose with partials
+    assert db.get_metric(
+        "one", "tensecond", "avg", (15, 100), include_partial=True
+    ) == [(20.0, 5.0)]
+    assert db.get_metric(
+        "one", "tensecond", "avg", (0, 100), include_partial=True, limit=2,
+        offset=1,
+    ) == [(10.0, 2.0), (20.0, 5.0)]
+
+    # once the clock passes the bucket's finality, sync materializes it
+    # and the partial read CONVERGES to the final read (same values)
+    clock["now"] = 100.0
+    db.sync()
+    assert db.get_metric("one", "tensecond", "avg", (0, 100)) == with_partial
+    assert db.get_metric(
+        "one", "tensecond", "avg", (0, 100), include_partial=True
+    ) == with_partial
