@@ -658,3 +658,114 @@ def remove_duplicated_lines(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-span dedup — the ExactSubstr recipe (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    remove every token span of length ≥ ``k`` whose text occurs at least
+    ``min_count`` times across the corpus (within-document repeats
+    count).  The paper's tool builds a corpus suffix array; the
+    distributed equivalence this operator exploits instead is that **a
+    duplicated span of length L ≥ k is exactly the union of its
+    L−k+1 duplicated k-shingles**, so marking every token covered by a
+    globally-duplicated k-token shingle and dropping marked tokens
+    removes precisely the maximal duplicated spans — linear, no suffix
+    array, no pair structure.
+
+    Semantics choice (documented divergence): ALL occurrences of a
+    duplicated span are removed, including "the first" — symmetric and
+    order-independent, which is the distributed-friendly reading
+    (keeping one copy requires a total document order the corpus
+    doesn't have; compose with :func:`exact_near_dup_groups` /
+    ``keep_best`` when one canonical copy should survive).
+
+    Returns ``(id_col, n_tokens, n_removed, text_clean)`` — tokens are
+    single-space splits, ``text_clean`` is the surviving tokens
+    space-joined in original order (empty when everything was
+    duplicated).
+
+    Scale shape: shingle HASHES (``md5_long``, 16-byte keys — the text
+    never shuffles) through one count groupBy; one join-back of
+    duplicated hashes; covered positions explode k rows per duplicated
+    shingle (O(k · dup_positions), corpus-bounded); one anti-join and
+    one reassembly groupBy(doc).  Everything JVM-side.  60-bit hashing
+    makes two distinct shingles collide with probability ~n²/2⁶¹ —
+    negligible below ~10⁹ distinct shingles; above that widen to the
+    full md5 (two longs).
+    """
+    toks = F.split(F.col(text_col), F.lit(" "), -1)
+    base = spread(df).select(
+        F.col(id_col).alias("doc"), toks.alias("_l"), F.size(toks).alias("_n")
+    )
+    # 1-based shingle start positions 1..n-k+1 (sequence() DESCENDS when
+    # start > stop, so short docs must yield an empty array explicitly)
+    starts = F.when(
+        F.col("_n") >= k,
+        F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                starts,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    md5_long(
+                        F.concat_ws(" ", F.slice(F.col("_l"), p, F.lit(k)))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("doc", F.col("_s.p").alias("p"), F.col("_s.h").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup, "h")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    ex = base.select(
+        "doc", F.posexplode(F.col("_l")).alias("_i", "tok")
+    ).select("doc", (F.col("_i") + F.lit(1)).alias("pos"), "tok")
+    kept = (
+        ex.join(covered, ["doc", "pos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        base.select("doc", "_n")
+        .join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -4364,3 +4364,75 @@ def text_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=TXT_SEM_THRESHOLD,
         seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (r9 — ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+#: dedup_spans_exact hyperparameters (shared by the query and its oracle):
+#: k=8 tokens fires on the fixture's shared passages; production default
+#: in the operator is the paper's 50
+SPAN_K, SPAN_MIN_COUNT = 8, 2
+
+
+@query(
+    "dedup_spans_exact",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM toks,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= {SPAN_MIN_COUNT}),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM sh JOIN dup USING (s), unnest(range(0, {SPAN_K})) AS u(off)
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/dedup.remove_duplicated_
+    spans — the ExactSubstr recipe of Lee et al. 2022): every token span
+    of length ≥ k occurring ≥ min_count times corpus-wide is removed
+    from EVERY occurrence, and documents are reassembled; the CLEANED
+    TEXT ITSELF is oracle-compared.  The distributed trick replacing the
+    paper's suffix array: a duplicated span of length L ≥ k is exactly
+    the union of its L−k+1 duplicated k-shingles, so dropping tokens
+    covered by globally-duplicated shingle hashes removes precisely the
+    maximal duplicated spans — linear, hash-keyed shuffles only, no
+    pair structure.  Complements the family: whole-doc (dedup_exact),
+    near-doc (minhash/simhash), cross-doc lines (dedup_lines_c4) — this
+    is the within/cross-document PASSAGE granularity."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_count=SPAN_MIN_COUNT,
+    )

@@ -326,3 +326,63 @@ def test_remove_duplicated_lines_differential(spark):
             for r in remove_duplicated_lines(df, "doc_id", "text", line_sep=sep).collect()
         }
         assert got == reference(docs, sep), (sep, got)
+
+
+def test_remove_duplicated_spans(spark):
+    """ExactSubstr (Lee et al. 2022) edges: a shared >=k span vanishes
+    from ALL occurrences (within-doc repeats included), sub-k overlap
+    survives, short docs pass through, a fully-duplicated doc empties."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    span = "a b c d"  # k=4 duplicated span
+    docs = spark.createDataFrame(
+        [
+            (0, f"x {span} y"),            # span in the middle
+            (1, f"{span} z {span}"),       # twice in ONE doc: both go
+            (2, "a b c q d"),              # sub-k overlap with the span
+            (3, "short doc"),              # shorter than k
+            (4, span),                     # nothing but the span
+            (5, ""),                       # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            docs, "doc_id", "text", k=4, min_count=2
+        ).collect()
+    }
+    assert got[0] == (6, 4, "x y")
+    assert got[1] == (9, 8, "z")
+    assert got[2] == (5, 0, "a b c q d")
+    assert got[3] == (2, 0, "short doc")
+    assert got[4] == (4, 4, "")
+    # split('', ' ') is one empty token; no shingles, nothing removed
+    assert got[5] == (1, 0, "")
+
+
+def test_remove_duplicated_spans_merges_overlapping_spans(spark):
+    """Two duplicated spans overlapping in one doc cover the union of
+    their tokens (the maximal-span property of the shingle cover)."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r s t u"),  # contains BOTH 4-spans p..s and r..u? no:
+                                  # p q r s (dup with doc 1) + s t u v needs v
+            (1, "p q r s"),
+            (2, "r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            docs, "doc_id", "text", k=4, min_count=2
+        ).collect()
+    }
+    # doc 0 loses p q r s (shared with 1) AND r s t u (shared with 2):
+    # union = all 6 tokens
+    assert got[0] == (6, "")
+    assert got[1] == (4, "")
+    assert got[2] == (4, "")
