@@ -206,3 +206,42 @@ def aggregate(
             F.col("_pcts")[2].cast("double").alias("p99"),
         )
     )
+
+
+def reaggregate(agg: DataFrame, seconds: int) -> DataFrame:
+    """Coarsen an already-aggregated AGG_SCHEMA relation to ``seconds``
+    buckets WITHOUT re-reading raw data — the rollup-cascade maintenance
+    path: n/min/max/sum are mergeable (algebraic), avg re-derives as
+    total sum / total n, so all five are EXACT.  The interpolated
+    percentiles are NOT mergeable — their exactness is precisely why the
+    reference (and ``sync``) scans raw once per period — so the result
+    carries only the mergeable five; pair with the mergeable histogram
+    (``tsdb_histogram``) or ``percentile_approx`` sketches when coarse
+    quantiles are needed cascade-style.
+
+    100 TB shape: deriving a day table from tensecond buckets reads
+    ~8.6k rows per path-day instead of the raw corpus — input shrinks by
+    the finer period's compression factor; one map-side-combined shuffle
+    on (path, bucket).  Returns (path, timestamp, n, min, max, avg, sum).
+    """
+    b = (F.floor(F.col("timestamp") / F.lit(seconds)) * F.lit(seconds)).cast(
+        "double"
+    )
+    return (
+        agg.groupBy("path", b.alias("timestamp"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+        )
+        .select(
+            "path",
+            "timestamp",
+            "n",
+            "min",
+            "max",
+            (F.col("sum") / F.col("n")).alias("avg"),
+            "sum",
+        )
+    )

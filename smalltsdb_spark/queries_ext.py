@@ -4436,3 +4436,54 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=SPAN_K,
         min_count=SPAN_MIN_COUNT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup cascade (r9 — operators/aggregate.reaggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tsdb_rollup_cascade",
+    """
+    WITH fine AS (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 10) * 10 AS bucket,
+               CAST(count(value) AS DOUBLE) AS n,
+               min(value) AS vmin,
+               max(value) AS vmax,
+               sum(value) AS vsum
+        FROM events GROUP BY 1, 2
+    )
+    SELECT path,
+           floor(bucket / 3600) * 3600 AS "timestamp",
+           round(sum(n), 6) AS n,
+           round(min(vmin), 6) AS "min",
+           round(max(vmax), 6) AS "max",
+           round(sum(vsum) / sum(n), 6) AS "avg",
+           round(sum(vsum), 6) AS "sum"
+    FROM fine GROUP BY 1, 2
+    """,
+)
+def tsdb_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup cascade (operators/aggregate.reaggregate): the onehour
+    table derived from the TENSECOND aggregation instead of raw data —
+    n/min/max/sum merge algebraically and avg re-derives as Σsum/Σn, so
+    the five mergeable stats are exact while the input shrinks by the
+    finer period's compression factor (the 100 TB maintenance saver: at
+    a year of data the cascade reads ~3M bucket rows per path, not the
+    raw corpus).  Percentiles are deliberately absent — non-mergeable,
+    the documented reason sync scans raw per period.  The oracle
+    replays the same two-level cascade in SQL (same summation
+    structure; equivalence to the DIRECT onehour aggregation is pinned
+    with tolerance in tests/test_pipeline_ops.py)."""
+    from smalltsdb_spark.operators.aggregate import aggregate, reaggregate
+    from smalltsdb_spark.queries import events_as_incoming
+
+    fine = aggregate(events_as_incoming(spark, sf_dir), 10)
+    out = reaggregate(fine, 3600)
+    return out.select(
+        "path",
+        "timestamp",
+        *[F.round(F.col(c), 6).alias(c) for c in ("n", "min", "max", "avg", "sum")],
+    )

@@ -177,3 +177,38 @@ def test_interleave_is_round_robin_permutation(spark):
     # global order sorted by seq must be sorted by (round, source)
     ordering = [(r.r, r.source) for r in sorted(rows, key=lambda r: r.seq)]
     assert ordering == sorted(ordering), ordering
+
+
+def test_reaggregate_cascade_equals_direct_aggregation(spark):
+    """The cascade claim (operators/aggregate.reaggregate): deriving a
+    coarse period from a fine one is EXACT for n/min/max/sum/avg —
+    equal to aggregating raw data directly at the coarse period (float
+    tolerance only for sum/avg, whose addend grouping differs)."""
+    import math
+    import random
+
+    from smalltsdb_spark.operators.aggregate import aggregate, reaggregate
+
+    rng = random.Random(7)
+    rows = [
+        (f"m{i % 3}", float(rng.uniform(0, 7200)), float(rng.uniform(-50, 150)))
+        for i in range(3000)
+    ]
+    inc = spark.createDataFrame(
+        rows, "path string, timestamp double, value double"
+    )
+    direct = {
+        (r.path, r.timestamp): r.asDict()
+        for r in aggregate(inc, 3600).collect()
+    }
+    cascade = {
+        (r.path, r.timestamp): r.asDict()
+        for r in reaggregate(aggregate(inc, 10), 3600).collect()
+    }
+    assert set(direct) == set(cascade)
+    for key, d in direct.items():
+        c = cascade[key]
+        assert c["n"] == d["n"] and c["min"] == d["min"] and c["max"] == d["max"]
+        assert math.isclose(c["sum"], d["sum"], rel_tol=1e-12)
+        assert math.isclose(c["avg"], d["avg"], rel_tol=1e-12)
+        assert set(c) == {"path", "timestamp", "n", "min", "max", "avg", "sum"}
