@@ -700,6 +700,21 @@ def remove_duplicated_spans(
     negligible below ~10⁹ distinct shingles; above that widen to the
     full md5 (two longs).
     """
+    base, sh = _token_shingles(df, id_col, text_col, k)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    return _strip_covered_spans(base, sh, dup, k, id_col)
+
+
+def _token_shingles(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(base, shingles): base = (doc, _l tokens array, _n) spread across
+    the cluster; shingles = (doc, p, h) with ``p`` the 1-based start and
+    ``h`` the md5_long of the k-token shingle — only 16-byte hashes ever
+    shuffle, never the text."""
     toks = F.split(F.col(text_col), F.lit(" "), -1)
     base = spread(df).select(
         F.col(id_col).alias("doc"), toks.alias("_l"), F.size(toks).alias("_n")
@@ -724,14 +739,16 @@ def remove_duplicated_spans(
             )
         ).alias("_s"),
     ).select("doc", F.col("_s.p").alias("p"), F.col("_s.h").alias("h"))
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("h")
-    )
+    return base, sh
+
+
+def _strip_covered_spans(
+    base: DataFrame, sh: DataFrame, bad: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Drop every token covered by a shingle whose hash is in ``bad``
+    and reassemble — the shared back half of the span operators."""
     covered = (
-        sh.join(dup, "h")
+        sh.join(bad, "h")
         .select(
             "doc",
             F.explode(
@@ -768,4 +785,31 @@ def remove_duplicated_spans(
             .alias("n_removed"),
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Span-level eval-set decontamination: excise from every corpus
+    document each token span of length ≥ ``k`` that appears ANYWHERE in
+    the held-out eval set, instead of dropping the whole document (the
+    surgical variant of :func:`ngram_contamination` — GPT-3's
+    appendix-C approach removed windows around collisions; this removes
+    exactly the maximal leaked spans via the same shingle-cover
+    equivalence as :func:`remove_duplicated_spans`).
+
+    Returns ``(id_col, n_tokens, n_removed, text_clean)`` for every
+    corpus document.  Scale shape: the eval shingle-hash set is tiny
+    relative to the corpus (and distinct-deduped here), so the hash
+    semi-join broadcasts under AQE when measured-small; everything else
+    is the linear span machinery."""
+    base, sh = _token_shingles(corpus, id_col, text_col, k)
+    _, esh = _token_shingles(eval_docs, id_col, text_col, k)
+    return _strip_covered_spans(
+        base, sh, esh.select("h").distinct(), k, id_col
     )

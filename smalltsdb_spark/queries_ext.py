@@ -4487,3 +4487,72 @@ def tsdb_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         *[F.round(F.col(c), 6).alias(c) for c in ("n", "min", "max", "avg", "sum")],
     )
+
+
+@query(
+    "dedup_spans_decontaminate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    ev AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    esh AS (
+      SELECT DISTINCT array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM ev,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM corpus,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM sh JOIN esh USING (s), unnest(range(0, {SPAN_K})) AS u(off)
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+      FROM corpus
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.l) AS BIGINT) AS n_tokens,
+           CAST(len(c.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM corpus c LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_spans_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/dedup.
+    remove_contaminated_spans): documents with doc_id % 7 == 0 play the
+    held-out eval set (the dedup_contamination convention); every ≥ k
+    token span leaked into a corpus document is EXCISED — the surgical
+    alternative to dropping the whole document — and the cleaned text
+    itself is oracle-compared.  Same linear shingle-cover machinery as
+    dedup_spans_exact; the eval hash set semi-joins (broadcast-small
+    under AQE)."""
+    from smalltsdb_spark.operators.dedup import remove_contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_contaminated_spans(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+    )

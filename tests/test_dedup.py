@@ -386,3 +386,26 @@ def test_remove_duplicated_spans_merges_overlapping_spans(spark):
     assert got[0] == (6, "")
     assert got[1] == (4, "")
     assert got[2] == (4, "")
+
+
+def test_remove_contaminated_spans(spark):
+    """Eval-leaked >=k spans are excised from corpus docs; corpus-only
+    duplication is untouched (decontamination, not dedup)."""
+    from smalltsdb_spark.operators.dedup import remove_contaminated_spans
+
+    leak = "q w e r"
+    corpus = spark.createDataFrame(
+        [(0, f"a {leak} b"), (1, "a a a a a"), (2, "a a a a a")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, f"x {leak} y")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_contaminated_spans(
+            corpus, ev, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert got[0] == (6, 4, "a b")
+    # duplicated WITHIN the corpus but absent from eval: kept
+    assert got[1] == (5, 0, "a a a a a")
+    assert got[2] == (5, 0, "a a a a a")
