@@ -87,6 +87,11 @@ def main() -> None:
         "wallclock": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "sf_dir": sf_dir,
         "java_opts": os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", ""),
+        # the EFFECTIVE driver JVM flags (session.py default + env) —
+        # the env alone can't tell which default this session ran with
+        "effective_java_opts": spark.conf.get(
+            "spark.driver.extraJavaOptions", ""
+        ),
         "entries": {},
     }
 

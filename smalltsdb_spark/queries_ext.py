@@ -4011,6 +4011,10 @@ CLS_ITERS = 12
 CLS_LR = 0.5
 CLS_LABEL_MIN_TOKENS = 60
 CLS_SAMPLE_FRAC = 0.25
+#: the sampled row certifies the gate+subsample contract, not iteration
+#: depth (the full row covers 12) — at driver scale its cost is pure
+#: per-iteration job floor, so fewer iterations keep the suite honest
+CLS_SAMPLED_ITERS = 6
 
 _CLS_ORACLE_CACHE: dict[str, str] = {}
 
@@ -4019,7 +4023,7 @@ def _cls_label_py(text: str) -> int:
     return int(len([w for w in text.split(" ") if w]) >= CLS_LABEL_MIN_TOKENS)
 
 
-def _cls_oracle_for(sample_frac: float | None) -> str:
+def _cls_oracle_for(sample_frac: float | None, iters: int) -> str:
     """Generated-constant oracle: the pure-Python reference implementation
     (operators/classifier.reference_fit_predict) trains on the same corpus
     (or the same hash-gated subsample) with the same hashing, fixed-point
@@ -4036,7 +4040,7 @@ def _cls_oracle_for(sample_frac: float | None) -> str:
         or os.environ.get("SMALLTSDB_PARITY_SF")
         or "/root/testdata/sf0.01"
     )
-    cache_key = f"{sf_dir}|{sample_frac}"
+    cache_key = f"{sf_dir}|{sample_frac}|{iters}"
     if cache_key in _CLS_ORACLE_CACHE:
         return _CLS_ORACLE_CACHE[cache_key]
     from smalltsdb_spark.operators.classifier import reference_fit_predict
@@ -4051,7 +4055,7 @@ def _cls_oracle_for(sample_frac: float | None) -> str:
         [(doc_id, text) for doc_id, _, text in rows],
         CLS_DIM,
         _cls_label_py,
-        iters=CLS_ITERS,
+        iters=iters,
         lr=CLS_LR,
         sample_frac=sample_frac,
     )
@@ -4084,15 +4088,15 @@ def _cls_oracle_for(sample_frac: float | None) -> str:
 
 
 def _cls_oracle() -> str:
-    return _cls_oracle_for(None)
+    return _cls_oracle_for(None, CLS_ITERS)
 
 
 def _cls_sampled_oracle() -> str:
-    return _cls_oracle_for(CLS_SAMPLE_FRAC)
+    return _cls_oracle_for(CLS_SAMPLE_FRAC, CLS_SAMPLED_ITERS)
 
 
 def _run_classifier(
-    spark: SparkSession, sf_dir: str, sample_frac: float | None
+    spark: SparkSession, sf_dir: str, sample_frac: float | None, iters: int
 ) -> DataFrame:
     """Shared body of the two classifier driver rows: featurize, train
     (optionally on the hash-gated subsample), score EVERY document,
@@ -4115,7 +4119,7 @@ def _run_classifier(
         labels,
         "doc_id",
         CLS_DIM,
-        iters=CLS_ITERS,
+        iters=iters,
         lr=CLS_LR,
         sample_frac=sample_frac,
     )
@@ -4148,7 +4152,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the TRAINING ALGORITHM, not label quality.  Per-source
     decision counts compared exactly against an independently
     implemented pure-Python trainer."""
-    return _run_classifier(spark, sf_dir, None)
+    return _run_classifier(spark, sf_dir, None, CLS_ITERS)
 
 
 @query("text_quality_classifier_sampled", _cls_sampled_oracle)
@@ -4159,8 +4163,10 @@ def text_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     classifier.sample_gate), so the per-iteration corpus shuffles scale
     with the sample instead of running 2×iters full passes; every
     document is still scored.  Bit-exact against the pure-Python mirror
-    trained on the same subsample."""
-    return _run_classifier(spark, sf_dir, CLS_SAMPLE_FRAC)
+    trained on the same subsample.  6 iterations: the row certifies the
+    gate+subsample contract — iteration depth is covered by the full
+    row, and at driver scale extra iterations are pure job floor."""
+    return _run_classifier(spark, sf_dir, CLS_SAMPLE_FRAC, CLS_SAMPLED_ITERS)
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,23 @@ def get_spark(
         # HotSpot disables compilation and previously sub-second plans run
         # interpreted 10x slower.  512m carried ~60 queries (round 3);
         # ~100 queries per session need 1g.  The cache is reserved virtual
-        # address space, not committed RAM — oversizing is free.  Also
-        # enable flushing of cold compiled methods so a long session
-        # degrades by recompilation, never by compilation shutoff.
-        # Harmless when already-running JVMs ignore it.
+        # address space, not committed RAM — oversizing is free.
+        #
+        # Code-cache FLUSHING is OFF (r9, flipped from r3's
+        # +UseCodeCacheFlushing) on the CAPACITY evidence alone: the
+        # study's CodeHeap telemetry shows a full 130-query session
+        # peaks around ~100 MB of the 1 GiB reserve, so flushing cold
+        # methods can never be needed here and can only force
+        # recompiles; the compilation-shutoff risk the flag guarded
+        # against cannot occur until the reserve fills (~10x today's
+        # peak).  The A/B sessions were INCONCLUSIVE on wall time — the
+        # best-ever floors (6.2-6.4 s) AND a storm session both occurred
+        # with flushing off, and the per-entry compile_ms deltas spike
+        # in every storm REGARDLESS of the flag (compiler threads starve
+        # with everything else when the host's effective CPU collapses,
+        # so compile_ms is a symptom there, not a cause) — see
+        # SYNC_STUDY.jsonl 2026-08-15 sessions and the README protocol
+        # note.
         .config(
             "spark.driver.extraJavaOptions",
             # SPARK_GRAFT_EXTRA_JAVA_OPTIONS appends experiment flags
@@ -63,7 +76,7 @@ def get_spark(
             # through it without code edits; scripts/sync_spread_study.py
             # records the active flags in every JSONL line)
             (
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                "-XX:ReservedCodeCacheSize=1g -XX:-UseCodeCacheFlushing "
                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", "")
             ).strip(),
         )

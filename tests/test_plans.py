@@ -503,3 +503,16 @@ def test_text_semdedup_e2e_pair_stage_never_joins_the_corpus(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     feats = classifier.featurize(docs, "doc_id", "text", 1 << 15)
     assert scan_columns(feats) == [{"doc_id", "text"}]
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """dedup_spans_exact (ExactSubstr): the duplicated-shingle count
+    groupBy must key on the 16-byte md5_long hash — the shingle TEXT
+    never shuffles — and the whole plan stays JVM-side (no Python
+    eval); the documents scan reads only (doc_id, text)."""
+    df = QUERIES["dedup_spans_exact"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "hashpartitioning(h#" in plan  # count + join-back key on the hash
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    assert all(cols <= {"doc_id", "text"} for cols in scan_columns(df))
