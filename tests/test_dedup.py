@@ -368,8 +368,9 @@ def test_remove_duplicated_spans_merges_overlapping_spans(spark):
 
     docs = spark.createDataFrame(
         [
-            (0, "p q r s t u"),  # contains BOTH 4-spans p..s and r..u? no:
-                                  # p q r s (dup with doc 1) + s t u v needs v
+            # doc 0 contains two OVERLAPPING duplicated 4-spans:
+            # "p q r s" (shared with doc 1) and "r s t u" (with doc 2)
+            (0, "p q r s t u"),
             (1, "p q r s"),
             (2, "r s t u"),
         ],
