@@ -410,3 +410,54 @@ def test_remove_contaminated_spans(spark):
     # duplicated WITHIN the corpus but absent from eval: kept
     assert got[1] == (5, 0, "a a a a a")
     assert got[2] == (5, 0, "a a a a a")
+
+
+def test_remove_duplicated_spans_matches_bruteforce_on_random_corpus(spark):
+    """Independent validation of the shingle-cover equivalence: a brute
+    force that enumerates EVERY span of length >= k (not shingles),
+    counts its corpus occurrences, and marks duplicated spans' tokens
+    must agree with the operator on a seeded random corpus over a tiny
+    alphabet (dense with overlapping repeats — the adversarial shape
+    for position arithmetic and boundary handling)."""
+    import random
+    from collections import Counter
+
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    k, min_count = 3, 2
+    rng = random.Random(20260815)
+    docs = [
+        (d, " ".join(rng.choice("xyz") for _ in range(rng.randint(0, 12))))
+        for d in range(60)
+    ]
+
+    toks = {d: t.split(" ") for d, t in docs}
+    span_cnt = Counter()
+    for t in toks.values():
+        for L in range(k, len(t) + 1):
+            for i in range(len(t) - L + 1):
+                span_cnt[tuple(t[i : i + L])] += 1
+    want = {}
+    for d, t in toks.items():
+        covered = set()
+        for L in range(k, len(t) + 1):
+            for i in range(len(t) - L + 1):
+                if span_cnt[tuple(t[i : i + L])] >= min_count:
+                    covered |= set(range(i, i + L))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        want[d] = (len(t), len(t) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            k=k,
+            min_count=min_count,
+        ).collect()
+    }
+    assert got == want
+    # the random corpus actually exercised removal (not a vacuous pass)
+    assert sum(v[1] for v in want.values()) > 0
+    assert any(v[1] == 0 for v in want.values())
