@@ -84,21 +84,11 @@ def _touched_rounds() -> dict[str, int]:
     return merged
 
 
-def _driver_order(names: list[str]) -> list[str]:
-    """Order queries stale-first, then least-driver-verified.
-
-    The driver's correctness run checks a budget-capped PREFIX of this
-    dict (50/round — exactly the first N in insertion order), so
-    ordering is coverage policy: a query green in many past rounds can
-    afford to rotate out; a never-checked, hash-missed, or
-    touched-since-last-green one cannot.  Green history (count AND most
-    recent green round) is read from the committed
-    ``CORRECTNESS_r*.json`` files, so this stays self-maintaining as
-    rounds accumulate; staleness comes from :data:`TOUCHED_ROUND`.
-    Ties break newest-registered first (new operators get their first
-    driver row immediately).  Rotated-out queries keep full local
-    coverage via tests/test_oracle_parity.py.
-    """
+def _green_history(names: list[str]) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-query (green count, most recent green round) from the committed
+    ``CORRECTNESS_r*.json`` files.  A query is STALE exactly when
+    ``touched[n] > last_green[n]`` — the definition :func:`_driver_order`'s
+    sort key uses, and the one the staleness property test asserts over."""
     import glob
     import json
     import re
@@ -118,6 +108,25 @@ def _driver_order(names: list[str]) -> list[str]:
             if n in greens and isinstance(row, dict) and row.get("hash_match"):
                 greens[n] += 1
                 last_green[n] = max(last_green[n], rnd)
+    return greens, last_green
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    """Order queries stale-first, then least-driver-verified.
+
+    The driver's correctness run checks a budget-capped PREFIX of this
+    dict (50/round — exactly the first N in insertion order), so
+    ordering is coverage policy: a query green in many past rounds can
+    afford to rotate out; a never-checked, hash-missed, or
+    touched-since-last-green one cannot.  Green history (count AND most
+    recent green round) is read from the committed
+    ``CORRECTNESS_r*.json`` files, so this stays self-maintaining as
+    rounds accumulate; staleness comes from :data:`TOUCHED_ROUND`.
+    Ties break newest-registered first (new operators get their first
+    driver row immediately).  Rotated-out queries keep full local
+    coverage via tests/test_oracle_parity.py.
+    """
+    greens, last_green = _green_history(names)
     touched = _touched_rounds()
     pos = {n: i for i, n in enumerate(names)}
     return sorted(
