@@ -252,7 +252,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs_record: dict[str, list[float]] = {}
     io_record: dict[str, dict[str, int]] = {}
+    deferred: dict[str, object] = {}  # name -> run_once, re-measured at suite end
     measured_count = {"n": 0}
+
+    def collapse_signature(d: dict[str, int]) -> bool:
+        """The documented host-collapse io fingerprint (VERDICT r9 item 2):
+        executor CPU proportional to executor run time with flat GC — the
+        work itself ran slow (host CPU-throughput phase), as opposed to a
+        GC storm (gc spike) or a scheduling stall (wall >> run)."""
+        run_ms = d.get("executor_run_ms", 0)
+        if run_ms <= 0:
+            return True  # no io evidence either way — stay conservative
+        return (
+            d.get("executor_cpu_ms", 0) >= 0.5 * run_ms
+            and d.get("jvm_gc_ms", 0) <= 0.2 * run_ms
+        )
 
     def measure(name: str, run_once) -> None:
         """run_once() executes the workload once and returns elapsed sec
@@ -277,10 +291,41 @@ def main() -> None:
             value = min(runs)
         timings[name] = round(value, 3)
         runs_record[name] = [round(r, 3) for r in runs]
+        delta = {}
         if io_before and io_after:
-            io_record[name] = {
+            delta = {
                 k: io_after.get(k, 0) - io_before.get(k, 0) for k in io_after
             }
+            io_record[name] = delta
+        # Collapse-aware deferral (VERDICT r9 item 2): BENCH_r09 recorded
+        # text_bpe_encode at 69.4 s on unchanged code because TWO of three
+        # runs fell in one host JVM-efficiency-collapse window — the
+        # median-of-3 IS the collapse when the window spans two runs.
+        # When the recorded median still disagrees with the session's own
+        # floor by >3x AND the io delta carries the collapse fingerprint,
+        # queue ONE extra isolated re-measure for the END of the suite
+        # (minutes later — outside the window with high probability) and
+        # record the lower median of all runs.  Every raw run stays in
+        # BENCH_DETAIL; entries re-measured this way are listed under
+        # "deferred" so the record shows its own provenance.
+        if (
+            len(runs) == 3
+            and value > 3 * min(runs)
+            and collapse_signature(delta)
+        ):
+            deferred[name] = run_once
+
+    def settle_deferred() -> list[str]:
+        names = list(deferred)
+        for name in names:
+            run_once = deferred.pop(name)
+            isolate()
+            runs = runs_record[name] + [round(run_once(), 3)]
+            runs_record[name] = runs
+            # lower median: collapse only ever inflates, so with an even
+            # run count the cheaper middle value is the honest plan cost
+            timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 3)
+        return names
 
     def timed_noop(df_fn):
         def run_once() -> float:
@@ -386,6 +431,11 @@ def main() -> None:
     take_probes("baseline_sync_1m")  # bracket the write-heaviest entry
     measure("baseline_sync_1m", run_sync)
     take_probes("after_baseline_sync_1m")
+    # Settle main-suite deferrals HERE — minutes after the flagged runs,
+    # while `big` is still cached and the session config is untouched
+    # (the join block below disables broadcast, which would change the
+    # re-measured plans).
+    deferred_names = settle_deferred()
     sync_sec = timings["baseline_sync_1m"]
     big.unpersist()
 
@@ -425,6 +475,9 @@ def main() -> None:
             ("bucketed_agg_join", ("bench_li_bkt", "bench_od_bkt")),
         ]:
             measure(label, timed_noop(lambda pair=pair: order_rollup(*pair)))
+        # join deferrals must re-run while broadcast is still disabled and
+        # the bench tables still exist
+        deferred_names += settle_deferred()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         for t in ("bench_li_flat", "bench_od_flat", "bench_li_bkt", "bench_od_bkt"):
@@ -445,6 +498,10 @@ def main() -> None:
         # stdout stays within the driver's 2000-char tail); 3 entries
         # mean the 2 runs disagreed >2x and the median was recorded
         "runs": runs_record,
+        # entries whose median-of-3 hit the collapse gate and received a
+        # deferred end-of-suite re-measure (recorded value = lower median
+        # of all runs; see measure()/settle_deferred)
+        "deferred": deferred_names,
         # r8 protocol: host-interference probe timeline (cpu + fixed
         # partitioned-write, every ~20 queries) and per-query output/
         # shuffle byte deltas from the status API — I/O-heaviness and

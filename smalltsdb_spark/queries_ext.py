@@ -4444,6 +4444,73 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_spans_keep_one",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM toks,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    occ AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+             count(*) OVER (PARTITION BY s) AS c
+      FROM sh
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM occ, unnest(range(0, {SPAN_K})) AS u(off)
+      WHERE c >= {SPAN_MIN_COUNT} AND rn > 1
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with the paper TEXT's all-but-one semantics (VERDICT
+    r9 item 3; operators/dedup.remove_duplicated_spans(keep='first')):
+    each duplicated k-shingle hash elects min(doc, p) within its hash
+    group as the canonical occurrence and only the REST are stripped —
+    the total order the corpus lacks globally exists cheaply at the
+    group.  Same linear shingle-cover machinery as dedup_spans_exact
+    (16-byte hash shuffles, text never moves); the one extra cost is a
+    min(struct) riding the existing count shuffle.  The oracle elects
+    the same canonical via row_number() OVER (PARTITION BY shingle
+    ORDER BY doc_id, p) and compares the CLEANED TEXT itself."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_count=SPAN_MIN_COUNT,
+        keep="first",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rollup cascade (r9 — operators/aggregate.reaggregate)
 # ---------------------------------------------------------------------------

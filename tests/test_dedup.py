@@ -461,3 +461,123 @@ def test_remove_duplicated_spans_matches_bruteforce_on_random_corpus(spark):
     # the random corpus actually exercised removal (not a vacuous pass)
     assert sum(v[1] for v in want.values()) > 0
     assert any(v[1] == 0 for v in want.values())
+
+
+def test_remove_duplicated_spans_keep_first(spark):
+    """keep='first' (the paper TEXT's all-but-one semantics): each
+    duplicated shingle's min-(doc, p) occurrence survives, every other
+    occurrence is stripped — cross-document AND within-document."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    span = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (0, f"x {span} y"),        # canonical home (smallest doc id)
+            (1, f"{span} z {span}"),   # loses both: doc 0 is canonical
+            (2, "only p q r s z"),     # within-corpus unique: untouched
+            (5, "h i j k"),            # shared with doc 7 below
+            (7, "m h i j k n"),        # loses it: (5,1) < (7,2)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            docs, "doc_id", "text", k=4, min_count=2, keep="first"
+        ).collect()
+    }
+    assert got[0] == (6, 0, f"x {span} y")
+    assert got[1] == (9, 8, "z")
+    assert got[2] == (6, 0, "only p q r s z")
+    assert got[5] == (4, 0, "h i j k")
+    assert got[7] == (6, 4, "m n")
+
+
+def test_remove_duplicated_spans_keep_first_within_doc(spark):
+    """A within-document repeat keeps its FIRST occurrence (min p in the
+    same doc) when no earlier document shares the span."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(3, "a b c d z a b c d")], "doc_id long, text string"
+    )
+    [r] = remove_duplicated_spans(
+        docs, "doc_id", "text", k=4, min_count=2, keep="first"
+    ).collect()
+    assert (r.n_tokens, r.n_removed, r.text_clean) == (9, 4, "a b c d z")
+
+
+def test_remove_duplicated_spans_keep_first_rejects_bad_keep(spark):
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep"):
+        remove_duplicated_spans(docs, "doc_id", "text", keep="last")
+
+
+def test_remove_duplicated_spans_keep_first_differential(spark):
+    """Differential vs the remove-all variant on the same seeded random
+    corpus (VERDICT r9 item 3): keep-first strips a strict SUBSET of
+    positions (its occ relation drops one occurrence per dup hash), so
+    per-doc n_removed is <= and every remove-all survivor survives
+    keep-first too; an independent shingle-level brute force (canonical
+    = sorted(occurrences)[0], strip the rest) pins the exact output."""
+    import random
+    from collections import defaultdict
+
+    from smalltsdb_spark.operators.dedup import remove_duplicated_spans
+
+    k, min_count = 3, 2
+    rng = random.Random(20260815)
+    docs = [
+        (d, " ".join(rng.choice("xyz") for _ in range(rng.randint(0, 12))))
+        for d in range(60)
+    ]
+    toks = {d: t.split(" ") for d, t in docs}
+
+    occ = defaultdict(list)  # shingle tuple -> [(doc, 0-based pos)]
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            occ[tuple(t[i : i + k])].append((d, i))
+    covered = defaultdict(set)
+    for s, occs in occ.items():
+        if len(occs) >= min_count:
+            for d, i in sorted(occs)[1:]:
+                covered[d] |= set(range(i, i + k))
+    want = {}
+    for d, t in toks.items():
+        kept = [tok for j, tok in enumerate(t) if j not in covered[d]]
+        want[d] = (len(t), len(t) - len(kept), " ".join(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got_first = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            sdf, "doc_id", "text", k=k, min_count=min_count, keep="first"
+        ).collect()
+    }
+    assert got_first == want
+
+    got_all = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            sdf, "doc_id", "text", k=k, min_count=min_count
+        ).collect()
+    }
+    def _is_subseq(a: list, b: list) -> bool:
+        it = iter(b)
+        return all(tok in it for tok in a)
+
+    removed_first = removed_all = 0
+    for d in toks:
+        n_first, n_all = got_first[d][1], got_all[d][0]
+        assert n_first <= n_all, d
+        removed_first += n_first
+        removed_all += n_all
+        # remove-all keeps a subset of positions -> its clean text is a
+        # subsequence of keep-first's clean text
+        a = got_all[d][1].split(" ") if got_all[d][1] else []
+        b = got_first[d][2].split(" ") if got_first[d][2] else []
+        assert _is_subseq(a, b), d
+    # keep-first genuinely kept something remove-all stripped
+    assert removed_first < removed_all
