@@ -828,6 +828,70 @@ def _strip_covered_spans(
     )
 
 
+def shingle_count_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50
+) -> DataFrame:
+    """The persisted half of incremental span dedup: the corpus's
+    ``(h, c)`` relation — md5_long of each k-token shingle with its
+    total occurrence count (within-document repeats included).  Write
+    this once per corpus (16 bytes + a long per DISTINCT shingle —
+    orders of magnitude smaller than the text) and daily increments
+    never re-shingle the corpus again; see
+    :func:`remove_duplicated_spans_incremental` /
+    :func:`merge_shingle_index`."""
+    _, sh = _token_shingles(df, id_col, text_col, k)
+    return sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_shingle_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold an increment's :func:`shingle_count_index` into the persisted
+    one — counts are algebraic, so the union-sum equals the index built
+    from scratch over corpus ∪ increment (pinned by test); one
+    map-side-combined shuffle over hash keys."""
+    return index.unionByName(delta).groupBy("h").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def remove_duplicated_spans_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr span dedup for a daily increment against a persisted
+    corpus shingle index (the production shape, mirroring
+    :func:`minhash_lsh_pairs_incremental`): a span in a NEW document is
+    duplicated iff its shingles' corpus-wide counts — increment
+    occurrences plus the persisted ``index`` counts — reach
+    ``min_count``, which makes the result EXACTLY
+    :func:`remove_duplicated_spans` over corpus ∪ increment restricted
+    to the increment's documents (the oracle identity the driver row
+    checks).  Corpus documents that only now became duplicated are NOT
+    retro-cleaned — same one-sided contract as the minhash incremental;
+    the batch pipeline re-cleans at rewrite time.
+
+    Scale shape: the increment is shingled (cost ∝ increment); its
+    per-hash counts join the index on ``h`` — the increment side is
+    days-vs-corpus small, so AQE broadcasts it and the index is SCANNED
+    once (16-byte rows, no corpus text ever re-read, no corpus
+    shuffle).  Persist the updated index via :func:`merge_shingle_index`
+    on the increment's own :func:`shingle_count_index`."""
+    base, sh = _token_shingles(new_docs, id_col, text_col, k)
+    inc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_ic"))
+    dup = (
+        inc.join(index.select("h", F.col("c").alias("_xc")), "h", "left")
+        .filter(
+            F.col("_ic") + F.coalesce(F.col("_xc"), F.lit(0)) >= min_count
+        )
+        .select("h")
+    )
+    occ = sh.join(dup, "h").select("doc", "p")
+    return _strip_covered_spans(base, occ, k, id_col)
+
+
 def remove_contaminated_spans(
     corpus: DataFrame,
     eval_docs: DataFrame,

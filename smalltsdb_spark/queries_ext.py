@@ -4381,10 +4381,9 @@ def text_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in the operator is the paper's 50
 SPAN_K, SPAN_MIN_COUNT = 8, 2
 
-
-@query(
-    "dedup_spans_exact",
-    f"""
+#: full-corpus ExactSubstr oracle (cleaned text compared); reused by the
+#: incremental row, whose contract is scratch-restricted-to-the-batch
+_SPAN_EXACT_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ),
@@ -4418,8 +4417,10 @@ SPAN_K, SPAN_MIN_COUNT = 8, 2
            CAST(len(t.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
            coalesce(a.text_clean, '') AS text_clean
     FROM toks t LEFT JOIN agg a USING (doc_id)
-    """,
-)
+"""
+
+
+@query("dedup_spans_exact", _SPAN_EXACT_ORACLE)
 def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (operators/dedup.remove_duplicated_
     spans — the ExactSubstr recipe of Lee et al. 2022): every token span
@@ -4508,6 +4509,43 @@ def dedup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=SPAN_K,
         min_count=SPAN_MIN_COUNT,
         keep="first",
+    )
+
+
+@query(
+    "dedup_spans_incremental",
+    f"SELECT * FROM ({_SPAN_EXACT_ORACLE}) WHERE doc_id % 5 = 0",
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment ExactSubstr against a PERSISTED shingle-hash index
+    (VERDICT r9 item 4; operators/dedup.shingle_count_index +
+    remove_duplicated_spans_incremental): documents with doc_id % 5 == 0
+    play the incoming batch, the rest the already-ingested corpus whose
+    (hash, count) index is materialized to parquet ONCE and read back —
+    the corpus text is never re-shingled.  A batch span is duplicated
+    iff increment occurrences + persisted count reach min_count, so the
+    result equals remove_duplicated_spans over corpus ∪ batch restricted
+    to batch docs — the oracle is exactly the full-corpus ExactSubstr
+    SQL filtered to the batch.  Index maintenance is
+    merge_shingle_index (union-sum; scratch-equality pinned in
+    tests/test_dedup.py)."""
+    import tempfile
+
+    from smalltsdb_spark.operators.dedup import (
+        remove_duplicated_spans_incremental,
+        shingle_count_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx_dir = tempfile.mkdtemp(prefix="span_index_")
+    shingle_count_index(corpus, "doc_id", "text", k=SPAN_K).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    return remove_duplicated_spans_incremental(
+        batch, index, "doc_id", "text", k=SPAN_K, min_count=SPAN_MIN_COUNT
     )
 
 

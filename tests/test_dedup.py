@@ -581,3 +581,76 @@ def test_remove_duplicated_spans_keep_first_differential(spark):
         assert _is_subseq(a, b), d
     # keep-first genuinely kept something remove-all stripped
     assert removed_first < removed_all
+
+
+def test_remove_duplicated_spans_incremental_equals_scratch(spark, tmp_path):
+    """The incremental contract (VERDICT r9 item 4): cleaning a batch
+    against the persisted corpus shingle index equals the from-scratch
+    remove-all span dedup over corpus ∪ batch, restricted to batch docs
+    — including a batch-vs-corpus duplicate (count 1+1), a batch-internal
+    duplicate the index never saw, and a batch doc repeating a span the
+    corpus already holds twice."""
+    from smalltsdb_spark.operators.dedup import (
+        merge_shingle_index,
+        remove_duplicated_spans,
+        remove_duplicated_spans_incremental,
+        shingle_count_index,
+    )
+
+    k, mc = 3, 2
+    corpus_rows = [
+        (1, "a b c d e"),      # "a b c" will be re-ingested by batch doc 10
+        (2, "q r s t"),
+        (3, "u v w u v w"),    # corpus-internal dup, batch-irrelevant
+        (4, "m n o p"),        # "m n o" also in corpus doc 6
+        (6, "z m n o"),
+    ]
+    batch_rows = [
+        (10, "x a b c y"),     # duplicates corpus doc 1's prefix: stripped
+        (11, "f g h i"),       # batch-internal dup with doc 12
+        (12, "f g h j"),
+        (13, "fresh unique words only"),
+        (14, ""),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    idx_dir = str(tmp_path / "span_idx")
+    shingle_count_index(corpus, "doc_id", "text", k=k).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans_incremental(
+            batch, index, "doc_id", "text", k=k, min_count=mc
+        ).collect()
+    }
+    everything = spark.createDataFrame(
+        corpus_rows + batch_rows, "doc_id long, text string"
+    )
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicated_spans(
+            everything, "doc_id", "text", k=k, min_count=mc
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert got == want
+    # the scenario actually exercised both duplication sources
+    assert want[10][1] > 0 and want[11][1] > 0 and want[13][1] == 0
+
+    # index maintenance: union-sum of the increment's index equals the
+    # index built from scratch over corpus ∪ batch
+    merged = {
+        r.h: r.c
+        for r in merge_shingle_index(
+            index, shingle_count_index(batch, "doc_id", "text", k=k)
+        ).collect()
+    }
+    scratch = {
+        r.h: r.c
+        for r in shingle_count_index(
+            everything, "doc_id", "text", k=k
+        ).collect()
+    }
+    assert merged == scratch
