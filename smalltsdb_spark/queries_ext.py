@@ -4601,6 +4601,61 @@ def tsdb_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tsdb_rollup_cascade_quantiles",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS buckets
+    FROM (
+        SELECT event_type, floor(epoch(ts) / 3600) * 3600 AS b
+        FROM events GROUP BY 1, 2
+    )
+    """,
+)
+def tsdb_rollup_cascade_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's quantile companion (VERDICT r9 item 5;
+    operators/aggregate.value_histogram + histogram_quantile_bounds):
+    percentiles don't merge, but fixed-width histogram COUNTS do — so
+    the cascade path coarsens the fine (oneminute) histogram to onehour
+    by summing counts and bounds each interpolated percentile to the
+    bin interval containing its two interpolation order statistics.
+    Value gate (the tsdb_agg_onehour_approx pattern): every onehour
+    bucket's EXACT p50/p90/p99 (raw-scan aggregate) must lie inside the
+    histogram-derived [lo, hi] (hi = NULL when the rank lands in the
+    clamp bin — the honest unbounded-tail contract); the returned row is
+    (violations, buckets), hash-compared against the oracle's (0, n).
+    Containment is provable — integer counts, exact bin edges — so a
+    violation is a real bug, not sketch noise.  tests/test_pipeline_ops
+    additionally pins merge-equivalence (fine→coarse == direct coarse
+    histogram) and crafted-bin arithmetic."""
+    from smalltsdb_spark.config import QUANTILES
+    from smalltsdb_spark.operators.aggregate import (
+        aggregate,
+        histogram_quantile_bounds,
+        value_histogram,
+    )
+    from smalltsdb_spark.queries import events_as_incoming
+
+    inc = events_as_incoming(spark, sf_dir)
+    fine = value_histogram(inc, 60)
+    bounds = histogram_quantile_bounds(fine, 3600, QUANTILES)
+    exact = aggregate(inc, 3600).select(
+        "path", "timestamp", "p50", "p90", "p99"
+    )
+    j = exact.join(bounds, ["path", "timestamp"])
+    bad = F.lit(False)
+    for q in QUANTILES:
+        name = f"p{int(q * 100)}"
+        p, lo, hi = F.col(name), F.col(f"{name}_lo"), F.col(f"{name}_hi")
+        bad = bad | (p < lo - F.lit(1e-9)) | (
+            hi.isNotNull() & (p > hi + F.lit(1e-9))
+        )
+    return j.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("buckets"),
+    )
+
+
+@query(
     "dedup_spans_decontaminate",
     f"""
     WITH corpus AS (

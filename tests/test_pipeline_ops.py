@@ -212,3 +212,108 @@ def test_reaggregate_cascade_equals_direct_aggregation(spark):
         assert math.isclose(c["sum"], d["sum"], rel_tol=1e-12)
         assert math.isclose(c["avg"], d["avg"], rel_tol=1e-12)
         assert set(c) == {"path", "timestamp", "n", "min", "max", "avg", "sum"}
+
+
+def test_histogram_quantile_bounds_contain_exact_percentiles(spark):
+    """The cascade quantile companion's containment contract (VERDICT r9
+    item 5): on seeded random data (negatives included), every exact
+    interpolated percentile lies inside the histogram-derived [lo, hi]
+    interval, and the fine->coarse merged bounds EQUAL bounds computed
+    from a directly-built coarse histogram (counts are algebraic)."""
+    import random
+
+    from smalltsdb_spark.operators.aggregate import (
+        aggregate,
+        histogram_quantile_bounds,
+        value_histogram,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"m{i % 3}", float(rng.uniform(0, 7200)), float(rng.uniform(-120, 1100)))
+        for i in range(4000)
+    ]
+    inc = spark.createDataFrame(
+        rows, "path string, timestamp double, value double"
+    )
+    got = {
+        (r.path, r.timestamp): r.asDict()
+        for r in histogram_quantile_bounds(
+            value_histogram(inc, 60), 3600
+        ).collect()
+    }
+    direct = {
+        (r.path, r.timestamp): r.asDict()
+        for r in histogram_quantile_bounds(
+            value_histogram(inc, 3600), 3600
+        ).collect()
+    }
+    assert got == direct  # merge-equivalence: cascade == direct histogram
+    exact = {
+        (r.path, r.timestamp): r.asDict()
+        for r in aggregate(inc, 3600).collect()
+    }
+    assert set(got) == set(exact)
+    saw_unbounded = saw_bounded = False
+    for key, b in got.items():
+        e = exact[key]
+        assert b["n"] == e["n"]
+        for name in ("p50", "p90", "p99"):
+            lo, hi = b[f"{name}_lo"], b[f"{name}_hi"]
+            assert e[name] >= lo - 1e-9, (key, name)
+            if hi is None:
+                saw_unbounded = True  # rank in the clamp bin: honest tail
+            else:
+                saw_bounded = True
+                assert e[name] <= hi + 1e-9, (key, name)
+    assert saw_bounded and saw_unbounded
+
+
+def test_histogram_quantile_bounds_bin_arithmetic(spark):
+    """Crafted cases pin the rank->bin arithmetic: 100 uniform values
+    0..99 in one bucket put p50's two order stats (49, 50) in bins 0 and
+    1 -> [0, 100]; p90's (89.1 -> ranks 90, 91 -> values 89, 90) in bin
+    1 -> [50, 100]; p99 (98.01 -> values 98, 99) in bin 1 -> [50, 100];
+    a single-value bucket collapses every interval to its own bin."""
+    from smalltsdb_spark.operators.aggregate import (
+        histogram_quantile_bounds,
+        value_histogram,
+    )
+
+    rows = [("a", float(i), float(i)) for i in range(100)]
+    rows.append(("b", 3.0, 75.0))
+    inc = spark.createDataFrame(
+        rows, "path string, timestamp double, value double"
+    )
+    got = {
+        r.path: r.asDict()
+        for r in histogram_quantile_bounds(
+            value_histogram(inc, 3600), 3600
+        ).collect()
+    }
+    a = got["a"]
+    assert (a["p50_lo"], a["p50_hi"]) == (0.0, 100.0)
+    assert (a["p90_lo"], a["p90_hi"]) == (50.0, 100.0)
+    assert (a["p99_lo"], a["p99_hi"]) == (50.0, 100.0)
+    b = got["b"]
+    assert b["n"] == 1
+    for name in ("p50", "p90", "p99"):
+        assert (b[f"{name}_lo"], b[f"{name}_hi"]) == (50.0, 100.0)
+
+
+def test_histogram_quantile_bounds_clamp_tail_is_null(spark):
+    """Values at/above the clamp bin edge make hi NULL (unbounded tail),
+    while lo still reports the clamp bin's lower edge."""
+    from smalltsdb_spark.operators.aggregate import (
+        histogram_quantile_bounds,
+        value_histogram,
+    )
+
+    inc = spark.createDataFrame(
+        [("a", 0.0, 2000.0), ("a", 1.0, 3000.0)],
+        "path string, timestamp double, value double",
+    )
+    [r] = histogram_quantile_bounds(
+        value_histogram(inc, 3600), 3600
+    ).collect()
+    assert r.p99_lo == 950.0 and r.p99_hi is None
