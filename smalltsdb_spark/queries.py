@@ -251,6 +251,60 @@ def tsdb_get_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tsdb_get_metric_partial",
+    """
+    SELECT "timestamp", p90 FROM (
+        SELECT event_type AS path,
+               floor(epoch(ts) / 3600) * 3600 AS "timestamp",
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY 1, 2
+    ) WHERE path = 'click' ORDER BY "timestamp"
+    """,
+)
+def tsdb_get_metric_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partial-read API as its own oracle-paired row (VERDICT r9
+    item 6; tsdb.get_metric_df(include_partial=True), previously only
+    golden-tested): a TablesTSDB is synced at a PINNED mid-range clock,
+    so half the hour buckets are final (served from the period table)
+    and the tail is open (recomputed from incoming past the finality
+    cut, ViewTSDB-parity, materialized rows winning via the bucket
+    anti-join).  Finals + partials together must equal the plain full
+    aggregation — which IS the oracle, computed directly in SQL; a
+    wrong finality cut, a lost open bucket, or a shadowed materialized
+    row all break the hash.
+
+    Scale shape: the finals side is the partition-pruned period-table
+    read; the partial side aggregates only incoming rows PAST the cut
+    (bounded by retention to the open window), one map-side-combined
+    shuffle over one path's tail."""
+    import math
+
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    bucket_s = 3600.0
+    inc = events_as_incoming(spark, sf_dir)
+    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+    # mid-bucket horizon: engine-vs-oracle boundary semantics can't
+    # disagree (the tsdb_sync_idempotent pattern)
+    t_split = (
+        math.floor((t_min + (t_max - t_min) / 2) / bucket_s) * bucket_s
+        + bucket_s / 2
+    )
+    base = _scratch_dir("tsdb_partial_")
+    clock = {"now": 0.0}
+    db = TablesTSDB(
+        spark, base, periods=[("onehour", 3600)], now=lambda: clock["now"]
+    )
+    db.insert(inc)
+    clock["now"] = t_split + db.tail  # finality horizon = t_split
+    db.sync()
+    out = db.get_metric_df(
+        "click", "onehour", "p90", (0.0, 4e9), include_partial=True
+    )
+    return out.select("timestamp", F.round("p90", 6).alias("p90"))
+
+
+@query(
     "tsdb_list_metrics",
     """
     SELECT DISTINCT event_type AS path FROM events
