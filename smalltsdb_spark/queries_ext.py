@@ -4017,20 +4017,18 @@ CLS_SAMPLE_FRAC = 0.25
 CLS_SAMPLED_ITERS = 6
 
 _CLS_ORACLE_CACHE: dict[str, str] = {}
+_CLS_SCORED_CACHE: dict[str, tuple] = {}
 
 
 def _cls_label_py(text: str) -> int:
     return int(len([w for w in text.split(" ") if w]) >= CLS_LABEL_MIN_TOKENS)
 
 
-def _cls_oracle_for(sample_frac: float | None, iters: int) -> str:
-    """Generated-constant oracle: the pure-Python reference implementation
-    (operators/classifier.reference_fit_predict) trains on the same corpus
-    (or the same hash-gated subsample) with the same hashing, fixed-point
-    arithmetic, and grid-quantized table sigmoid, so per-source decision
-    counts must match EXACTLY — no float comparison anywhere (predictions
-    are margin-sign decisions, and margins are integer-sum
-    deterministic)."""
+def _cls_scored_for(sample_frac: float | None, iters: int) -> tuple:
+    """(rows, scored): one pure-Python mirror training per (sf_dir, frac,
+    iters), shared by every oracle that needs these predictions (the
+    sampled-classifier row and the learned-curation row train the SAME
+    model, so the mirror runs once)."""
     import os
 
     import duckdb
@@ -4041,8 +4039,8 @@ def _cls_oracle_for(sample_frac: float | None, iters: int) -> str:
         or "/root/testdata/sf0.01"
     )
     cache_key = f"{sf_dir}|{sample_frac}|{iters}"
-    if cache_key in _CLS_ORACLE_CACHE:
-        return _CLS_ORACLE_CACHE[cache_key]
+    if cache_key in _CLS_SCORED_CACHE:
+        return _CLS_SCORED_CACHE[cache_key]
     from smalltsdb_spark.operators.classifier import reference_fit_predict
 
     con = duckdb.connect()
@@ -4059,6 +4057,29 @@ def _cls_oracle_for(sample_frac: float | None, iters: int) -> str:
         lr=CLS_LR,
         sample_frac=sample_frac,
     )
+    _CLS_SCORED_CACHE[cache_key] = (rows, scored)
+    return rows, scored
+
+
+def _cls_oracle_for(sample_frac: float | None, iters: int) -> str:
+    """Generated-constant oracle: the pure-Python reference implementation
+    (operators/classifier.reference_fit_predict) trains on the same corpus
+    (or the same hash-gated subsample) with the same hashing, fixed-point
+    arithmetic, and grid-quantized table sigmoid, so per-source decision
+    counts must match EXACTLY — no float comparison anywhere (predictions
+    are margin-sign decisions, and margins are integer-sum
+    deterministic)."""
+    import os
+
+    sf_dir = (
+        os.environ.get("SMALLTSDB_ORACLE_SF_DIR")
+        or os.environ.get("SMALLTSDB_PARITY_SF")
+        or "/root/testdata/sf0.01"
+    )
+    cache_key = f"{sf_dir}|{sample_frac}|{iters}"
+    if cache_key in _CLS_ORACLE_CACHE:
+        return _CLS_ORACLE_CACHE[cache_key]
+    rows, scored = _cls_scored_for(sample_frac, iters)
     totals: dict[str, list[int]] = {}
     for doc_id, source, _text in rows:
         if doc_id not in scored:
@@ -4167,6 +4188,95 @@ def text_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     gate+subsample contract — iteration depth is covered by the full
     row, and at driver scale extra iterations are pure job floor."""
     return _run_classifier(spark, sf_dir, CLS_SAMPLE_FRAC, CLS_SAMPLED_ITERS)
+
+
+def _curate_learned_oracle() -> str:
+    """Generated-constant oracle for the learned-curation pipeline: the
+    pure-Python mirror (same subsample training as the sampled
+    classifier row — one shared run via _cls_scored_for) decides the
+    learned KEEP set; dedup-keep-canonical and the hash sample replay in
+    SQL.  Docs featurize drops (no grams) are absent from ``scored`` and
+    therefore not kept — matching the Spark gate join."""
+    _rows, scored = _cls_scored_for(CLS_SAMPLE_FRAC, CLS_SAMPLED_ITERS)
+    kept = sorted(
+        doc_id for doc_id, (_label, score) in scored.items() if score >= 0.5
+    )
+    if kept:
+        kept_rel = "SELECT * FROM (VALUES {}) AS t(doc_id)".format(
+            ",".join(f"({i})" for i in kept)
+        )
+    else:
+        kept_rel = "SELECT doc_id FROM documents WHERE FALSE"
+    return f"""
+    WITH kept AS ({kept_rel}),
+    d AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS dup_rank
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang
+    FROM d JOIN kept USING (doc_id)
+    WHERE d.dup_rank = 1
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cc'
+    """
+
+
+@query("ext_curate_learned", _curate_learned_oracle)
+def ext_curate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED curation pipeline end-to-end (VERDICT r9 item 7):
+    raw text → subsampled classifier training (fit(sample_frac=0.25),
+    the 100 TB default) → predict every document → keep score ≥ 0.5 →
+    exact dedup keeping the canonical copy → deterministic ~80% hash
+    sample.  Same composition as ext_curate with the heuristic quality
+    gate replaced by the model: the dedup rank and sample predicate stay
+    projections + ONE content-hash window shuffle on the docs side, and
+    the learned gate joins only the doc-sized (doc_id) keep relation
+    (AQE broadcasts it; the corpus text never joins — plan-pinned in
+    tests/test_plans.py).  The oracle replays training in the
+    pure-Python mirror (bit-exact by the classifier determinism
+    contract) and the dedup+sample tail in SQL."""
+    from pyspark.sql import Window
+
+    from smalltsdb_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        (
+            F.size(F.filter(tokens("text"), lambda w: F.length(w) > 0))
+            >= CLS_LABEL_MIN_TOKENS
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM)
+    model = classifier.fit(
+        feats,
+        labels,
+        "doc_id",
+        CLS_DIM,
+        iters=CLS_SAMPLED_ITERS,
+        lr=CLS_LR,
+        sample_frac=CLS_SAMPLE_FRAC,
+    )
+    keep = (
+        classifier.predict(feats, model, "doc_id")
+        .filter(F.col("score") >= 0.5)
+        .select("doc_id")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    base = spread(docs).select(
+        "doc_id", "lang", F.row_number().over(w).alias("dup_rank")
+    )
+    return (
+        base.join(keep, "doc_id")
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "cc")
+        )
+        .select("doc_id", "lang")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -516,3 +516,28 @@ def test_span_dedup_shuffles_hashes_not_text(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan
     assert all(cols <= {"doc_id", "text"} for cols in scan_columns(df))
+
+
+def test_curate_learned_adds_only_the_classifier_exchanges(spark):
+    """ext_curate_learned (VERDICT r9 item 7): the learned gate must not
+    add corpus exchanges beyond ext_curate's — the returned plan's only
+    DISTINCT hash-exchange keys are the dedup window's content-hash key
+    plus the two the classifier inherently owns (featurize's (_id,
+    feature) groupBy and the margin groupBy(doc)); the keep relation and
+    every model-sized relation join BROADCAST (no sort-merge / shuffled
+    join anywhere — the corpus is never the shuffled side of a join);
+    no Python nodes; documents scans prune to (doc_id, lang, text)."""
+    import re
+
+    df = QUERIES["ext_curate_learned"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    keys = {
+        re.sub(r"#\d+L?", "", m)
+        for m in re.findall(r"hashpartitioning\([^)]*\)", plan)
+    }
+    assert len(keys) == 3, sorted(keys)
+    assert all(cols <= {"doc_id", "lang", "text"} for cols in scan_columns(df))
