@@ -2736,14 +2736,20 @@ def _bpe_encode_oracle() -> str:
 @query("text_bpe_encode", _bpe_encode_oracle)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The apply half of the tokenizer lifecycle: encode every document
-    with the trained merge sequence (textstats.bpe_encode — the merges
-    are plan literals, so encoding is a SHUFFLE-FREE projection at any
-    corpus size) and report the real per-source token budget.  The
-    model is shared with text_bpe_train via a per-process cache — fit
-    once, apply everywhere."""
+    with the trained merge sequence and report the real per-source
+    token budget.  The model is shared with text_bpe_train via a
+    per-process cache — fit once, apply everywhere.
+
+    This row IS the production/benchmarked encoder (VERDICT r9 item 8):
+    the broadcast-ranks Arrow kernel (``max_fold_merges=0``), whose plan
+    is constant-size in merge count — the only strategy that compiles at
+    a real 30k-merge vocabulary (1,200-merge bounded-time case pinned in
+    tests/test_textstats.py).  The SQL-expressible plan-as-model fold
+    path lives on as the parity-only ``text_bpe_encode_fold`` row; the
+    two are differential-tested byte-identical."""
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe_merges(spark, sf_dir)
-    enc = textstats.bpe_encode(docs, "doc_id", "text", merges)
+    enc = textstats.bpe_encode(docs, "doc_id", "text", merges, max_fold_merges=0)
     return (
         enc.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -2755,19 +2761,20 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_encode_arrow", _bpe_encode_oracle)
-def text_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE path of bpe_encode (VERDICT r7 item 3): the same 8
-    trained merges forced through the broadcast-ranks Arrow kernel
-    (``max_fold_merges=0``) instead of the plan-as-model nested folds.
+@query("text_bpe_encode_fold", _bpe_encode_oracle)
+def text_bpe_encode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan-as-model FOLD encoder, kept as the parity-only reference
+    at tiny merge budgets (VERDICT r9 item 8 demoted it from the
+    production row): the 8 trained merges bake into the plan as nested
+    JVM folds — exactly SQL-expressible, which is why the DuckDB oracle
+    can replay it, and Python-free — but plan/codegen size grows
+    linearly with merge count and each fold is O(word_len²), so it has a
+    documented merge-count ceiling (textstats.BPE_FOLD_MAX_MERGES).
     Same oracle as text_bpe_encode — the two physical strategies must
-    produce byte-identical per-source budgets.  At a real 30k-merge
-    vocabulary only this path compiles (plan size is constant in merge
-    count); the 1200-merge bounded-time case is pinned in
-    tests/test_textstats.py."""
+    produce byte-identical per-source budgets."""
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe_merges(spark, sf_dir)
-    enc = textstats.bpe_encode(docs, "doc_id", "text", merges, max_fold_merges=0)
+    enc = textstats.bpe_encode(docs, "doc_id", "text", merges)
     return (
         enc.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
