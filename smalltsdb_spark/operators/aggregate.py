@@ -306,7 +306,9 @@ def histogram_quantile_bounds(
     return bounded.select(*sel)
 
 
-def reaggregate(agg: DataFrame, seconds: int) -> DataFrame:
+def reaggregate(
+    agg: DataFrame, seconds: int, fine_seconds: int | None = None
+) -> DataFrame:
     """Coarsen an already-aggregated AGG_SCHEMA relation to ``seconds``
     buckets WITHOUT re-reading raw data — the rollup-cascade maintenance
     path: n/min/max/sum are mergeable (algebraic), avg re-derives as
@@ -317,11 +319,26 @@ def reaggregate(agg: DataFrame, seconds: int) -> DataFrame:
     (``tsdb_histogram``) or ``percentile_approx`` sketches when coarse
     quantiles are needed cascade-style.
 
+    PRECONDITION (ADVICE r9): ``seconds`` must be a MULTIPLE of the
+    input's bucket width — a fine bucket straddling a coarse boundary
+    would be wholly assigned to its floor bucket, silently producing
+    wrong (but plausible) merges.  Pass ``fine_seconds`` where the fine
+    period is known (the tsdb cascade path does) and the divisibility is
+    asserted; without it the caller owns the invariant.  All reference
+    periods (10 s/1 m/5 m/1 h/1 d) divide each other in order, so every
+    cascade between them is legal.
+
     100 TB shape: deriving a day table from tensecond buckets reads
     ~8.6k rows per path-day instead of the raw corpus — input shrinks by
     the finer period's compression factor; one map-side-combined shuffle
     on (path, bucket).  Returns (path, timestamp, n, min, max, avg, sum).
     """
+    if fine_seconds is not None and seconds % fine_seconds != 0:
+        raise ValueError(
+            f"coarse period {seconds}s is not a multiple of the fine "
+            f"bucket width {fine_seconds}s — a straddling fine bucket "
+            "would merge into the wrong coarse bucket"
+        )
     b = (F.floor(F.col("timestamp") / F.lit(seconds)) * F.lit(seconds)).cast(
         "double"
     )

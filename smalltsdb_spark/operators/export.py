@@ -145,7 +145,15 @@ def export_jsonl_shards_incremental(
                 # every already-exported id must land in its recorded
                 # shard under n_shards.  One projection read (id + the
                 # shard partition column), short-circuited by limit(1) on
-                # the first mismatch.
+                # the first mismatch.  Cost/soundness contract (ADVICE
+                # r9): this full scan runs AT MOST ONCE per legacy
+                # export — the marker is written immediately below on a
+                # pass (not only after the append succeeds), so every
+                # later increment takes the marker fast path; and the
+                # check is probabilistic for TINY exports (an id
+                # survives h%2n == h%n with p≈0.5, so k exported ids
+                # miss a doubled count with p≈2^-k) — the marker is the
+                # real contract, this is the best-effort legacy guard.
                 id_field = next(
                     f for f in df.schema.fields if f.name == id_col
                 )
@@ -168,6 +176,10 @@ def export_jsonl_shards_incremental(
                         "with a different shard count — increments must "
                         "reuse it"
                     )
+                # passing check: persist the validated count NOW so the
+                # legacy data scan never re-runs, even if this
+                # increment's append crashes before its own marker write
+                _write_n_shards_marker(out_dir, n_shards)
         id_field = next(f for f in df.schema.fields if f.name == id_col)
         existing = read_jsonl_shards(
             df.sparkSession, out_dir, T.StructType([id_field])

@@ -4709,7 +4709,7 @@ def tsdb_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.queries import events_as_incoming
 
     fine = aggregate(events_as_incoming(spark, sf_dir), 10)
-    out = reaggregate(fine, 3600)
+    out = reaggregate(fine, 3600, fine_seconds=10)
     return out.select(
         "path",
         "timestamp",

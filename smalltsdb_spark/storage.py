@@ -291,9 +291,14 @@ def _gc_unmanifested(
     upsert commits every ~10 s, so without the gate a replaced file
     would vanish one trigger after retirement and an in-flight reader's
     already-resolved snapshot would hit FileNotFoundException mid-scan.
-    mtime is a conservative proxy (a file is at least as old as its
-    retirement), so the gate can only lengthen the grace, never cut it
-    below ``min_age − write→retire lag``."""
+    mtime measures RETIREMENT age, not write age: every manifest commit
+    that retires a file re-touches it (:func:`_touch_retired`, ADVICE
+    r9 — previously a file already older than min_age when retired,
+    e.g. a slow-changing streaming partition rewritten by one late
+    event, was deleted on the very next trigger).  Crashed-writer
+    debris was never retired so its mtime stays its write time — it
+    ages out after min_age, which is the right bound for files no
+    reader ever resolved."""
     import time
 
     live = {f for fs in manifest.values() for f in fs}
@@ -324,6 +329,19 @@ def _gc_unmanifested(
             if not os.listdir(root):
                 os.rmdir(root)
     return removed
+
+
+def _touch_retired(path: str, rel_files) -> None:
+    """Stamp just-retired data files with the retirement time (utime →
+    now) so :func:`_gc_unmanifested`'s min-age gate measures retirement
+    age, not write age (ADVICE r9).  Called AFTER the manifest commit
+    that retired them; a missing file races nobody (it was already
+    GC'd or never installed)."""
+    for rel in rel_files:
+        try:
+            os.utime(os.path.join(path, rel), None)
+        except OSError:
+            pass
 
 
 def _install_staged_partition(staged_dir: str, dest_dir: str) -> list[str]:
@@ -399,12 +417,21 @@ def _one_file_per_partition(df: DataFrame) -> DataFrame:
     return df.repartition(F.col(PARTITION_COLUMN))
 
 
-def append(df: DataFrame, path: str, grain_seconds: int = SECONDS_PER_DAY) -> None:
+def append(
+    df: DataFrame,
+    path: str,
+    grain_seconds: int = SECONDS_PER_DAY,
+    gc_min_age: float = 0.0,
+) -> None:
     _assert_mutable(path, "batch-append into")
     manifest = read_manifest(path)
     if manifest is not None:
         # manifest tables take appends transactionally too: stage, move,
-        # extend the live-file map, one os.replace
+        # extend the live-file map, one os.replace.  Appends are manifest
+        # MUTATIONS, so they run the deferred GC like every other one
+        # (ADVICE r9: an append+retention-drop-only workload previously
+        # never reclaimed dropped files — unbounded disk growth)
+        _gc_unmanifested(path, manifest, min_age_seconds=gc_min_age)
         import uuid
 
         staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
@@ -546,6 +573,17 @@ def _overwrite_partitions_manifest(
             )
             new_files[unit] = [os.path.join(name, f) for f in moved]
         write_manifest(path, new_files)  # THE commit point
+        # stamp the files this commit just retired (replaced versions of
+        # the overwritten units) so the GC min-age gate counts from
+        # RETIREMENT, not from when they were written (ADVICE r9)
+        retired = [
+            f
+            for unit, fs in base.items()
+            if new_files.get(unit) != fs
+            for f in fs
+            if f not in set(new_files.get(unit, []))
+        ]
+        _touch_retired(path, retired)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -596,6 +634,19 @@ def drop_partitions_below(
             if f"{PARTITION_COLUMN}={u}" not in set(doomed)
         }
         write_manifest(path, survivors)
+        # retirement stamp: the dropped partitions' files may be
+        # arbitrarily old — without re-touching, the next mutation's
+        # min-age gate would see them as instantly past grace (ADVICE r9)
+        doomed_set = set(doomed)
+        _touch_retired(
+            path,
+            [
+                f
+                for u, fs in manifest.items()
+                if f"{PARTITION_COLUMN}={u}" in doomed_set
+                for f in fs
+            ],
+        )
         return doomed
     for name in doomed:
         shutil.rmtree(os.path.join(path, name))

@@ -162,3 +162,38 @@ def test_incremental_rejects_larger_shard_count_on_markerless_export(
         for r in read_jsonl_shards(spark, out, SCHEMA).collect()
     )
     assert got == list(range(60))
+
+
+def test_legacy_consistency_scan_runs_at_most_once(spark, tmp_path):
+    """ADVICE r9: a PASSING legacy data-verify persists the marker
+    immediately (before the increment's own append), so the full-export
+    scan happens at most once per legacy export — later increments take
+    the marker fast path even if an intermediate append crashed."""
+    import os
+    from unittest import mock
+
+    from smalltsdb_spark.operators import export as export_mod
+    from smalltsdb_spark.operators.export import (
+        N_SHARDS_MARKER,
+        export_jsonl_shards,
+        export_jsonl_shards_incremental,
+    )
+
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(_docs(spark, 10), out, 4)
+    os.remove(os.path.join(out, N_SHARDS_MARKER))  # simulate pre-r8
+    with mock.patch.object(
+        export_mod, "read_jsonl_shards", wraps=export_mod.read_jsonl_shards
+    ) as rd:
+        export_jsonl_shards_incremental(_docs(spark, 20), out, 4)
+        # verify scan + existing-id anti-join read on the legacy call
+        first_calls = rd.call_count
+        assert first_calls >= 2
+        export_jsonl_shards_incremental(_docs(spark, 30), out, 4)
+        # marker fast path: only the existing-id read, no verify scan
+        assert rd.call_count == first_calls + 1
+    assert os.path.exists(os.path.join(out, N_SHARDS_MARKER))
+    got = sorted(
+        r.doc_id for r in read_jsonl_shards(spark, out, SCHEMA).collect()
+    )
+    assert got == list(range(30))

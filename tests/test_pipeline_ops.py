@@ -317,3 +317,19 @@ def test_histogram_quantile_bounds_clamp_tail_is_null(spark):
         value_histogram(inc, 3600), 3600
     ).collect()
     assert r.p99_lo == 950.0 and r.p99_hi is None
+
+
+def test_reaggregate_rejects_non_divisible_coarse_period(spark):
+    """ADVICE r9: a coarse period that is not a multiple of the fine
+    bucket width would silently misassign straddling buckets — with
+    fine_seconds passed (as the cascade path does) it raises instead."""
+    from smalltsdb_spark.operators.aggregate import aggregate, reaggregate
+
+    inc = spark.createDataFrame(
+        [("p", 1.0, 1.0)], "path string, timestamp double, value double"
+    )
+    fine = aggregate(inc, 7)
+    with pytest.raises(ValueError, match="not a multiple"):
+        reaggregate(fine, 3600, fine_seconds=7)
+    # divisible passes (and still works without fine_seconds — caller-owned)
+    assert reaggregate(aggregate(inc, 10), 3600, fine_seconds=10).count() == 1

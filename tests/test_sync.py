@@ -610,6 +610,83 @@ def test_gc_min_age_keeps_young_unmanifested_files(spark, tmp_path):
     }
 
 
+def test_gc_min_age_gates_on_retirement_not_write_age(spark, tmp_path):
+    """ADVICE r9 (medium): a file ALREADY older than min_age when it is
+    retired must still get the full grace window — manifest commits
+    re-touch the files they retire, so the mtime gate measures
+    retirement age, not write age.  Covers both retirement points:
+    partition overwrite and deferred retention drop."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    def agg_rows(ts_values):
+        return spark.createDataFrame(
+            [("p", ts, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0) for ts in ts_values],
+            AGG_SCHEMA,
+        )
+
+    day = 86400.0
+    # --- overwrite retirement ---
+    path = str(tmp_path / "t1")
+    storage.overwrite_partitions(agg_rows([5.0]), path, manifest=True)
+    old_live = {f for fs in storage.read_manifest(path).values() for f in fs}
+    for f in old_live:
+        os.utime(os.path.join(path, f), (0.0, 0.0))  # ancient write age
+    storage.overwrite_partitions(agg_rows([7.0]), path)  # retires old_live
+    survivors = storage._gc_unmanifested(
+        path, storage.read_manifest(path), min_age_seconds=300.0
+    )
+    assert survivors == []  # retirement was seconds ago: full grace kept
+    assert {f for f in old_live if os.path.exists(os.path.join(path, f))} == old_live
+    removed = storage._gc_unmanifested(path, storage.read_manifest(path))
+    assert set(removed) == old_live  # ungated GC still reclaims
+
+    # --- deferred retention-drop retirement ---
+    path2 = str(tmp_path / "t2")
+    storage.overwrite_partitions(
+        agg_rows([5.0, day + 5.0]), path2, manifest=True
+    )
+    doomed = {
+        f for u, fs in storage.read_manifest(path2).items() if u == 0 for f in fs
+    }
+    for f in doomed:
+        os.utime(os.path.join(path2, f), (0.0, 0.0))
+    storage.drop_partitions_below(path2, day)
+    survivors = storage._gc_unmanifested(
+        path2, storage.read_manifest(path2), min_age_seconds=300.0
+    )
+    assert survivors == []
+    assert all(os.path.exists(os.path.join(path2, f)) for f in doomed)
+
+
+def test_append_runs_deferred_gc_on_manifest_tables(spark, tmp_path):
+    """ADVICE r9: append() is a manifest mutation, so it must run the
+    deferred GC — an append+retention-drop-only workload previously
+    never reclaimed dropped files (unbounded disk growth)."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA
+
+    def agg_rows(ts_values):
+        return spark.createDataFrame(
+            [("p", ts, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0) for ts in ts_values],
+            AGG_SCHEMA,
+        )
+
+    day = 86400.0
+    path = str(tmp_path / "t")
+    storage.overwrite_partitions(agg_rows([5.0, day + 5.0]), path, manifest=True)
+    doomed = {
+        f for u, fs in storage.read_manifest(path).items() if u == 0 for f in fs
+    }
+    storage.drop_partitions_below(path, day)
+    assert all(os.path.exists(os.path.join(path, f)) for f in doomed)  # deferred
+    storage.append(agg_rows([2 * day + 5.0]), path)
+    assert not any(os.path.exists(os.path.join(path, f)) for f in doomed)
+    # the append itself landed and the table reads whole
+    reader = storage.read_table(spark, path, AGG_SCHEMA)
+    assert sorted(r.timestamp for r in reader.collect()) == [day + 5.0, 2 * day + 5.0]
+
+
 def test_get_metric_include_partial_serves_open_buckets(spark, tsdb_dir):
     """VERDICT r8 item 7: get_metric(include_partial=True) returns the
     open (not-yet-final) buckets alongside the synced finals — the
