@@ -596,11 +596,23 @@ def remove_duplicated_lines(
     text_col: str,
     line_sep: str = "\n",
     max_docs: int = 1,
+    keep: str = "none",
 ) -> DataFrame:
     """Cross-document line dedup (the C4/CCNet boilerplate scrubber):
     drop every line that occurs in more than ``max_docs`` DISTINCT
     documents, and reassemble each document from its surviving lines in
     original order.
+
+    ``keep="first"`` applies the C4 paper's actual stated semantics
+    ("we removed … keeping one"): a line over the ``max_docs`` cut
+    retains its occurrences in the CANONICAL document — the min doc id
+    among the documents containing it, elected at the line's count
+    group like the span operators' keep-first — and is dropped from
+    every other document.  Within-document repeats inside the canonical
+    document all survive (counting is per DISTINCT document, so they
+    were never what the cut measures).  ``keep="none"`` (default) drops
+    every occurrence — template boilerplate usually SHOULD vanish
+    entirely, which is why it is the default.
 
     This is dedup at the granularity documents actually share template
     content (nav bars, license headers, cookie banners): whole-doc
@@ -620,6 +632,8 @@ def remove_duplicated_lines(
     """
     import re as _re
 
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     # split's pattern is a regex while the reassembly join is literal —
     # escape so separators like '.' or '|' split exactly where they join
     lines = F.split(F.col(text_col), F.lit(_re.escape(line_sep)), -1)
@@ -629,11 +643,16 @@ def remove_duplicated_lines(
         F.posexplode(lines).alias("pos", "line"),
     )
     counts = ex.select("line", "doc").distinct().groupBy("line").agg(
-        F.count("doc").alias("_nd")
+        F.count("doc").alias("_nd"),
+        # canonical document for keep='first' — rides the same shuffle
+        F.min("doc").alias("_fd"),
     )
+    keep_pred = F.col("_nd") <= max_docs
+    if keep == "first":
+        keep_pred = keep_pred | (F.col("doc") == F.col("_fd"))
     kept = (
         ex.join(counts, "line")
-        .filter(F.col("_nd") <= max_docs)
+        .filter(keep_pred)
         .groupBy("doc")
         .agg(
             F.count("*").alias("_n_kept"),

@@ -2523,6 +2523,64 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicated_lines(docs, "doc_id", "_text_nl")
 
 
+@query(
+    "dedup_lines_c4_keep_one",
+    """
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    t AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(w, i*2 + 1, i*2 + 2), ' ')
+               ) AS l
+        FROM w0
+    ),
+    ex AS (
+        SELECT doc_id, len(l) AS n_lines, unnest(l) AS line,
+               unnest(range(len(l))) AS pos
+        FROM t
+    ),
+    cnt AS (
+        SELECT line, count(DISTINCT doc_id) AS nd, min(doc_id) AS fd
+        FROM ex GROUP BY 1
+    ),
+    kept AS (
+        SELECT e.* FROM ex e JOIN cnt c USING (line)
+        WHERE c.nd <= 1 OR e.doc_id = c.fd
+    )
+    SELECT d.doc_id,
+           CAST(d.n_lines AS BIGINT) AS n_lines,
+           CAST(d.n_lines - count(k.line) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+               AS text_clean
+    FROM (SELECT DISTINCT doc_id, n_lines FROM ex) d
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n_lines
+    """,
+)
+def dedup_lines_c4_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line dedup with the C4 paper's stated keep-one semantics
+    (operators/dedup.remove_duplicated_lines(keep='first'), r10 —
+    completes the keep-first family alongside dedup_spans_keep_one): a
+    line shared across documents survives only in the min-doc-id
+    canonical document, elected at the line's count group via a
+    min(doc) riding the SAME distinct-count shuffle; the oracle elects
+    with min(doc_id) per line and compares the cleaned text itself.
+    Same derived 2-token chunks as dedup_lines_c4."""
+    w = tokens("text")
+    n_chunks = F.ceil(F.size(w) / F.lit(2.0)).cast("int")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(w, i * 2 + 1, 2), " "),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(raw, "\n").alias("_text_nl")
+    )
+    return dedup.remove_duplicated_lines(
+        docs, "doc_id", "_text_nl", keep="first"
+    )
+
+
 BPE_MERGES = 8
 
 _BPE_ORACLE_CACHE: dict[str, str] = {}

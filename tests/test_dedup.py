@@ -328,6 +328,47 @@ def test_remove_duplicated_lines_differential(spark):
         assert got == reference(docs, sep), (sep, got)
 
 
+def test_remove_duplicated_lines_keep_first(spark):
+    """keep='first' (C4's stated all-but-one): a shared line survives in
+    the min-doc-id canonical document only; within-doc repeats in the
+    canonical doc all survive (counting is per DISTINCT doc); unique
+    lines untouched; remove-all keeps a subset of keep-first's lines."""
+    from smalltsdb_spark.operators.dedup import remove_duplicated_lines
+
+    docs = [
+        (2, "shared\nmine"),          # canonical home for "shared" (min id)
+        (5, "shared\nshared\nyours"), # loses both copies: 2 is canonical
+        (9, "solo\nlines\nonly"),
+        (11, "twin\ntwin"),           # within-doc repeat, single doc: kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in remove_duplicated_lines(
+            df, "doc_id", "text", keep="first"
+        ).collect()
+    }
+    assert got[2] == (2, 0, "shared\nmine")
+    assert got[5] == (3, 2, "yours")
+    assert got[9] == (3, 0, "solo\nlines\nonly")
+    assert got[11] == (2, 0, "twin\ntwin")
+
+    got_all = {
+        r.doc_id: r.text_clean
+        for r in remove_duplicated_lines(df, "doc_id", "text").collect()
+    }
+    assert got_all[2] == "mine"  # remove-all drops the canonical too
+    # remove-all keeps a subset: every remove-all line survives keep-first
+    for d in got:
+        a = got_all[d].split("\n") if got_all[d] else []
+        b = got[d][2].split("\n") if got[d][2] else []
+        it = iter(b)
+        assert all(line in it for line in a), d
+
+    with pytest.raises(ValueError, match="keep"):
+        remove_duplicated_lines(df, "doc_id", "text", keep="last")
+
+
 def test_remove_duplicated_spans(spark):
     """ExactSubstr (Lee et al. 2022) edges: a shared >=k span vanishes
     from ALL occurrences (within-doc repeats included), sub-k overlap
