@@ -847,6 +847,58 @@ def _strip_covered_spans(
     )
 
 
+def duplicated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The diagnostic half of ExactSubstr: report each MAXIMAL duplicated
+    span per document as ``(id_col, span_start, span_len)`` (1-based
+    token positions) — exactly the runs :func:`remove_duplicated_spans`
+    would strip, surfaced for corpus forensics (which passages are
+    boilerplate, how long, where) without mutating anything.
+
+    Implementation is the shingle-cover machinery plus gaps-and-islands:
+    covered positions (same relation the strip uses) group into maximal
+    runs via the classic ``pos − row_number()`` island key — one
+    (doc)-partitioned window and one groupBy on (doc, island).  Overlap
+    merging is inherent: two overlapping duplicated spans report as ONE
+    maximal run, matching the strip's union semantics.  Linear like the
+    rest of the family; the window partitions by doc, so no global sort.
+    """
+    base, sh = _token_shingles(df, id_col, text_col, k)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup, "h")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = covered.select(
+        "doc", "pos", (F.col("pos") - F.row_number().over(w)).alias("_grp")
+    )
+    return (
+        runs.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+        )
+        .select(F.col("doc").alias(id_col), "span_start", "span_len")
+    )
+
+
 def shingle_count_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 50
 ) -> DataFrame:

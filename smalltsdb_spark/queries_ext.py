@@ -4688,6 +4688,53 @@ def dedup_spans_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_spans_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM toks,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= {SPAN_MIN_COUNT}),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM sh JOIN dup USING (s), unnest(range(0, {SPAN_K})) AS u(off)
+    ),
+    runs AS (
+      SELECT doc_id, cp,
+             cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(min(cp) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics for ExactSubstr (operators/dedup.
+    duplicated_span_report, r10): every MAXIMAL duplicated token span
+    per document as (doc_id, span_start, span_len) — the runs the strip
+    operator would remove, surfaced read-only (which passages are
+    boilerplate, how long, where).  Gaps-and-islands over the covered
+    positions (pos − row_number() island key, one doc-partitioned
+    window); the oracle replays the identical islands in SQL."""
+    from smalltsdb_spark.operators.dedup import duplicated_span_report
+
+    return duplicated_span_report(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_count=SPAN_MIN_COUNT,
+    )
+
+
+@query(
     "dedup_spans_incremental",
     f"SELECT * FROM ({_SPAN_EXACT_ORACLE}) WHERE doc_id % 5 = 0",
 )

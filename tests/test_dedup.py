@@ -624,6 +624,55 @@ def test_remove_duplicated_spans_keep_first_differential(spark):
     assert removed_first < removed_all
 
 
+def test_duplicated_span_report_maximal_runs(spark):
+    """The report operator returns MAXIMAL covered runs: overlapping
+    duplicated spans merge into one island; disjoint spans in one doc
+    report separately; start/len agree with what the strip removes."""
+    from smalltsdb_spark.operators.dedup import (
+        duplicated_span_report,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: two OVERLAPPING dup 4-spans (p q r s @2, r s t u @4)
+            # -> one island [2..7]; plus a disjoint one (a b c d @10)
+            (0, "w p q r s t u x y a b c d"),
+            (1, "p q r s"),
+            (2, "r s t u"),
+            (3, "a b c d"),
+            (4, "nothing duplicated here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_span_report(
+            docs, "doc_id", "text", k=4, min_count=2
+        ).collect()
+    )
+    assert got == [
+        (0, 2, 6),   # merged overlap: positions 2-7
+        (0, 10, 4),  # disjoint island
+        (1, 1, 4),
+        (2, 1, 4),
+        (3, 1, 4),
+    ]
+    # the reported token count equals what the strip removes, per doc
+    removed = {
+        r.doc_id: r.n_removed
+        for r in remove_duplicated_spans(
+            docs, "doc_id", "text", k=4, min_count=2
+        ).collect()
+    }
+    from collections import Counter
+
+    reported = Counter()
+    for d, _s, ln in got:
+        reported[d] += ln
+    assert all(reported.get(d, 0) == n for d, n in removed.items())
+
+
 def test_remove_duplicated_spans_incremental_equals_scratch(spark, tmp_path):
     """The incremental contract (VERDICT r9 item 4): cleaning a batch
     against the persisted corpus shingle index equals the from-scratch
