@@ -183,3 +183,97 @@ def test_bloom_kernel_no_false_negatives(hashes, extra, fpp):
     assert all(member(h1, h2) for h1, h2 in hashes)
     # an un-inserted pair may be a false positive but must never crash
     member(*extra)
+
+
+# -- shingle-cover equivalence (the span-dedup family's theorem) -------------
+
+
+def _dup_shingle_cover(docs: dict, k: int, min_count: int) -> dict:
+    """Positions covered by globally-duplicated k-shingles (what the
+    operators compute, mirrored in pure Python)."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter()
+    for t in docs.values():
+        for i in range(len(t) - k + 1):
+            cnt[tuple(t[i : i + k])] += 1
+    cov = defaultdict(set)
+    for d, t in docs.items():
+        for i in range(len(t) - k + 1):
+            if cnt[tuple(t[i : i + k])] >= min_count:
+                cov[d] |= set(range(i, i + k))
+    return cov
+
+
+def _dup_span_cover(docs: dict, k: int, min_count: int) -> dict:
+    """Positions covered by duplicated spans of ANY length >= k (the
+    paper's definition — what a suffix array would compute)."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter()
+    for t in docs.values():
+        for L in range(k, len(t) + 1):
+            for i in range(len(t) - L + 1):
+                cnt[tuple(t[i : i + L])] += 1
+    cov = defaultdict(set)
+    for d, t in docs.items():
+        for L in range(k, len(t) + 1):
+            for i in range(len(t) - L + 1):
+                if cnt[tuple(t[i : i + L])] >= min_count:
+                    cov[d] |= set(range(i, i + L))
+    return cov
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), max_size=14), min_size=1, max_size=8
+    ),
+    k=st.integers(2, 4),
+    min_count=st.integers(2, 3),
+)
+@settings(max_examples=400, deadline=None)
+def test_shingle_cover_equals_span_cover(texts, k, min_count):
+    """THE theorem replacing the suffix array (dedup.py span family): a
+    position lies in some duplicated span of length >= k iff it lies in
+    some duplicated k-shingle — because any duplicated span's length-k
+    subwindows are each duplicated, and any duplicated k-shingle IS a
+    duplicated span.  A tiny alphabet makes overlapping repeats dense —
+    the adversarial regime for the equivalence."""
+    docs = dict(enumerate(texts))
+    assert _dup_shingle_cover(docs, k, min_count) == _dup_span_cover(
+        docs, k, min_count
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), max_size=12), min_size=1, max_size=6
+    ),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=300, deadline=None)
+def test_keep_first_strip_is_strict_subset_with_canonical_survivor(texts, k):
+    """keep='first' invariants, shingle-level (mirrors the operator's
+    election exactly): the stripped-position set is a SUBSET of
+    remove-all's, and for every duplicated shingle the canonical
+    occurrence is never stripped by its OWN hash group (it may still be
+    clipped by an overlapping group — the documented corner case)."""
+    from collections import defaultdict
+
+    docs = dict(enumerate(texts))
+    occ = defaultdict(list)
+    for d, t in docs.items():
+        for i in range(len(t) - k + 1):
+            occ[tuple(t[i : i + k])].append((d, i))
+    strip_all = defaultdict(set)
+    strip_first = defaultdict(set)
+    for s, occs in occ.items():
+        if len(occs) >= 2:
+            for d, i in occs:
+                strip_all[d] |= set(range(i, i + k))
+            canonical = sorted(occs)[0]
+            for d, i in occs:
+                if (d, i) != canonical:
+                    strip_first[d] |= set(range(i, i + k))
+    for d in docs:
+        assert strip_first[d] <= strip_all[d]
