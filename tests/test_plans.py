@@ -505,17 +505,33 @@ def test_text_semdedup_e2e_pair_stage_never_joins_the_corpus(spark):
     assert scan_columns(feats) == [{"doc_id", "text"}]
 
 
-def test_span_dedup_shuffles_hashes_not_text(spark):
-    """dedup_spans_exact (ExactSubstr): the duplicated-shingle count
-    groupBy must key on the 16-byte md5_long hash — the shingle TEXT
-    never shuffles — and the whole plan stays JVM-side (no Python
-    eval); the documents scan reads only (doc_id, text)."""
-    df = QUERIES["dedup_spans_exact"](spark, SF_DIR)
+@pytest.mark.parametrize(
+    "row",
+    [
+        "dedup_spans_exact",
+        "dedup_spans_keep_one",
+        "dedup_spans_incremental",
+        "dedup_spans_report",
+    ],
+)
+def test_span_dedup_shuffles_hashes_not_text(spark, row):
+    """The whole ExactSubstr family: every corpus-sized shuffle must key
+    on the 16-byte md5_long hash — the shingle TEXT never shuffles —
+    and the whole plan stays JVM-side (no Python eval); the documents
+    scan reads only (doc_id, text).  Covers the r10 members too:
+    keep-one (the min(struct) election rides the same hash shuffle),
+    the incremental index join, and the islands report."""
+    df = QUERIES[row](spark, SF_DIR)
     plan = physical_plan(df)
     assert "hashpartitioning(h#" in plan  # count + join-back key on the hash
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan
-    assert all(cols <= {"doc_id", "text"} for cols in scan_columns(df))
+    # documents scans prune to (doc_id, text); the incremental row
+    # additionally scans its persisted (h, c) index — hash rows, no text
+    assert all(
+        cols <= {"doc_id", "text"} or cols <= {"h", "c"}
+        for cols in scan_columns(df)
+    )
 
 
 def test_curate_learned_adds_only_the_classifier_exchanges(spark):
