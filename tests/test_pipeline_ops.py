@@ -333,3 +333,43 @@ def test_reaggregate_rejects_non_divisible_coarse_period(spark):
         reaggregate(fine, 3600, fine_seconds=7)
     # divisible passes (and still works without fine_seconds — caller-owned)
     assert reaggregate(aggregate(inc, 10), 3600, fine_seconds=10).count() == 1
+
+
+def test_reaggregate_chain_is_transitive(spark):
+    """The cascade composes: 10s -> 60s -> 3600s -> 86400s through three
+    reaggregate hops equals aggregating raw directly at the day period —
+    the property that lets a real deployment maintain each coarse table
+    from the NEXT FINER one (maximum compression at every hop) instead
+    of always re-reading tensecond."""
+    import math
+    import random
+
+    from smalltsdb_spark.operators.aggregate import aggregate, reaggregate
+
+    rng = random.Random(23)
+    rows = [
+        (f"m{i % 2}", float(rng.uniform(0, 2 * 86400)), float(rng.uniform(-5, 5)))
+        for i in range(2000)
+    ]
+    inc = spark.createDataFrame(
+        rows, "path string, timestamp double, value double"
+    )
+    chained = reaggregate(
+        reaggregate(
+            reaggregate(aggregate(inc, 10), 60, fine_seconds=10),
+            3600,
+            fine_seconds=60,
+        ),
+        86400,
+        fine_seconds=3600,
+    )
+    direct = {
+        (r.path, r.timestamp): r.asDict() for r in aggregate(inc, 86400).collect()
+    }
+    got = {(r.path, r.timestamp): r.asDict() for r in chained.collect()}
+    assert set(got) == set(direct)
+    for key, d in direct.items():
+        c = got[key]
+        assert c["n"] == d["n"] and c["min"] == d["min"] and c["max"] == d["max"]
+        assert math.isclose(c["sum"], d["sum"], rel_tol=1e-12)
+        assert math.isclose(c["avg"], d["avg"], rel_tol=1e-12)
