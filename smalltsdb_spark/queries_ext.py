@@ -3193,6 +3193,78 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS g,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+        FROM toks
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM bi GROUP BY g),
+    c1 AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(w) AS w FROM toks) GROUP BY w
+    ),
+    v AS (SELECT count(*) AS v FROM c1),
+    scored AS (
+        SELECT bi.doc_id,
+               ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+        FROM bi JOIN c2 USING (g) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-k smoothing (k=0.5)
+    — the distributed skeleton of the KenLM-style LM filter every major
+    corpus pipeline runs (CCNet's perplexity gate), one order up from
+    text_unigram_logprob: each document scores by the mean
+    ln((c(w1 w2)+k)/(c(w1)+k·V)) of its bigrams under the corpus's own
+    counts.  Context-free gibberish that unigram statistics cannot see
+    (valid words in implausible order) sits in the low tail.
+
+    Shape: one bigram-count groupBy and one unigram-count groupBy (both
+    map-side combined), then the per-doc bigram stream joins the two
+    count relations on hash keys (vocab-sized sides — AQE broadcasts
+    when measured-small; df-cut the vocab at 100 TB) and the 1-row V
+    rides a broadcast cross join.  round(6) on the avg is the module's
+    standard float contract; docs with <2 tokens have no bigrams and
+    are absent from the result in both engines."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    bi = docs.select(
+        "doc_id", F.explode(word_ngrams(tokens("text"), 2)).alias("g")
+    ).withColumn("w1", F.element_at(F.split(F.col("g"), " "), 1))
+    c2 = bi.groupBy("g").agg(F.count("*").alias("c2"))
+    uni = docs.select(F.explode(tokens("text")).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    scored = (
+        bi.join(c2, "g")
+        .join(c1, bi.w1 == c1.w)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+@query(
     "text_heavy_hitters",
     """
     WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
