@@ -4843,6 +4843,131 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_span_dedup_incremental",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 2 AS b, string_split(text, ' ') AS l
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, b, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM toks,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    dup0 AS (
+      SELECT s FROM sh WHERE b = 0 GROUP BY s
+      HAVING count(*) >= {SPAN_MIN_COUNT}
+    ),
+    dup1 AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) >= {SPAN_MIN_COUNT}
+    ),
+    occ AS (
+      SELECT x.doc_id, x.p FROM sh x JOIN dup0 ON x.s = dup0.s WHERE x.b = 0
+      UNION ALL
+      SELECT x.doc_id, x.p FROM sh x JOIN dup1 ON x.s = dup1.s WHERE x.b = 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM occ, unnest(range(0, {SPAN_K})) AS u(off)
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup as a CONTINUOUS ingestion stage (r10 —
+    the streaming shape of dedup_spans_incremental): documents arrive in
+    micro-batches (doc_id % 2 staged as two files, maxFilesPerTrigger=1,
+    availableNow drain); each foreachBatch cleans the batch against the
+    PERSISTED shingle-count index (counts = batch + index, so a batch
+    span duplicated against anything ingested EARLIER — or within the
+    batch — is stripped), appends the cleaned docs to the sink, and
+    commits the merged index as a new parquet version (read-new/swap-
+    pointer, never overwriting the version a later read could resolve).
+    Time-ordered semantics, oracle-pinned: batch b's result equals
+    remove-all ExactSubstr over batches 0..b restricted to batch b —
+    the SQL replays both prefixes and unions them.
+
+    Scale shape per trigger: batch shingling (∝ batch) + one index scan
+    (24-byte rows) + one union-sum rewrite of the index — the corpus
+    text never re-shingles, exactly the batch path's cost model
+    (SCALE.md span-dedup section, measured flat 1×→100×)."""
+    import os
+
+    from smalltsdb_spark.operators.dedup import (
+        merge_shingle_index,
+        remove_duplicated_spans_incremental,
+        shingle_count_index,
+    )
+    from smalltsdb_spark.queries import _scratch_dir
+
+    base = _scratch_dir("stream_span_incr_")
+    staging, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/b{i}")
+    # FileStreamSource orders by mtime: force batch 0 strictly older
+    for root, _dirs, fs in os.walk(f"{staging}/b0"):
+        for f in fs:
+            os.utime(os.path.join(root, f), (0.0, 0.0))
+
+    state = {"index_dir": None, "version": 0}
+
+    def handle(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if state["index_dir"] is None:
+                index = spark.createDataFrame([], "h long, c long")
+            else:
+                index = spark.read.parquet(state["index_dir"])
+            remove_duplicated_spans_incremental(
+                batch_df, index, "doc_id", "text",
+                k=SPAN_K, min_count=SPAN_MIN_COUNT,
+            ).write.mode("append").parquet(out)
+            merged = merge_shingle_index(
+                index, shingle_count_index(batch_df, "doc_id", "text", k=SPAN_K)
+            )
+            state["version"] += 1
+            new_dir = f"{base}/index_v{state['version']}"
+            merged.write.mode("overwrite").parquet(new_dir)
+            state["index_dir"] = new_dir
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/b*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Rollup cascade (r9 — operators/aggregate.reaggregate)
 # ---------------------------------------------------------------------------
