@@ -899,6 +899,45 @@ def duplicated_span_report(
     )
 
 
+def contaminated_span_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Leak forensics: every MAXIMAL eval-leaked token span per corpus
+    document as ``(id_col, span_start, span_len)`` — the regions
+    :func:`remove_contaminated_spans` would excise, surfaced read-only
+    (how much eval material leaked, where, and how long before
+    training data ships).  Same gaps-and-islands reassembly as
+    :func:`duplicated_span_report` over the decontamination cover."""
+    _, sh = _token_shingles(corpus, id_col, text_col, k)
+    _, esh = _token_shingles(eval_docs, id_col, text_col, k)
+    covered = (
+        sh.join(esh.select("h").distinct(), "h")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = covered.select(
+        "doc", "pos", (F.col("pos") - F.row_number().over(w)).alias("_grp")
+    )
+    return (
+        runs.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+        )
+        .select(F.col("doc").alias(id_col), "span_start", "span_len")
+    )
+
+
 def shingle_count_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 50
 ) -> DataFrame:

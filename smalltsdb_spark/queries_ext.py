@@ -5141,3 +5141,61 @@ def dedup_spans_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         k=SPAN_K,
     )
+
+
+@query(
+    "dedup_spans_leak_report",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    ev AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    csh AS (
+      SELECT doc_id, p, array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM corpus,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    esh AS (
+      SELECT DISTINCT array_to_string(l[p:p+{SPAN_K}-1], ' ') AS s
+      FROM ev,
+           unnest(CASE WHEN len(l) >= {SPAN_K}
+                       THEN range(1, len(l)-{SPAN_K}+2) ELSE [] END) AS t(p)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p + off AS cp
+      FROM csh JOIN esh USING (s), unnest(range(0, {SPAN_K})) AS u(off)
+    ),
+    runs AS (
+      SELECT doc_id, cp,
+             cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(min(cp) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_spans_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak forensics (operators/dedup.contaminated_span_report, r10):
+    every MAXIMAL eval-leaked span per corpus document as (doc_id,
+    span_start, span_len) — the read-only audit a release pipeline runs
+    BEFORE excising (how much eval material leaked, where, how long).
+    Same eval split as dedup_spans_decontaminate (doc_id % 7 == 0);
+    gaps-and-islands over the decontamination cover, identical islands
+    replayed in SQL."""
+    from smalltsdb_spark.operators.dedup import contaminated_span_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_span_report(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+    )
