@@ -4895,17 +4895,21 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup as a CONTINUOUS ingestion stage (r10 —
-    the streaming shape of dedup_spans_incremental): documents arrive in
-    micro-batches (doc_id % 2 staged as two files, maxFilesPerTrigger=1,
-    availableNow drain); each foreachBatch cleans the batch against the
-    PERSISTED shingle-count index (counts = batch + index, so a batch
-    span duplicated against anything ingested EARLIER — or within the
-    batch — is stripped), appends the cleaned docs to the sink, and
-    commits the merged index as a new parquet version (read-new/swap-
-    pointer, never overwriting the version a later read could resolve).
-    Time-ordered semantics, oracle-pinned: batch b's result equals
-    remove-all ExactSubstr over batches 0..b restricted to batch b —
-    the SQL replays both prefixes and unions them.
+    the streaming shape of dedup_spans_incremental;
+    streaming/span_dedup.py): documents arrive in micro-batches
+    (doc_id % 2 staged as two files, maxFilesPerTrigger=1, availableNow
+    drain); each foreachBatch cleans the batch against the PERSISTED
+    shingle-count index (counts = batch + index, so a batch span
+    duplicated against anything ingested EARLIER — or within the batch —
+    is stripped), writes the cleaned docs to a batch-keyed partition,
+    and commits the merged index as ``index_v{batch_id}``.  The handler
+    is IDEMPOTENT and restart-safe — foreachBatch is at-least-once, so
+    a replayed batch re-reads the same pre-state (versions < batch_id)
+    and overwrites its own outputs (replay test in
+    tests/test_streaming_ops.py).  Time-ordered semantics,
+    oracle-pinned: batch b's result equals remove-all ExactSubstr over
+    batches 0..b restricted to batch b — the SQL replays both prefixes
+    and unions them.
 
     Scale shape per trigger: batch shingling (∝ batch) + one index scan
     (24-byte rows) + one union-sum rewrite of the index — the corpus
@@ -4913,12 +4917,10 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     (SCALE.md span-dedup section, measured flat 1×→100×)."""
     import os
 
-    from smalltsdb_spark.operators.dedup import (
-        merge_shingle_index,
-        remove_duplicated_spans_incremental,
-        shingle_count_index,
-    )
     from smalltsdb_spark.queries import _scratch_dir
+    from smalltsdb_spark.streaming.span_dedup import (
+        make_span_dedup_batch_handler,
+    )
 
     base = _scratch_dir("stream_span_incr_")
     staging, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
@@ -4932,29 +4934,10 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         for f in fs:
             os.utime(os.path.join(root, f), (0.0, 0.0))
 
-    state = {"index_dir": None, "version": 0}
-
-    def handle(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            if state["index_dir"] is None:
-                index = spark.createDataFrame([], "h long, c long")
-            else:
-                index = spark.read.parquet(state["index_dir"])
-            remove_duplicated_spans_incremental(
-                batch_df, index, "doc_id", "text",
-                k=SPAN_K, min_count=SPAN_MIN_COUNT,
-            ).write.mode("append").parquet(out)
-            merged = merge_shingle_index(
-                index, shingle_count_index(batch_df, "doc_id", "text", k=SPAN_K)
-            )
-            state["version"] += 1
-            new_dir = f"{base}/index_v{state['version']}"
-            merged.write.mode("overwrite").parquet(new_dir)
-            state["index_dir"] = new_dir
-        finally:
-            batch_df.unpersist()
-
+    handle = make_span_dedup_batch_handler(
+        spark, f"{base}/index", out, "doc_id", "text",
+        k=SPAN_K, min_count=SPAN_MIN_COUNT,
+    )
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -4965,7 +4948,7 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination(600)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("batch")
 
 
 # ---------------------------------------------------------------------------

@@ -271,3 +271,76 @@ def test_partials_rollup_exposes_open_buckets_and_converges(spark, spool, tmp_pa
         for p, t, n, mn, mx, _avg, s, *_ in _table(spark, tmp_path, "tensecond_final")
     }
     assert finals and all(got[k] == v for k, v in finals.items())
+
+
+def test_span_dedup_stream_handler_is_idempotent_and_restart_safe(
+    spark, tmp_path
+):
+    """foreachBatch is AT-LEAST-ONCE: a crash between sink write and
+    checkpoint commit replays the batch with the same batch_id, and a
+    restarted driver has no in-memory state.  The span-dedup handler
+    (streaming/span_dedup.py) must therefore (a) produce identical
+    output when a batch is replayed — its own half-committed index
+    version is ignored by the versions-strictly-below rule — and (b)
+    resolve its pre-state purely from disk (a SECOND handler instance,
+    as after a driver restart, continues correctly)."""
+    from smalltsdb_spark.streaming.span_dedup import (
+        latest_index_version,
+        make_span_dedup_batch_handler,
+        read_index,
+    )
+
+    span = "a b c d"
+    b0 = spark.createDataFrame(
+        [(0, f"x {span} y"), (2, "u v w z")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, f"p {span} q"), (3, "u v w z")],  # both dup vs batch 0
+        "doc_id long, text string",
+    )
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text", k=4, min_count=2
+    )
+
+    handle(b0, 0)
+    got0 = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in spark.read.parquet(out).drop("batch").collect()
+    }
+    # batch 0 has no duplicates (vs empty index or within itself)
+    assert got0 == {0: (0, f"x {span} y"), 2: (0, "u v w z")}
+
+    # driver "restart": a FRESH handler must resolve state from disk
+    handle2 = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text", k=4, min_count=2
+    )
+    handle2(b1, 1)
+
+    def snapshot():
+        return {
+            r.doc_id: (r.n_removed, r.text_clean)
+            for r in spark.read.parquet(out).drop("batch").collect()
+        }
+
+    after_b1 = snapshot()
+    # batch 1's span and line both duplicate batch 0: stripped
+    assert after_b1[1] == (4, "p q")
+    assert after_b1[3] == (4, "")
+    assert after_b1[0] == (0, f"x {span} y")  # batch 0 output untouched
+
+    # REPLAY batch 1 (same batch_id, post-crash): byte-identical state
+    handle2(b1, 1)
+    assert snapshot() == after_b1
+    assert latest_index_version(index_base) == 1
+    # replayed index equals the scratch index over both batches
+    from smalltsdb_spark.operators.dedup import shingle_count_index
+
+    merged = {r.h: r.c for r in read_index(spark, index_base).collect()}
+    scratch = {
+        r.h: r.c
+        for r in shingle_count_index(
+            b0.unionByName(b1), "doc_id", "text", k=4
+        ).collect()
+    }
+    assert merged == scratch
