@@ -123,6 +123,11 @@ def main() -> None:
             "tsdb_sync_idempotent",   # sync upsert + manifest path
             "text_embed_rp",          # explode/groupBy + long-sum folds
             "text_quality_classifier",  # GD iteration plans
+            # r10: sorts alphabetically BEFORE the classifier rows, so
+            # without its own warm-up it pays the whole classifier-plan
+            # JIT (measured: 32 s cold vs 16 s warm at sf0.1) plus its
+            # window/gate shapes
+            "ext_curate_learned",
         ):
             try:
                 noop_sink(QUERIES[_warm_name](spark, warm_sf))
