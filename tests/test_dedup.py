@@ -744,3 +744,42 @@ def test_remove_duplicated_spans_incremental_equals_scratch(spark, tmp_path):
         ).collect()
     }
     assert merged == scratch
+
+
+def test_contaminated_span_report_maximal_runs(spark):
+    """Leak report: maximal eval-leaked runs per corpus doc; corpus-only
+    duplication is invisible (it is a LEAK report, not dedup); reported
+    lengths equal what decontamination would excise."""
+    from smalltsdb_spark.operators.dedup import (
+        contaminated_span_report,
+        remove_contaminated_spans,
+    )
+
+    leak = "q w e r"
+    corpus = spark.createDataFrame(
+        [(0, f"a {leak} b {leak} c"),  # two disjoint leaks of one span
+         (1, "a a a a a"), (2, "a a a a a")],  # corpus-only dup: invisible
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"x {leak} y")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in contaminated_span_report(
+            corpus, ev, "doc_id", "text", k=4
+        ).collect()
+    )
+    assert got == [(0, 2, 4), (0, 7, 4)]
+    removed = {
+        r.doc_id: r.n_removed
+        for r in remove_contaminated_spans(
+            corpus, ev, "doc_id", "text", k=4
+        ).collect()
+    }
+    from collections import Counter
+
+    reported = Counter()
+    for d, _s, ln in got:
+        reported[d] += ln
+    assert all(reported.get(d, 0) == n for d, n in removed.items())

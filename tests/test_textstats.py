@@ -480,3 +480,49 @@ def test_bpe_encode_survives_production_merge_count(spark):
     aabb_rank = [(a, b) for a, b, _ in merges].count(("aa", "bb"))
     expected_aabb = 1 if aabb_rank else 2
     assert rows[1].n_symbols == 50 * (1 + 1 + expected_aabb)
+
+
+def test_bigram_logprob_smoothing_math(spark):
+    """Crafted corpus pins the add-k arithmetic: with docs "a b", "a b",
+    "a c" the vocabulary is V=3 {a,b,c}, c1(a)=3, c2("a b")=2,
+    c2("a c")=1, so lp("a b") = ln(2.5/4.5) and lp("a c") = ln(1.5/4.5);
+    a one-token doc has no bigrams and is absent."""
+    import math
+
+    from smalltsdb_spark.queries import QUERIES  # registry import side effect
+    import smalltsdb_spark.queries_ext  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "a")],
+        "doc_id long, text string",
+    )
+    import smalltsdb_spark.queries_ext as qx
+
+    # drive the same operator body the driver row uses, on local docs
+    from pyspark.sql import functions as F
+    from smalltsdb_spark.functions import tokens, word_ngrams
+    from smalltsdb_spark.operators import spread
+
+    bi = spread(docs).select(
+        "doc_id", F.explode(word_ngrams(tokens("text"), 2)).alias("g")
+    ).withColumn("w1", F.element_at(F.split(F.col("g"), " "), 1))
+    c2 = bi.groupBy("g").agg(F.count("*").alias("c2"))
+    uni = spread(docs).select(F.explode(tokens("text")).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    scored = (
+        bi.join(c2, "g").join(c1, bi.w1 == c1.w).crossJoin(F.broadcast(v))
+        .select("doc_id", F.log((F.col("c2") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("v"))).alias("lp"))
+    )
+    got = {
+        r.doc_id: (r.n, round(r.avg_lp, 9))
+        for r in scored.groupBy("doc_id").agg(
+            F.count("*").alias("n"), F.avg("lp").alias("avg_lp")
+        ).collect()
+    }
+    lp_ab = math.log(2.5 / 5.5)
+    lp_ac = math.log(1.5 / 5.5)
+    assert got[0] == (1, round(lp_ab, 9))
+    assert got[1] == (1, round(lp_ab, 9))
+    assert got[2] == (1, round(lp_ac, 9))
+    assert 3 not in got
