@@ -725,11 +725,16 @@ def remove_duplicated_spans(
     space-joined in original order (empty when everything was
     duplicated).
 
-    Scale shape: shingle HASHES (``md5_long``, 16-byte keys — the text
-    never shuffles) through one count groupBy; one join-back of
-    duplicated hashes; covered positions explode k rows per duplicated
-    shingle (O(k · dup_positions), corpus-bounded); one anti-join and
-    one reassembly groupBy(doc).  Everything JVM-side.  60-bit hashing
+    Scale shape: shingle HASHES (``md5_long``, 16-byte keys — k-token
+    shingle TEXT never shuffles, a k× saving on the count side) through
+    one count groupBy; one join-back of duplicated hashes; covered
+    positions explode k rows per duplicated shingle
+    (O(k · dup_positions), corpus-bounded); one anti-join and one
+    reassembly groupBy(doc) — the reassembly is the operator's one
+    inherent corpus-text movement (each token crosses the wire ONCE to
+    rebuild its document; the output IS the cleaned text), near-linear
+    when shuffle partitions scale with the data (measured in SCALE.md:
+    10×→100× data = 12.7× warm wall).  Everything JVM-side.  60-bit hashing
     makes two distinct shingles collide with probability ~n²/2⁶¹ —
     negligible below ~10⁹ distinct shingles; above that widen to the
     full md5 (two longs).
@@ -772,8 +777,9 @@ def remove_duplicated_spans(
 def _token_shingles(df: DataFrame, id_col: str, text_col: str, k: int):
     """(base, shingles): base = (doc, _l tokens array, _n) spread across
     the cluster; shingles = (doc, p, h) with ``p`` the 1-based start and
-    ``h`` the md5_long of the k-token shingle — only 16-byte hashes ever
-    shuffle, never the text."""
+    ``h`` the md5_long of the k-token shingle — the k-token shingle text
+    itself never shuffles, only its 16-byte hash (the count/join side's
+    k× traffic saving; document reassembly later moves each token once)."""
     toks = F.split(F.col(text_col), F.lit(" "), -1)
     base = spread(df).select(
         F.col(id_col).alias("doc"), toks.alias("_l"), F.size(toks).alias("_n")
