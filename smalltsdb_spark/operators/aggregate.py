@@ -237,6 +237,7 @@ def histogram_quantile_bounds(
     quantiles: list[float] = QUANTILES,
     bin_width: float = 50.0,
     clamp_bin: int = 19,
+    fine_seconds: int | None = None,
 ) -> DataFrame:
     """The cascade's quantile companion (VERDICT r9 item 5): coarsen a
     :func:`value_histogram` relation to ``seconds`` buckets by summing
@@ -260,7 +261,21 @@ def histogram_quantile_bounds(
     window cumsum over ≤ clamp_bin+1 rows per group, one final groupBy —
     input is the HISTOGRAM relation (fine_buckets × bins rows), never
     raw data; the cascade's compression factor carries over.
+
+    PRECONDITION (ADVICE r10, same contract as :func:`reaggregate`):
+    ``seconds`` must be a MULTIPLE of the fine histogram's bucket width
+    — a fine bucket straddling a coarse boundary would merge wholly
+    into its floor bucket, silently producing plausible but wrong
+    counts.  Pass ``fine_seconds`` where the fine grain is known (the
+    cascade driver row does) and the divisibility is asserted; without
+    it the caller owns the invariant.
     """
+    if fine_seconds is not None and seconds % fine_seconds != 0:
+        raise ValueError(
+            f"coarse period {seconds}s is not a multiple of the fine "
+            f"histogram bucket width {fine_seconds}s — a straddling fine "
+            "bucket would merge into the wrong coarse bucket"
+        )
     b = (F.floor(F.col("timestamp") / F.lit(seconds)) * F.lit(seconds)).cast(
         "double"
     )

@@ -976,6 +976,7 @@ def remove_duplicated_spans_incremental(
     text_col: str,
     k: int = 50,
     min_count: int = 2,
+    broadcast_increment: bool = True,
 ) -> DataFrame:
     """ExactSubstr span dedup for a daily increment against a persisted
     corpus shingle index (the production shape, mirroring
@@ -989,20 +990,42 @@ def remove_duplicated_spans_incremental(
     retro-cleaned — same one-sided contract as the minhash incremental;
     the batch pipeline re-cleans at rewrite time.
 
-    Scale shape: the increment is shingled (cost ∝ increment); its
-    per-hash counts join the index on ``h`` — the increment side is
-    days-vs-corpus small, so AQE broadcasts it and the index is SCANNED
-    once (16-byte rows, no corpus text ever re-read, no corpus
-    shuffle).  Persist the updated index via :func:`merge_shingle_index`
-    on the increment's own :func:`shingle_count_index`."""
+    Scale shape (ADVICE r10): the increment is shingled (cost ∝
+    increment); the duplicated-hash set splits into two branches so the
+    SMALL side of every join is the BUILD side — Spark can only
+    broadcast the right side of a left-outer join, so the previous
+    ``inc LEFT OUTER index`` form forced a SortMergeJoin that
+    Exchange-shuffled the persisted index on ``h`` every increment.
+    Now: (a) hashes already duplicated WITHIN the increment filter
+    straight off ``inc``; (b) hashes duplicated only corpus-wide come
+    from ``index ⋈ inc`` INNER — an inner join's build side can be
+    EITHER input, and with ``broadcast_increment=True`` (the default:
+    daily batches and streaming micro-batches are days-vs-corpus small)
+    the increment's distinct-shingle counts are hint-broadcast, so the
+    join plans STATICALLY as a BroadcastHashJoin and the index is
+    SCANNED once — 16-byte rows, no corpus text ever re-read, no index
+    Exchange even as a materialized AQE stage (an AQE-elected runtime
+    broadcast still pays the index's shuffle WRITE before converting
+    the join; the static plan never does).  Plan-pinned in
+    tests/test_plans.py.  For an increment too large to broadcast, pass
+    ``broadcast_increment=False``: the join degrades to a hash-key
+    shuffle — store the index bucketed on ``h`` to make that shuffle
+    one-sided.  Persist the updated index via
+    :func:`merge_shingle_index` on the increment's own
+    :func:`shingle_count_index`."""
     base, sh = _token_shingles(new_docs, id_col, text_col, k)
     inc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_ic"))
+    inc_build = F.broadcast(inc) if broadcast_increment else inc
     dup = (
-        inc.join(index.select("h", F.col("c").alias("_xc")), "h", "left")
-        .filter(
-            F.col("_ic") + F.coalesce(F.col("_xc"), F.lit(0)) >= min_count
-        )
+        inc.filter(F.col("_ic") >= min_count)
         .select("h")
+        .unionByName(
+            index.select("h", F.col("c").alias("_xc"))
+            .join(inc_build, "h")
+            .filter(F.col("_ic") + F.col("_xc") >= min_count)
+            .select("h")
+        )
+        .distinct()
     )
     occ = sh.join(dup, "h").select("doc", "p")
     return _strip_covered_spans(base, occ, k, id_col)

@@ -4906,7 +4906,7 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     is IDEMPOTENT and restart-safe — foreachBatch is at-least-once, so
     a replayed batch re-reads the same pre-state (versions < batch_id)
     and overwrites its own outputs (replay test in
-    tests/test_streaming_ops.py).  Time-ordered semantics,
+    tests/test_streaming.py).  Time-ordered semantics,
     oracle-pinned: batch b's result equals remove-all ExactSubstr over
     batches 0..b restricted to batch b — the SQL replays both prefixes
     and unions them.
@@ -5039,7 +5039,7 @@ def tsdb_rollup_cascade_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
     inc = events_as_incoming(spark, sf_dir)
     fine = value_histogram(inc, 60)
-    bounds = histogram_quantile_bounds(fine, 3600, QUANTILES)
+    bounds = histogram_quantile_bounds(fine, 3600, QUANTILES, fine_seconds=60)
     exact = aggregate(inc, 3600).select(
         "path", "timestamp", "p50", "p90", "p99"
     )

@@ -335,6 +335,32 @@ def test_reaggregate_rejects_non_divisible_coarse_period(spark):
     assert reaggregate(aggregate(inc, 10), 3600, fine_seconds=10).count() == 1
 
 
+def test_histogram_bounds_reject_non_divisible_coarse_period(spark):
+    """ADVICE r10: histogram_quantile_bounds coarsens with the same
+    floor(timestamp/seconds) arithmetic as reaggregate, so it needs the
+    same divisibility guard — a fine histogram bucket straddling a
+    coarse boundary would merge its counts wholly into the floor
+    bucket, producing plausible but wrong quantile bounds."""
+    from smalltsdb_spark.operators.aggregate import (
+        histogram_quantile_bounds,
+        value_histogram,
+    )
+
+    inc = spark.createDataFrame(
+        [("p", 1.0, 1.0)], "path string, timestamp double, value double"
+    )
+    hist = value_histogram(inc, 7)
+    with pytest.raises(ValueError, match="not a multiple"):
+        histogram_quantile_bounds(hist, 3600, fine_seconds=7)
+    # divisible passes (and still works without fine_seconds — caller-owned)
+    assert (
+        histogram_quantile_bounds(
+            value_histogram(inc, 60), 3600, fine_seconds=60
+        ).count()
+        == 1
+    )
+
+
 def test_reaggregate_chain_is_transitive(spark):
     """The cascade composes: 10s -> 60s -> 3600s -> 86400s through three
     reaggregate hops equals aggregating raw directly at the day period —

@@ -534,6 +534,48 @@ def test_span_dedup_shuffles_hashes_not_text(spark, row):
     )
 
 
+def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
+    """ADVICE r10: the persisted (h, c) index must never be the SHUFFLED
+    side of the increment join.  The old ``inc LEFT OUTER index`` form
+    could only ever broadcast the INDEX (Spark broadcasts the right side
+    of a left-outer join), so any index above the broadcast threshold —
+    i.e. every real corpus — forced a SortMergeJoin that Exchange-
+    shuffled the whole index on ``h`` every increment.  Pin the fixed
+    shape STATICALLY (an AQE runtime broadcast election would still
+    materialize the index's shuffle write first): the index scan's own
+    ``h`` attribute must appear in NO Exchange hashpartitioning, and
+    the plan must carry a BroadcastHashJoin."""
+    import re
+
+    from smalltsdb_spark.operators.dedup import (
+        remove_duplicated_spans_incremental,
+    )
+
+    index_path = str(tmp_path / "idx")
+    spark.range(200_000).select(
+        F.col("id").alias("h"), F.lit(5).cast("long").alias("c")
+    ).write.parquet(index_path)
+    index = spark.read.parquet(index_path)
+    batch = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    out = remove_duplicated_spans_incremental(
+        batch, index, "doc_id", "text", k=4
+    )
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the index parquet scan's h attribute id is never a shuffle key
+    scan = re.search(
+        r"Scan parquet[^\n]*\n[^\n]*Output[^\n]*\[h#(\d+)L", plan
+    )
+    assert scan is not None, plan
+    assert f"hashpartitioning(h#{scan.group(1)}L" not in plan
+    # ... and correctness is unchanged by the hint: the shared within-
+    # batch span ('a b c d' ∪ its extensions) strips from both docs
+    got = {r.doc_id: r.text_clean for r in out.collect()}
+    assert got == {1: "e", 2: "f"}
+
+
 def test_curate_learned_adds_only_the_classifier_exchanges(spark):
     """ext_curate_learned (VERDICT r9 item 7): the learned gate must not
     add corpus exchanges beyond ext_curate's — the returned plan's only

@@ -484,9 +484,11 @@ def test_bpe_encode_survives_production_merge_count(spark):
 
 def test_bigram_logprob_smoothing_math(spark):
     """Crafted corpus pins the add-k arithmetic: with docs "a b", "a b",
-    "a c" the vocabulary is V=3 {a,b,c}, c1(a)=3, c2("a b")=2,
-    c2("a c")=1, so lp("a b") = ln(2.5/4.5) and lp("a c") = ln(1.5/4.5);
-    a one-token doc has no bigrams and is absent."""
+    "a c", "a" the vocabulary is V=3 {a,b,c} and c1(a)=4 (the one-token
+    doc's "a" counts toward the unigram total), c2("a b")=2,
+    c2("a c")=1, so with k=0.5 the denominators are c1(a)+0.5·V=5.5:
+    lp("a b") = ln(2.5/5.5) and lp("a c") = ln(1.5/5.5); the one-token
+    doc itself has no bigrams and is absent from the result."""
     import math
 
     from smalltsdb_spark.queries import QUERIES  # registry import side effect
