@@ -369,6 +369,7 @@ def semantic_near_dup_pairs(
     threshold: float = 0.4,
     seed: int = 42,
     train_sample: int = 100_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster-pruned embedding near-dups.
 
@@ -396,8 +397,12 @@ def semantic_near_dup_pairs(
     tie-to-lowest-index assignment, scores rounded to 6 before the
     threshold — reproduced bit-for-bit by the generated-constant SQL
     oracle (queries_ext._semantic_dedup_oracle).
+
+    ``centroids`` injects a pre-trained codebook (frozen-centroid
+    reruns; the incremental contract's differential test) instead of
+    training here.
     """
-    C = ivf_train(
+    C = centroids if centroids is not None else ivf_train(
         corpus, id_col, vec_col, n_centroids=n_clusters, seed=seed,
         train_sample=train_sample,
     )
@@ -423,6 +428,95 @@ def semantic_near_dup_pairs(
         )
 
     return assigned.groupBy("_list").applyInPandas(
+        score_cluster, "cluster int, id_a long, id_b long, sim double"
+    )
+
+
+def semantic_near_dup_pairs_incremental(
+    new_vecs: DataFrame,
+    corpus_index: DataFrame,
+    C: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic near-dup pairs INVOLVING a new batch against a persisted
+    SemDeDup index (VERDICT r10 item 3 — the missing incremental form):
+    the daily-ingest workflow "which incoming documents semantically
+    duplicate each other or anything already ingested?", without
+    re-embedding, re-clustering, or re-scoring the corpus.
+
+    ``corpus_index`` is a previously materialized :func:`ivf_assign`
+    relation over the corpus (``(neighbor_id, _v, _list, _n)`` — persist
+    it partitioned by ``_list``, the same layout the IVF probe prunes
+    on) and ``C`` the frozen centroids it was assigned with
+    (:func:`ivf_train` on the corpus).  Ids must be disjoint from the
+    batch's (the :func:`minhash_lsh_pairs_incremental` contract).
+
+    The batch assigns to the FROZEN centroids; only clusters the batch
+    touches are read (a broadcast semi-join on the ≤ n_clusters touched
+    list — at 100 TB with the index partitioned by ``_list`` this is a
+    partition prune); each touched cluster scores ONE batch×cluster
+    GEMM, so per-task memory is n_new_in_cluster × cluster_size doubles
+    — increment × cluster occupancy, never corpus².  Pairs are emitted
+    where at least one side is new: new-vs-corpus once per (i, j),
+    new-vs-new kept in the ``id_i < id_j`` orientation.
+
+    Contract (the oracle identity the driver row checks):
+    incremental(batch | index(corpus), C) ≡
+    :func:`semantic_near_dup_pairs` over corpus ∪ batch with
+    ``centroids=C`` restricted to pairs touching the batch.  Corpus
+    pairs that only now became near-dups are NOT retro-reported — the
+    one-sided incremental contract shared by every dedup family here.
+    Same determinism as the full form: argmin tie-to-lowest-index
+    assignment, round-6 scores."""
+    assigned_new = ivf_assign(new_vecs, id_col, vec_col, C).withColumn(
+        "_new", F.lit(True)
+    )
+    touched = assigned_new.select("_list").distinct()
+    corpus_touched = corpus_index.join(
+        F.broadcast(touched), "_list"
+    ).withColumn("_new", F.lit(False))
+    both = assigned_new.unionByName(corpus_touched)
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster": np.array([], dtype=np.int32),
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+        new = pdf["_new"].to_numpy(dtype=bool)
+        ni = np.nonzero(new)[0]
+        if len(ni) == 0:
+            return empty
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        V = _as_matrix(pdf["_v"])
+        n = pdf["_n"].to_numpy(dtype=np.float64)
+        idn = ids[ni]
+        S = _round6((V[ni] @ V.T) / np.outer(n[ni], n))
+        mask = (S >= threshold) & (idn[:, None] != ids[None, :])
+        # new-vs-new pairs appear from both rows: keep one orientation
+        mask &= (~new[None, :]) | (idn[:, None] < ids[None, :])
+        ia, ib = np.nonzero(mask)
+        if not len(ia):
+            return empty
+        a, b = idn[ia], ids[ib]
+        return pd.DataFrame(
+            {
+                "cluster": pdf["_list"]
+                .iloc[:1]
+                .repeat(len(ia))
+                .to_numpy(dtype=np.int32),
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "sim": S[ia, ib],
+            }
+        )
+
+    return both.groupBy("_list").applyInPandas(
         score_cluster, "cluster int, id_a long, id_b long, sim double"
     )
 

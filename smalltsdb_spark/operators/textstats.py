@@ -711,6 +711,126 @@ def bpe_encode(
     )
 
 
+def _bpe_merge_word(word: str, ranks: dict) -> list[str]:
+    """One word through the trained merge table: code-point symbols,
+    lowest-rank pair merged first until none applies.  Lowest-rank-first
+    equals full rank-order greedy because a merge's output symbol can
+    only participate in LATER merges (training can only learn a pair
+    after both sides exist) — the loop every production BPE tokenizer
+    uses.  Shared by the counting kernel (:func:`_bpe_encode_arrow`) and
+    the token-materializing kernel (:func:`bpe_encode_tokens`).
+
+    Inverse-by-construction: every merge concatenates adjacent symbols,
+    so ``''.join(result) == word`` for ANY word and ANY merge table —
+    the invariant :func:`bpe_decode` relies on (property-tested over
+    non-BMP unicode in tests/test_textstats.py)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = best_i = None
+        prev = sym[0]
+        for i in range(len(sym) - 1):
+            nxt = sym[i + 1]
+            r = ranks.get((prev, nxt))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+            prev = nxt
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_tokens(
+    df: DataFrame, id_col: str, text_col: str, merges: list
+) -> DataFrame:
+    """The token-MATERIALIZING form of :func:`bpe_encode` (VERDICT r10
+    item 4): returns ``(id_col, n_words, toks array<array<string>>)`` —
+    one symbol array per whitespace word, the actual token stream a
+    model with this vocabulary would consume (``bpe_encode`` returns
+    only the counts).  Same Arrow kernel discipline as the counting
+    path: the merge→rank dict broadcasts once per executor, per-worker
+    LRU of the corpus's Zipf head (cached as tuples), shuffle-free
+    projection, constant plan size in the merge count.
+
+    Paired with :func:`bpe_decode`, certifies the tokenizer LOSSLESS:
+    decode(encode_tokens(text)) equals the whitespace-normalized text
+    for any merge table, because merges only concatenate (see
+    :func:`_bpe_merge_word`) — the property a packing pipeline needs
+    before it may store tokens instead of text."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    spark = df.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+    )
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField(
+                "toks",
+                T.ArrayType(T.ArrayType(T.StringType(), False), False),
+                False,
+            ),
+        ]
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        ranks = ranks_bc.value
+        cache: dict[str, tuple] = {}
+
+        def encoded(word: str) -> tuple:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            sym = tuple(_bpe_merge_word(word, ranks))
+            if len(cache) < 1_000_000:  # bound worker memory on huge vocab
+                cache[word] = sym
+            return sym
+
+        for pdf in batches:
+            n_words, toks = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in (text or "").split(" ") if w]
+                n_words.append(len(ws))
+                toks.append([list(encoded(w)) for w in ws])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "toks": toks,
+                }
+            )
+
+    return (
+        spread(df)
+        .select(id_col, text_col)
+        .mapInPandas(encode_batches, out_schema)
+    )
+
+
+def bpe_decode(
+    df: DataFrame, id_col: str, toks_col: str = "toks", out_col: str = "text"
+) -> DataFrame:
+    """Invert :func:`bpe_encode_tokens` — pure JVM column expressions, no
+    Python: each word's symbols concatenate (BPE merges are
+    concatenations, there is no end-of-word marker to strip — divergence
+    from Sennrich documented at :func:`bpe_train`), words join with a
+    single space.  Every other column rides through, so
+    ``decode(encode_tokens(df))`` compares directly against the
+    whitespace-normalized source text (the ``text_bpe_roundtrip`` driver
+    row's oracle)."""
+    decoded = F.array_join(
+        F.transform(F.col(toks_col), lambda w: F.array_join(w, "")), " "
+    )
+    return df.select(
+        *[c for c in df.columns if c != toks_col], decoded.alias(out_col)
+    )
+
+
 def _bpe_encode_arrow(
     df: DataFrame, id_col: str, text_col: str, merges: list
 ) -> DataFrame:
@@ -743,22 +863,7 @@ def _bpe_encode_arrow(
             hit = cache.get(word)
             if hit is not None:
                 return hit
-            sym = list(word)
-            # lowest-rank pair first; new pairs created by a merge always
-            # rank LATER than it, so this equals full rank-order greedy
-            while len(sym) > 1:
-                best_rank = best_i = None
-                prev = sym[0]
-                for i in range(len(sym) - 1):
-                    nxt = sym[i + 1]
-                    r = ranks.get((prev, nxt))
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best_rank, best_i = r, i
-                    prev = nxt
-                if best_i is None:
-                    break
-                sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
-            n = len(sym)
+            n = len(_bpe_merge_word(word, ranks))
             if len(cache) < 1_000_000:  # bound worker memory on huge vocab
                 cache[word] = n
             return n

@@ -736,12 +736,15 @@ _SEMANTIC_ORACLE_CACHE: dict[str, str] = {}
 SEMANTIC_CLUSTERS, SEMANTIC_THRESHOLD = 16, 0.4
 
 
-def _semantic_dedup_oracle() -> str:
-    """Generated-constant oracle for SemDeDup: identical ``_kmeans``
-    centroids (id-ordered sample — the sim_ivf_ann precedent) rendered
-    as literals; nearest-centroid assignment with the same
-    ``ORDER BY dist, j`` tie-break; then a plain within-cluster
-    self-join with ``list_cosine_similarity`` rounded to 6."""
+def _semantic_oracle_sql(variant: str, train_where: str, pair_pred: str) -> str:
+    """Shared generated-constant oracle builder for the SemDeDup family:
+    identical ``_kmeans`` centroids (id-ordered sample over
+    ``train_where``'s rows — the sim_ivf_ann precedent) rendered as
+    literals; nearest-centroid assignment with the same ``ORDER BY
+    dist, j`` tie-break; then a plain within-cluster self-join with
+    ``list_cosine_similarity`` rounded to 6, filtered by
+    ``pair_pred`` (TRUE for the full row; the batch-touching predicate
+    for the incremental row)."""
     import os
 
     import duckdb
@@ -754,8 +757,9 @@ def _semantic_dedup_oracle() -> str:
         or os.environ.get("SMALLTSDB_PARITY_SF")
         or "/root/testdata/sf0.01"
     )
-    if sf_dir in _SEMANTIC_ORACLE_CACHE:
-        return _SEMANTIC_ORACLE_CACHE[sf_dir]
+    key = f"{variant}:{sf_dir}"
+    if key in _SEMANTIC_ORACLE_CACHE:
+        return _SEMANTIC_ORACLE_CACHE[key]
 
     con = duckdb.connect()
     X = np.array(
@@ -764,6 +768,7 @@ def _semantic_dedup_oracle() -> str:
             for r in con.execute(
                 f"SELECT CAST(embedding AS DOUBLE[]) "
                 f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                f"{train_where} "
                 f"ORDER BY vec_id LIMIT 100000"
             ).fetchall()
         ]
@@ -806,10 +811,15 @@ def _semantic_dedup_oracle() -> str:
         JOIN assigned b ON a.j = b.j AND a.vec_id < b.vec_id
     )
     SELECT cluster, id_a, id_b, sim FROM pairs
-    WHERE sim >= {SEMANTIC_THRESHOLD}
+    WHERE sim >= {SEMANTIC_THRESHOLD} AND ({pair_pred})
     """
-    _SEMANTIC_ORACLE_CACHE[sf_dir] = sql
+    _SEMANTIC_ORACLE_CACHE[key] = sql
     return sql
+
+
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup full-corpus oracle — see :func:`_semantic_oracle_sql`."""
+    return _semantic_oracle_sql("full", "", "TRUE")
 
 
 @query("dedup_semantic", _semantic_dedup_oracle)
@@ -827,6 +837,47 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         n_clusters=SEMANTIC_CLUSTERS, threshold=SEMANTIC_THRESHOLD, seed=42,
+    )
+
+
+def _semantic_incremental_oracle() -> str:
+    """Incremental SemDeDup oracle: centroids train on the CORPUS half
+    only (vec_id % 5 <> 0 — frozen, exactly what the persisted index was
+    assigned with), everything assigns to them, and the pair relation
+    filters to pairs touching the batch — incremental must equal
+    frozen-centroid recompute-from-scratch restricted to the batch's
+    pairs (the dedup_minhash_incremental precedent)."""
+    return _semantic_oracle_sql(
+        "incr",
+        "WHERE vec_id % 5 <> 0",
+        "id_a % 5 = 0 OR id_b % 5 = 0",
+    )
+
+
+@query("dedup_semantic_incremental", _semantic_incremental_oracle)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (VERDICT r10 item 3 — the last dedup family
+    to gain a batch-vs-corpus shape): embeddings with vec_id % 5 == 0
+    play the incoming batch, the rest the already-ingested corpus whose
+    ivf_assign relation is the PERSISTED index (materialize it
+    partitioned by ``_list`` at scale — the IVF layout).  The batch
+    assigns to the FROZEN corpus centroids; only touched clusters are
+    read (broadcast semi-join on the ≤ n_clusters touched list — a
+    partition prune on the materialized layout); per-task work is
+    batch×cluster, never corpus².  Returns every semantic near-dup pair
+    involving a batch vector; corpus-only pairs are the full row's job.
+    Oracle: frozen-centroid SemDeDup over everything, filtered to
+    batch-touching pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    C = similarity.ivf_train(
+        corpus, "vec_id", "embedding", n_centroids=SEMANTIC_CLUSTERS, seed=42
+    )
+    corpus_index = similarity.ivf_assign(corpus, "vec_id", "embedding", C)
+    return similarity.semantic_near_dup_pairs_incremental(
+        batch, corpus_index, C, "vec_id", "embedding",
+        threshold=SEMANTIC_THRESHOLD,
     )
 
 
@@ -2842,6 +2893,52 @@ def text_bpe_encode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_symbols").alias("total_symbols"),
         )
     )
+
+
+#: fixed merge table for the round-trip row — 24 > BPE_FOLD_MAX_MERGES
+#: entries, so the row exercises the PRODUCTION Arrow kernel; the
+#: lossless contract holds for ANY table (merges only concatenate), so
+#: a deterministic constant keeps the row's cost at pure encode+decode
+BPE_RT_MERGES: list[tuple[str, str, int]] = [
+    (a, b, 0)
+    for a, b in [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+        ("o", "n"), ("r", "e"), ("an", "d"), ("e", "n"), ("o", "r"),
+        ("e", "s"), ("t", "i"), ("a", "t"), ("s", "t"), ("o", "u"),
+        ("a", "r"), ("in", "g"), ("l", "e"), ("i", "s"), ("i", "t"),
+        ("a", "l"), ("c", "h"), ("o", "f"), ("e", "d"),
+    ]
+]
+
+
+@query(
+    "text_bpe_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_words,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       x -> x <> ''), ' ') AS text_rt
+    FROM documents
+    """,
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS certified corpus-wide (VERDICT r10 item
+    4): every document encodes to its real BPE token stream
+    (textstats.bpe_encode_tokens — the broadcast-ranks Arrow kernel, 24
+    merges > the fold ceiling so the production path runs) and decodes
+    back JVM-side (textstats.bpe_decode); the oracle is the
+    whitespace-normalized source text itself (the dedup_lines_c4
+    cleaned-text-compare style), so ANY dropped/garbled/reordered
+    symbol anywhere in the corpus breaks the hash.  This is the
+    certificate a packing pipeline needs before storing tokens instead
+    of text.  Losslessness is by construction — merges only concatenate
+    adjacent symbols (textstats._bpe_merge_word) — which is exactly why
+    it is certifiable against a tokenizer-free oracle; non-BMP unicode
+    is property-tested in tests/test_textstats.py."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = textstats.bpe_encode_tokens(docs, "doc_id", "text", BPE_RT_MERGES)
+    return textstats.bpe_decode(enc, "doc_id", out_col="text_rt")
 
 
 @query("text_bpe_train", _bpe_oracle)

@@ -504,3 +504,60 @@ def test_pca_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         similarity.pca_fit(df, "vec_id", "embedding")
+
+
+def test_semantic_incremental_toy_semantics(spark, emb):
+    """Incremental SemDeDup one-sided contract: pairs involving the new
+    batch are reported exactly once (new-vs-corpus and new-vs-new), and
+    corpus-only pairs — even genuine near-dups — are NOT re-reported
+    (the rewrite pipeline's job, same contract as the minhash
+    incremental)."""
+    batch = spark.createDataFrame(
+        [
+            (10, [0.95, 0.05, 0.0, 0.0]),   # near corpus v1/v2
+            (11, [0.94, 0.06, 0.0, 0.0]),   # near 10 (new-vs-new)
+            (12, [0.0, 1.0, 0.0, 0.0]),     # near nothing at 0.9
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    C = similarity.ivf_train(emb, "vec_id", "embedding", n_centroids=2, seed=1)
+    index = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_near_dup_pairs_incremental(
+            batch, index, C, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert (1, 10) in got and (2, 10) in got      # new-vs-corpus
+    assert (10, 11) in got                        # new-vs-new, once
+    assert (1, 2) not in got                      # corpus-only: not ours
+    assert not any(12 in p for p in got)
+
+
+def test_semantic_incremental_equals_frozen_full_restricted(spark):
+    """The oracle identity the dedup_semantic_incremental driver row
+    checks, pinned differentially in-library: incremental(batch |
+    ivf_assign(corpus), C) == semantic_near_dup_pairs(corpus ∪ batch,
+    centroids=C) restricted to pairs touching the batch."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    C = similarity.ivf_train(
+        corpus, "vec_id", "embedding", n_centroids=8, seed=7
+    )
+    index = similarity.ivf_assign(corpus, "vec_id", "embedding", C)
+    inc = {
+        (r.cluster, r.id_a, r.id_b, r.sim)
+        for r in similarity.semantic_near_dup_pairs_incremental(
+            batch, index, C, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r.cluster, r.id_a, r.id_b, r.sim)
+        for r in similarity.semantic_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, centroids=C
+        ).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert inc == full
+    assert inc, "fixture yields no batch-touching pairs — weak test"

@@ -528,3 +528,71 @@ def test_bigram_logprob_smoothing_math(spark):
     assert got[1] == (1, round(lp_ab, 9))
     assert got[2] == (1, round(lp_ac, 9))
     assert 3 not in got
+
+
+def test_bpe_merge_word_roundtrips_any_unicode():
+    """Losslessness by construction (VERDICT r10 item 4): merges only
+    concatenate adjacent symbols, so ''.join(_bpe_merge_word(w, ranks))
+    == w for ANY word and ANY merge table — property-tested over
+    unrestricted unicode including non-BMP (emoji, astral CJK,
+    surrogate-adjacent combining marks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smalltsdb_spark.operators.textstats import _bpe_merge_word
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(
+        [("t", "h", 0), ("th", "e", 0), ("\U0001f600", "\U0001f601", 0),
+         ("a", "́", 0), ("一", "二", 0)]
+    )}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def check(word):
+        sym = _bpe_merge_word(word, ranks)
+        assert "".join(sym) == word
+
+    check()
+
+
+def test_bpe_encode_tokens_decode_roundtrip_non_bmp(spark):
+    """The Spark round trip over crafted non-BMP documents: encode to the
+    real token stream (Arrow kernel), decode JVM-side, compare against
+    the whitespace-normalized source — the text_bpe_roundtrip driver
+    row's contract at unit scale, plus the token stream itself is the
+    merged form."""
+    from pyspark.sql import functions as F
+
+    from smalltsdb_spark.operators.textstats import (
+        bpe_decode,
+        bpe_encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the \U0001f600\U0001f601 cat"),
+            (1, "café  ápropos 一二三"),
+            (2, ""),
+            (3, "  leading and   trailing  "),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h", 9), ("th", "e", 9), ("\U0001f600", "\U0001f601", 9),
+              ("a", "́", 9), ("一", "二", 9)]
+    enc = bpe_encode_tokens(docs, "doc_id", "text", merges)
+    rows = {r.doc_id: r for r in enc.collect()}
+    # the merge actually fired: 'the' is one symbol, the emoji pair fused
+    assert rows[0].toks[0] == ["the"]
+    assert rows[0].toks[1] == ["\U0001f600\U0001f601"]
+    assert rows[1].toks[2] == ["一二", "三"]
+    got = {
+        r.doc_id: r.text_rt
+        for r in bpe_decode(enc, "doc_id", out_col="text_rt").collect()
+    }
+    want = {
+        r.doc_id: " ".join(w for w in r.text.split(" ") if w)
+        for r in docs.collect()
+    }
+    assert got == want
+    assert rows[2].n_words == 0 and got[2] == ""
+    assert got[3] == "leading and trailing"
