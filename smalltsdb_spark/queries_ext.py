@@ -4513,6 +4513,128 @@ def ext_curate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_curate_lm",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS g,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+        FROM toks
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM bi GROUP BY g),
+    c1 AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(w) AS w FROM toks) GROUP BY w
+    ),
+    v AS (SELECT count(*) AS v FROM c1),
+    lm AS (
+        SELECT bi.doc_id, bi.source,
+               round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6)
+                   AS avg_logprob
+        FROM bi JOIN c2 USING (g) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v
+        GROUP BY bi.doc_id, bi.source
+    ),
+    r AS (
+        SELECT doc_id, avg_logprob,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY avg_logprob, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM lm
+    ),
+    keep AS (
+        SELECT doc_id, avg_logprob
+        FROM r WHERE rk > CAST((cnt - (cnt % 4)) / 4 AS BIGINT)
+    ),
+    d AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS dup_rank
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, keep.avg_logprob
+    FROM d JOIN keep USING (doc_id)
+    WHERE d.dup_rank = 1
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cc'
+    """,
+)
+def ext_curate_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-gated curation pipeline (VERDICT r10 item 6 — the THIRD
+    gate family through the same swappable composition): corpus-trained
+    bigram LM quality score (text_bigram_logprob's add-k arithmetic) →
+    drop each source's lowest-scoring quartile (rank-based membership,
+    the ext_quality_filter reproducibility discipline — a float
+    threshold could flip borderline docs on the interpolation's last
+    bit) → exact dedup keeping the canonical copy → deterministic ~80%
+    hash sample.  Unlike the learned gate, the LM score is fully
+    SQL-replayable, so this row carries a REAL end-to-end oracle — no
+    generated constants anywhere.
+
+    Shape: two map-side-combined count groupBys (bigram, unigram) train
+    the LM in-stream; the corpus bigram stream joins the two vocab-sized
+    count relations (AQE broadcasts when measured-small, df-cut at
+    100 TB — the text_bigram_logprob cost model); the per-source rank
+    and the content-hash dedup window are the only doc-sized shuffles;
+    the keep relation joins base doc-id-sized (AQE broadcast).  Docs
+    with <2 tokens have no bigrams, hence no LM score, and are dropped
+    by the gate in both engines.  Plan-pinned in tests/test_plans.py
+    (no Python nodes, pruned scans, no forced broadcasts)."""
+    docs = _t(spark, sf_dir, "documents")
+    sdocs = spread(docs)
+    bi = sdocs.select(
+        "doc_id", "source", F.explode(word_ngrams(tokens("text"), 2)).alias("g")
+    ).withColumn("w1", F.element_at(F.split(F.col("g"), " "), 1))
+    c2 = bi.groupBy("g").agg(F.count("*").alias("c2"))
+    uni = sdocs.select(F.explode(tokens("text")).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    lm = (
+        bi.join(c2, "g")
+        .join(c1, bi.w1 == c1.w)
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + F.lit(0.5))
+                        / (F.col("c1") + F.lit(0.5) * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+    wq = Window.partitionBy("source").orderBy("avg_logprob", "doc_id")
+    wc = Window.partitionBy("source")
+    keep = (
+        lm.select(
+            "doc_id",
+            "avg_logprob",
+            F.row_number().over(wq).alias("rk"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        .filter(F.col("rk") > ((F.col("cnt") - F.col("cnt") % 4) / 4).cast("long"))
+        .select("doc_id", "avg_logprob")
+    )
+    wdup = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    base = spread(docs).select(
+        "doc_id", "lang", F.row_number().over(wdup).alias("dup_rank")
+    )
+    return (
+        base.join(keep, "doc_id")
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "cc")
+        )
+        .select("doc_id", "lang", "avg_logprob")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text -> embedding bridge (r8 — operators/embedding.py)
 # ---------------------------------------------------------------------------
@@ -5153,6 +5275,63 @@ def tsdb_rollup_cascade_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         bad = bad | (p < lo - F.lit(1e-9)) | (
             hi.isNotNull() & (p > hi + F.lit(1e-9))
         )
+    return j.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("buckets"),
+    )
+
+
+@query(
+    "tsdb_get_metric_bounds",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS buckets
+    FROM (
+        SELECT floor(epoch(ts) / 3600) * 3600 AS b
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    """,
+)
+def tsdb_get_metric_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade quantile bounds served through the PUBLIC API
+    (VERDICT r10 item 5; tsdb.get_metric_bounds_df — r10 built the
+    histogram_quantile_bounds primitive, this row certifies the read
+    path a user actually calls): a TablesTSDB ingests the events
+    mapping, then ``get_metric_bounds_df('click', 'onehour', 'p90',
+    …)`` must bracket the EXACT raw-scan p90 of every hour bucket —
+    (violations, buckets) hash-compared against the oracle's (0, n),
+    the tsdb_rollup_cascade_quantiles value-gate pattern.  Containment
+    is provable (integer counts, exact bin edges), so a violation is a
+    real bug, not sketch noise.
+
+    Scale shape: the path filter and a conservative time prefilter push
+    to the incoming scan; the fine histogram is one map-side-combined
+    groupBy; the coarsening + rank bounds run on the histogram relation
+    (buckets × bins rows), never raw data — the 100 TB read path for
+    coarse percentiles the cascade deliberately drops."""
+    from smalltsdb_spark.operators.aggregate import aggregate
+    from smalltsdb_spark.queries import _scratch_dir, events_as_incoming
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    inc = events_as_incoming(spark, sf_dir)
+    base = _scratch_dir("tsdb_bounds_")
+    db = TablesTSDB(
+        spark, base, periods=[("tensecond", 10), ("onehour", 3600)],
+        now=lambda: 4_000_000_000.0,
+    )
+    db.insert(inc)
+    bounds = db.get_metric_bounds_df(
+        "click", "onehour", "p90", (0.0, 4_000_000_000.0)
+    )
+    exact = (
+        aggregate(inc.filter(F.col("path") == "click"), 3600)
+        .select("path", "timestamp", "p90")
+    )
+    j = exact.join(bounds, "timestamp")
+    bad = (F.col("p90") < F.col("p90_lo") - F.lit(1e-9)) | (
+        F.col("p90_hi").isNotNull()
+        & (F.col("p90") > F.col("p90_hi") + F.lit(1e-9))
+    )
     return j.agg(
         F.sum(bad.cast("long")).alias("violations"),
         F.count(F.lit(1)).alias("buckets"),

@@ -311,7 +311,20 @@ class BaseTSDB:
         offset: int = 0,
         timeout: float | None = None,
         include_partial: bool = False,
-    ) -> list[tuple[float, float]]:
+        bounds: bool = False,
+    ) -> list[tuple]:
+        """``bounds=True`` serves the percentile as provable (lo, hi)
+        containment bounds from the histogram cascade instead of the
+        materialized exact value — rows become (timestamp, lo, hi); see
+        :meth:`get_metric_bounds_df`."""
+        if bounds:
+            with self.timer("get_metric"), self.query_timeout(timeout):
+                df = self.get_metric_bounds_df(path, period, stat, interval)
+                if offset:
+                    df = df.offset(offset)
+                if limit is not None:
+                    df = df.limit(limit)
+                return [tuple(r) for r in df.collect()]
         with self.timer("get_metric"), self.query_timeout(timeout):
             df = self.get_metric_df(
                 path,
@@ -322,6 +335,98 @@ class BaseTSDB:
                 offset=offset,
                 include_partial=include_partial,
             )
+            return [tuple(r) for r in df.collect()]
+
+    def get_metric_bounds_df(
+        self,
+        path,
+        period,
+        stat,
+        interval,
+        *,
+        fine_seconds: int | None = None,
+        bin_width: float = 50.0,
+        clamp_bin: int = 19,
+        hist: DataFrame | None = None,
+    ) -> DataFrame:
+        """Provable (lo, hi) containment bounds for one interpolated
+        percentile, served from the MERGEABLE histogram cascade instead
+        of raw order statistics (VERDICT r10 item 5 — the API face of
+        operators/aggregate.histogram_quantile_bounds).
+
+        The rollup cascade (``reaggregate``) deliberately drops
+        percentiles — order statistics don't merge — so at 100 TB a
+        coarse-period percentile read either re-scans raw data (exact,
+        expensive) or reads the fine VALUE HISTOGRAM, whose counts merge
+        losslessly, and bounds the percentile to the bin interval
+        containing its two interpolation order statistics (exact
+        integer/bin-edge arithmetic, no sketch error model;
+        ``hi`` is None when the rank lands in the clamp bin — the
+        honest unbounded-tail contract).
+
+        Returns ``(timestamp, {stat}_lo, {stat}_hi)`` ordered by time,
+        same inclusive-interval semantics as :meth:`get_metric_df`.
+        ``hist`` injects a persisted fine histogram relation
+        (``value_histogram`` schema — the production path: materialize
+        it once per fine period, partition-pruned like any period
+        table); by default the fine histogram is built from ``incoming``
+        at the finest configured period, with the path filter and a
+        conservative time prefilter pushed to the scan.  Only raw rows
+        still within retention can contribute — like every cascade
+        input.  Containment of the exact percentile is value-gated by
+        the ``tsdb_get_metric_bounds`` driver row and golden-pinned in
+        tests/test_api_ops.py."""
+        from smalltsdb_spark.operators.aggregate import (
+            histogram_quantile_bounds,
+            value_histogram,
+        )
+
+        seconds = validate_period(period, self.period_seconds)
+        validate_stat(stat)
+        if not stat.startswith("p"):
+            raise ValueError(
+                f"bounds are defined for interpolated percentiles, not "
+                f"{stat!r} — n/min/max/avg/sum merge EXACTLY through the "
+                "cascade (reaggregate); read them from the period table"
+            )
+        q = int(stat[1:]) / 100.0
+        if fine_seconds is None:
+            fine_seconds = min(s for _, s in self.periods)
+        start, end = (coerce_epoch(x) for x in interval)
+        if hist is None:
+            hist = value_histogram(
+                self.incoming()
+                .filter(F.col("path") == path)
+                # conservative raw prefilter (scan-prunable); the exact
+                # inclusive interval applies on the coarse bucket below
+                .filter(
+                    F.col("timestamp").between(start - seconds, end + seconds)
+                ),
+                fine_seconds,
+                bin_width=bin_width,
+                clamp_bin=clamp_bin,
+            )
+        else:
+            hist = hist.filter(F.col("path") == path)
+        bounds = histogram_quantile_bounds(
+            hist,
+            seconds,
+            quantiles=[q],
+            bin_width=bin_width,
+            clamp_bin=clamp_bin,
+            fine_seconds=fine_seconds,
+        )
+        return (
+            bounds.filter(F.col("timestamp").between(start, end))
+            .select("timestamp", f"{stat}_lo", f"{stat}_hi")
+            .orderBy("timestamp")
+        )
+
+    def get_metric_bounds(
+        self, path, period, stat, interval, *, timeout: float | None = None, **kw
+    ) -> list[tuple[float, float, float | None]]:
+        with self.timer("get_metric_bounds"), self.query_timeout(timeout):
+            df = self.get_metric_bounds_df(path, period, stat, interval, **kw)
             return [tuple(r) for r in df.collect()]
 
     def list_metrics_df(self) -> DataFrame:

@@ -168,3 +168,38 @@ def test_sync_accepts_timeout(spark, tsdb_dir):
     db.insert(GOLDEN_B_INPUT)
     db.sync(timeout=300.0)
     assert db.get_metric("two", "tensecond", "n", (0, 100))
+
+
+def test_get_metric_bounds_golden(spark, tsdb_dir):
+    """Cascade quantile bounds through the API (VERDICT r10 item 5):
+    hand-computed bin arithmetic.  Values [10, 60, 110, 260, 510] in one
+    hour bucket, bin_width 50 → bins [0,1,2,5,10], n=5.  p90's
+    interpolation ranks are floor(.9·4)+1=4 and ceil(.9·4)+1=5 → bins 5
+    and 10 → [250, 550); the exact p90 (410) lies inside.  p50's ranks
+    are both 3 → bin 2 → [100, 150) containing the exact 110.  A second
+    path must not leak in; non-percentile stats refuse."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 1e9)
+    db.insert(
+        [("m", float(10 * i), v) for i, v in enumerate([10.0, 60.0, 110.0, 260.0, 510.0])]
+        + [("other", 0.0, 99999.0)]
+    )
+    assert db.get_metric_bounds("m", "onehour", "p90", (0, 7200)) == [
+        (0.0, 250.0, 550.0)
+    ]
+    assert db.get_metric_bounds("m", "onehour", "p50", (0, 7200)) == [
+        (0.0, 100.0, 150.0)
+    ]
+    # the flagged form returns the same rows
+    assert db.get_metric("m", "onehour", "p90", (0, 7200), bounds=True) == [
+        (0.0, 250.0, 550.0)
+    ]
+    # clamp-bin tail: a huge value drives p99's hi rank into the clamp
+    # bin → hi is None (honest unbounded tail)
+    db2 = TablesTSDB(spark, tsdb_dir + "_clamp", now=lambda: 1e9)
+    db2.insert([("m", float(10 * i), 2000.0) for i in range(5)])
+    [(ts, lo, hi)] = db2.get_metric_bounds("m", "onehour", "p99", (0, 7200))
+    assert ts == 0.0 and lo == 950.0 and hi is None
+    with pytest.raises(ValueError, match="interpolated percentiles"):
+        db.get_metric_bounds("m", "onehour", "avg", (0, 7200))
+    with pytest.raises(ValueError, match="unknown stat"):
+        db.get_metric_bounds("m", "onehour", "p999", (0, 7200))

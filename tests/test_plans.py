@@ -576,6 +576,34 @@ def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
     assert got == {1: "e", 2: "f"}
 
 
+def test_curate_lm_gate_plan_shape(spark):
+    """ext_curate_lm (VERDICT r10 item 6, the third gate family): the
+    LM gate must add only the LM's own count/score exchanges to
+    ext_curate's composition — distinct hash-exchange keys are exactly
+    {bigram g, unigram w, (doc_id, source) score groupBy, source rank
+    window, md5(text) dedup window}; no sort-merge/shuffled join, no
+    Python nodes; the only FORCED broadcast is the 1-row vocabulary-size
+    relation (corpus-derived relations are left to AQE); every documents
+    scan prunes to (doc_id, lang, source, text)."""
+    import re
+
+    df = QUERIES["ext_curate_lm"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    keys = {
+        re.sub(r"#\d+L?", "", m)
+        for m in re.findall(r"hashpartitioning\([^)]*\)", plan)
+    }
+    assert len(keys) == 5, sorted(keys)
+    assert broadcast_hint_count(df) == 1  # the 1-row V, nothing corpus-sized
+    assert all(
+        cols <= {"doc_id", "lang", "source", "text"} for cols in scan_columns(df)
+    )
+
+
 def test_curate_learned_adds_only_the_classifier_exchanges(spark):
     """ext_curate_learned (VERDICT r9 item 7): the learned gate must not
     add corpus exchanges beyond ext_curate's — the returned plan's only
