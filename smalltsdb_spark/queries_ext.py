@@ -5293,22 +5293,26 @@ def tsdb_rollup_cascade_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def tsdb_get_metric_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cascade quantile bounds served through the PUBLIC API
-    (VERDICT r10 item 5; tsdb.get_metric_bounds_df — r10 built the
-    histogram_quantile_bounds primitive, this row certifies the read
-    path a user actually calls): a TablesTSDB ingests the events
-    mapping, then ``get_metric_bounds_df('click', 'onehour', 'p90',
-    …)`` must bracket the EXACT raw-scan p90 of every hour bucket —
-    (violations, buckets) hash-compared against the oracle's (0, n),
-    the tsdb_rollup_cascade_quantiles value-gate pattern.  Containment
-    is provable (integer counts, exact bin edges), so a violation is a
-    real bug, not sketch noise.
+    """The cascade quantile bounds served through the PUBLIC API from
+    the PERSISTED histogram table (VERDICT r10 item 5; tsdb.
+    get_metric_bounds_df + histograms=True): a TablesTSDB ingests the
+    events mapping and syncs — sync maintains the fine (path, bucket,
+    bin, n) histogram incrementally under the period-table finality
+    rule AND applies incoming retention, which at this pinned clock
+    deletes every raw row — so ``get_metric_bounds_df('click',
+    'onehour', 'p90', …)`` is served entirely from the materialized
+    relation, and must still bracket the EXACT raw-scan p90 of every
+    hour bucket — (violations, buckets) hash-compared against the
+    oracle's (0, n), the tsdb_rollup_cascade_quantiles value-gate
+    pattern.  Containment is provable (integer counts, exact bin
+    edges), so a violation is a real bug, not sketch noise.
 
-    Scale shape: the path filter and a conservative time prefilter push
-    to the incoming scan; the fine histogram is one map-side-combined
-    groupBy; the coarsening + rank bounds run on the histogram relation
-    (buckets × bins rows), never raw data — the 100 TB read path for
-    coarse percentiles the cascade deliberately drops."""
+    Scale shape: the persisted histogram read partition-prunes on the
+    path filter + conservative time prefilter; the coarsening + rank
+    bounds run on the histogram relation (buckets × bins rows), never
+    raw data — the 100 TB read path for coarse percentiles the cascade
+    deliberately drops, surviving raw-data retention like every other
+    materialized stat."""
     from smalltsdb_spark.operators.aggregate import aggregate
     from smalltsdb_spark.queries import _scratch_dir, events_as_incoming
     from smalltsdb_spark.tsdb import TablesTSDB
@@ -5317,9 +5321,10 @@ def tsdb_get_metric_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("tsdb_bounds_")
     db = TablesTSDB(
         spark, base, periods=[("tensecond", 10), ("onehour", 3600)],
-        now=lambda: 4_000_000_000.0,
+        now=lambda: 4_000_000_000.0, histograms=True,
     )
     db.insert(inc)
+    db.sync()  # builds the histogram table; retention then wipes incoming
     bounds = db.get_metric_bounds_df(
         "click", "onehour", "p90", (0.0, 4_000_000_000.0)
     )

@@ -33,6 +33,19 @@ AGG_SCHEMA = T.StructType(
     + [T.StructField(c, T.DoubleType(), True) for c in AGG_COLUMNS[1:]]
 )
 
+# Persisted fine value-histogram relation (r11 — the mergeable quantile
+# carrier behind tsdb.get_metric_bounds_df): one row per (path, fine
+# bucket, value bin), counts re-aggregate losslessly through the rollup
+# cascade.  Same shape operators/aggregate.value_histogram emits.
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("timestamp", T.DoubleType(), True),
+        T.StructField("bin", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
 # Partition column used by the parquet storage layer (not part of the
 # logical schema): pday = floor(timestamp / grain_seconds).  Day-granular
 # partitioning (the default grain) keeps partition counts sane at 100 TB

@@ -43,7 +43,12 @@ from smalltsdb_spark.config import (
 )
 from smalltsdb_spark.intervals import final_end
 from smalltsdb_spark.operators.aggregate import aggregate
-from smalltsdb_spark.schemas import AGG_SCHEMA, INCOMING_SCHEMA, SECONDS_PER_DAY
+from smalltsdb_spark.schemas import (
+    AGG_SCHEMA,
+    HIST_SCHEMA,
+    INCOMING_SCHEMA,
+    SECONDS_PER_DAY,
+)
 from smalltsdb_spark.timer import Timer
 from smalltsdb_spark.utils import coerce_epoch
 
@@ -70,6 +75,9 @@ class BaseTSDB:
         retention: dict[str, float] | None = None,
         partition_grain: str = "day",
         commit_protocol: str = "manifest",
+        histograms: bool = False,
+        hist_bin_width: float = 50.0,
+        hist_clamp_bin: int = 19,
     ):
         self.spark = spark
         self.path = path
@@ -127,6 +135,20 @@ class BaseTSDB:
                 "expected 'manifest' or 'dirswap'"
             )
         self.commit_protocol = commit_protocol
+        # persisted fine value-histogram table (r11): sync maintains a
+        # (path, fine bucket, bin, n) relation at the FINEST period so
+        # get_metric_bounds_df serves provable coarse-percentile bounds
+        # WITHOUT raw rows — bounds then outlive incoming retention,
+        # like every other materialized stat.  Bin geometry is fixed at
+        # store creation (a mixed-geometry histogram merges garbage).
+        self.histograms = histograms
+        self.hist_bin_width = float(hist_bin_width)
+        self.hist_clamp_bin = int(hist_clamp_bin)
+        if histograms and "histogram" in self.period_seconds:
+            raise ValueError(
+                "a period named 'histogram' collides with the persisted "
+                "histogram table directory"
+            )
         self._grain_lock = threading.Lock()
         self._grain_pinned = False
         self._grain_roots = {self.path}
@@ -345,8 +367,8 @@ class BaseTSDB:
         interval,
         *,
         fine_seconds: int | None = None,
-        bin_width: float = 50.0,
-        clamp_bin: int = 19,
+        bin_width: float | None = None,
+        clamp_bin: int | None = None,
         hist: DataFrame | None = None,
     ) -> DataFrame:
         """Provable (lo, hi) containment bounds for one interpolated
@@ -366,16 +388,23 @@ class BaseTSDB:
 
         Returns ``(timestamp, {stat}_lo, {stat}_hi)`` ordered by time,
         same inclusive-interval semantics as :meth:`get_metric_df`.
-        ``hist`` injects a persisted fine histogram relation
-        (``value_histogram`` schema — the production path: materialize
-        it once per fine period, partition-pruned like any period
-        table); by default the fine histogram is built from ``incoming``
-        at the finest configured period, with the path filter and a
-        conservative time prefilter pushed to the scan.  Only raw rows
-        still within retention can contribute — like every cascade
-        input.  Containment of the exact percentile is value-gated by
-        the ``tsdb_get_metric_bounds`` driver row and golden-pinned in
-        tests/test_api_ops.py."""
+        Histogram source, in precedence order:
+
+        1. ``hist`` — an injected ``value_histogram``-schema relation;
+        2. the store's PERSISTED histogram table (``histograms=True`` on
+           a TablesTSDB — sync maintains it incrementally at the finest
+           period under the same finality rule as the period tables, so
+           bounds serve FINAL buckets and survive incoming retention;
+           bin geometry comes from the store config);
+        3. built on the fly from ``incoming`` at the finest configured
+           period, with the path filter and a conservative time
+           prefilter pushed to the scan (open buckets included; only
+           raw rows still within retention can contribute).
+
+        ``bin_width``/``clamp_bin`` default to the store's configured
+        geometry.  Containment of the exact percentile is value-gated
+        by the ``tsdb_get_metric_bounds`` driver row and golden-pinned
+        in tests/test_api_ops.py."""
         from smalltsdb_spark.operators.aggregate import (
             histogram_quantile_bounds,
             value_histogram,
@@ -390,9 +419,13 @@ class BaseTSDB:
                 "cascade (reaggregate); read them from the period table"
             )
         q = int(stat[1:]) / 100.0
+        bin_width = self.hist_bin_width if bin_width is None else bin_width
+        clamp_bin = self.hist_clamp_bin if clamp_bin is None else clamp_bin
         if fine_seconds is None:
             fine_seconds = min(s for _, s in self.periods)
         start, end = (coerce_epoch(x) for x in interval)
+        if hist is None:
+            hist = self._histogram_table()
         if hist is None:
             hist = value_histogram(
                 self.incoming()
@@ -407,7 +440,11 @@ class BaseTSDB:
                 clamp_bin=clamp_bin,
             )
         else:
-            hist = hist.filter(F.col("path") == path)
+            hist = hist.filter(F.col("path") == path).filter(
+                # conservative fine-bucket prefilter — prunes pday
+                # partitions of the persisted table before the merge
+                F.col("timestamp").between(start - seconds, end + seconds)
+            )
         bounds = histogram_quantile_bounds(
             hist,
             seconds,
@@ -428,6 +465,11 @@ class BaseTSDB:
         with self.timer("get_metric_bounds"), self.query_timeout(timeout):
             df = self.get_metric_bounds_df(path, period, stat, interval, **kw)
             return [tuple(r) for r in df.collect()]
+
+    def _histogram_table(self) -> DataFrame | None:
+        """The store's persisted fine histogram relation, or None when
+        the backend doesn't maintain one (TablesTSDB overrides)."""
+        return None
 
     def list_metrics_df(self) -> DataFrame:
         """Distinct paths across all period tables (reference tsdb.py:142-152).
@@ -500,6 +542,17 @@ class TablesTSDB(BaseTSDB):
         validate_period(period, self.period_seconds)
         return storage.read_table(self.spark, self._period_path(period), AGG_SCHEMA)
 
+    def _histogram_table(self) -> DataFrame | None:
+        """The persisted fine histogram (histograms=True): maintained by
+        sync at the finest period under the same finality rule as the
+        period tables, so bounds reads serve FINAL buckets and survive
+        incoming retention."""
+        if not self.histograms:
+            return None
+        return storage.read_table(
+            self.spark, os.path.join(self.path, "histogram"), HIST_SCHEMA
+        )
+
     def _partial_table(self, period: str) -> DataFrame:
         """The open buckets (bucket start ≥ the finality cut at read
         time), recomputed from incoming on demand — the batch twin of the
@@ -517,7 +570,13 @@ class TablesTSDB(BaseTSDB):
 
     # -- incremental sync ---------------------------------------------------
 
-    def _eligible(self, incoming: DataFrame, seconds: int, now: float) -> DataFrame:
+    def _eligible(
+        self,
+        incoming: DataFrame,
+        seconds: int,
+        now: float,
+        hwm_from: DataFrame | None = None,
+    ) -> DataFrame:
         """Rows in each path's final interval: half-open
         ``[last_final + period, floor((now - tail)/period)*period)``.
 
@@ -528,10 +587,18 @@ class TablesTSDB(BaseTSDB):
 
         ``coalesce(last_final + s, 0)`` encodes ``last_final=None ⇒
         -period`` (intervals.py): never-synced paths start at bucket 0.
+
+        ``hwm_from`` overrides the high-water-mark source relation (the
+        persisted histogram table advances by its own HWM, same finality
+        rule).
         """
         fe = float(final_end(seconds, self.tail, now))
         hwm = (
-            self.period_table_name_df(seconds)
+            (
+                self.period_table_name_df(seconds)
+                if hwm_from is None
+                else hwm_from
+            )
             .groupBy("path")
             .agg(F.max("timestamp").alias("_last_final"))
         )
@@ -559,7 +626,16 @@ class TablesTSDB(BaseTSDB):
         staging + atomic-swap writer (storage.overwrite_partitions) means
         they see each partition wholly-old or wholly-new, never partially
         rewritten."""
-        path = self._period_path(period)
+        self._upsert_into(new_rows, self._period_path(period), self.period_table(period))
+
+    def _upsert_into(
+        self, new_rows: DataFrame, path: str, existing: DataFrame
+    ) -> None:
+        """The upsert body, parameterized on the target table — shared by
+        the period tables and the persisted histogram table (whose bucket
+        replacement is also keyed (path, timestamp): a recomputed bucket
+        replaces ALL its bins, which the bucket-keyed anti-join gives for
+        free)."""
         grain = self.grain_seconds
         new_rows = new_rows.cache()
         affected = [
@@ -573,7 +649,6 @@ class TablesTSDB(BaseTSDB):
         if not affected:
             new_rows.unpersist()
             return
-        existing = self.period_table(period)
         kept = (
             existing.filter(
                 F.floor(F.col("timestamp") / grain).cast("long").isin(affected)
@@ -655,18 +730,57 @@ class TablesTSDB(BaseTSDB):
                         self.grain_seconds,
                     )
 
+        def run_hist(timer: Timer) -> None:
+            """Advance the persisted fine histogram (histograms=True) —
+            an extra independent per-sync job: same finality window and
+            HWM discipline as the finest period, but the HWM comes from
+            the histogram table itself, the aggregate is the mergeable
+            value_histogram, and replacement stays bucket-keyed (one
+            bucket replaces all its bins).  Retention follows the finest
+            period's configured retention."""
+            from smalltsdb_spark.operators.aggregate import value_histogram
+
+            fine_name, fine_seconds = min(self.periods, key=lambda p: p[1])
+            hist_path = os.path.join(self.path, "histogram")
+            with timer("histogram", "all"):
+                existing = storage.read_table(
+                    self.spark, hist_path, HIST_SCHEMA
+                )
+                new_rows = value_histogram(
+                    self._eligible(
+                        incoming, fine_seconds, now, hwm_from=existing
+                    ),
+                    fine_seconds,
+                    bin_width=self.hist_bin_width,
+                    clamp_bin=self.hist_clamp_bin,
+                )
+                with timer("upsert_query"):
+                    self._upsert_into(new_rows, hist_path, existing)
+                if fine_name in self.retention:
+                    storage.drop_partitions_below(
+                        hist_path,
+                        now - self.retention[fine_name],
+                        self.grain_seconds,
+                    )
+
         try:
             with self.timer("sync", "all") as timings, self.query_timeout(timeout):
                 if concurrent:
                     stack = list(self.timer._prefix_stack)  # includes 'sync'
+                    jobs = [
+                        (run_period, (name, seconds))
+                        for name, seconds in self.periods
+                    ]
+                    if self.histograms:
+                        jobs.append((run_hist, ()))
                     subs = []
-                    for name, seconds in self.periods:
+                    for _ in jobs:
                         t = Timer(clocks=self.timer.clocks)
                         t._prefix_stack = list(stack)
                         subs.append(t)
                     threads = [
-                        InheritableThread(target=run_period, args=(n, s, t))
-                        for (n, s), t in zip(self.periods, subs)
+                        InheritableThread(target=fn, args=(*args, t))
+                        for (fn, args), t in zip(jobs, subs)
                     ]
                     for th in threads:
                         th.start()
@@ -677,6 +791,8 @@ class TablesTSDB(BaseTSDB):
                 else:
                     for name, seconds in self.periods:
                         run_period(name, seconds, self.timer)
+                    if self.histograms:
+                        run_hist(self.timer)
                 with self.timer("delete_incoming_query"):
                     self._retention(now)
         finally:

@@ -738,3 +738,64 @@ def test_get_metric_include_partial_serves_open_buckets(spark, tsdb_dir):
     assert db.get_metric(
         "one", "tensecond", "avg", (0, 100), include_partial=True
     ) == with_partial
+
+
+def test_histogram_table_synced_incrementally_and_bounds_survive_retention(
+    spark, tsdb_dir
+):
+    """Persisted fine histogram (r11 — histograms=True): sync maintains a
+    (path, fine bucket, bin, n) table at the finest period under the
+    same HWM/finality discipline as the period tables; late syncs only
+    append NEW final buckets; re-sync is a no-op; and because the
+    relation is materialized, get_metric_bounds keeps serving provable
+    percentile bounds AFTER incoming retention has deleted every raw
+    row — the property the on-the-fly path cannot have."""
+    clock = {"now": 500.0}
+    db = TablesTSDB(
+        spark,
+        tsdb_dir,
+        periods=[("tensecond", 10), ("onehour", 3600)],
+        now=lambda: clock["now"],
+        histograms=True,
+    )
+    db.insert(
+        [("m", float(10 * i), v)
+         for i, v in enumerate([10.0, 60.0, 110.0, 260.0, 510.0])]
+    )
+    db.sync()
+
+    def hist():
+        return {
+            (r.path, r.timestamp, r.bin): r.n
+            for r in db._histogram_table().collect()
+        }
+
+    first = {
+        ("m", 0.0, 0): 1, ("m", 10.0, 1): 1, ("m", 20.0, 2): 1,
+        ("m", 30.0, 5): 1, ("m", 40.0, 10): 1,
+    }
+    assert hist() == first
+
+    # incremental advance: a later row lands as ONE new bucket (bin
+    # clamped at 19); earlier buckets are not rewritten; re-sync no-op
+    db.insert([("m", 100.0, 1000.0)])
+    clock["now"] = 1000.0
+    db.sync()
+    assert hist() == {**first, ("m", 100.0, 19): 1}
+    db.sync()
+    assert hist() == {**first, ("m", 100.0, 19): 1}
+
+    # incoming retention wipes the raw rows; bounds still serve from the
+    # persisted table (merged to the hour): p90 of 6 values has ranks
+    # floor(.9*5)+1=5 -> bin 10 and ceil(.9*5)+1=6 -> clamp bin -> hi None
+    clock["now"] = 4 * 3600.0
+    db.sync()
+    assert db.incoming().count() == 0
+    assert db.get_metric_bounds("m", "onehour", "p90", (0, 7200)) == [
+        (0.0, 500.0, None)
+    ]
+    # p50 of 6 values: ranks floor(.5*5)+1=3 -> bin 2 and ceil(.5*5)+1=4
+    # -> bin 5, so [100, 300) brackets the exact 185.0
+    assert db.get_metric_bounds("m", "onehour", "p50", (0, 7200)) == [
+        (0.0, 100.0, 300.0)
+    ]
