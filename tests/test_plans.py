@@ -576,6 +576,36 @@ def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
     assert got == {1: "e", 2: "f"}
 
 
+def test_semantic_incremental_plan_shape(spark):
+    """dedup_semantic_incremental: the batch and the touched corpus
+    clusters meet in ONE cluster-keyed applyInPandas stage; the only
+    forced broadcast is the ≤ n_clusters touched-cluster list (a
+    partition prune on a materialized index layout), never anything
+    corpus-sized; embeddings scans prune to (vec_id, embedding); no
+    row-at-a-time Python."""
+    df = QUERIES["dedup_semantic_incremental"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the per-cluster GEMM stage
+    assert "BatchEvalPython" not in plan
+    assert broadcast_hint_count(df) == 1  # the touched-cluster list only
+    assert exchange_count(df) <= 5
+    assert all(cols <= {"vec_id", "embedding"} for cols in scan_columns(df))
+
+
+def test_bpe_roundtrip_is_a_shuffle_free_projection_pair(spark):
+    """text_bpe_roundtrip: encode (Arrow mapInPandas, ranks broadcast
+    via SparkContext, model never in the plan) + decode (JVM
+    concat/join) compose into a projection — the only exchange is the
+    input spread repartition; the documents scan reads (doc_id, text)
+    only."""
+    df = QUERIES["text_bpe_roundtrip"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert exchange_count(df) <= 1  # the spread repartition only
+    assert all(cols <= {"doc_id", "text"} for cols in scan_columns(df))
+
+
 def test_curate_lm_gate_plan_shape(spark):
     """ext_curate_lm (VERDICT r10 item 6, the third gate family): the
     LM gate must add only the LM's own count/score exchanges to
