@@ -85,6 +85,7 @@ def cmd_sync(args) -> None:
         args.db,
         emit_metrics=args.emit_metrics,
         timer=Timer(prefix="smalltsdb") if args.emit_metrics else None,
+        histograms=args.histograms,
     )
     with exclusive_lock(args.lock_file):
         while True:
@@ -282,6 +283,12 @@ def main(argv=None) -> None:
     p.add_argument("--lock-file", help="flock here so only one sync runs")
     p.add_argument("--emit-metrics", action="store_true")
     p.add_argument("--repeat", type=float, default=0.0, help="re-sync every N seconds")
+    p.add_argument(
+        "--histograms",
+        action="store_true",
+        help="also maintain the persisted fine value-histogram table "
+        "(serves get_metric_bounds after incoming retention)",
+    )
     p.set_defaults(func=cmd_sync)
 
     p = sub.add_parser(

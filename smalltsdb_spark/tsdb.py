@@ -678,6 +678,14 @@ class TablesTSDB(BaseTSDB):
                 self.grain_seconds,
                 max_files_per_partition,
             )
+        if self.histograms:
+            out["histogram"] = storage.compact_partitions(
+                self.spark,
+                os.path.join(self.path, "histogram"),
+                HIST_SCHEMA,
+                self.grain_seconds,
+                max_files_per_partition,
+            )
         return out
 
     def sync(self, concurrent: bool = True, timeout: float | None = None) -> None:
