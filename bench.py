@@ -522,8 +522,13 @@ def main() -> None:
         fl = floors.get(name)
         if fl and fl > 0:
             floor_ratios[name] = round(official / fl, 2)
-            if official > 3 * fl and collapse_signature(
-                io_record.get(name, {})
+            # relative AND absolute gate: 3x a 0.2 s floor is scheduler
+            # noise, not a host event — only a multi-second gap with the
+            # collapse fingerprint earns the annotation
+            if (
+                official > 3 * fl
+                and official - fl > 2.0
+                and collapse_signature(io_record.get(name, {}))
             ):
                 environment.append(name)
         best = min(runs_record.get(name, []) + [official])

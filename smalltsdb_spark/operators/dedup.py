@@ -976,7 +976,7 @@ def remove_duplicated_spans_incremental(
     text_col: str,
     k: int = 50,
     min_count: int = 2,
-    broadcast_increment: bool = True,
+    broadcast_increment: bool = False,
 ) -> DataFrame:
     """ExactSubstr span dedup for a daily increment against a persisted
     corpus shingle index (the production shape, mirroring
@@ -999,20 +999,24 @@ def remove_duplicated_spans_incremental(
     Now: (a) hashes already duplicated WITHIN the increment filter
     straight off ``inc``; (b) hashes duplicated only corpus-wide come
     from ``index ⋈ inc`` INNER — an inner join's build side can be
-    EITHER input, and with ``broadcast_increment=True`` (the default:
-    daily batches and streaming micro-batches are days-vs-corpus small)
-    the increment's distinct-shingle counts are hint-broadcast, so the
-    join plans STATICALLY as a BroadcastHashJoin and the index is
-    SCANNED once — 16-byte rows, no corpus text ever re-read, no index
-    Exchange even as a materialized AQE stage (an AQE-elected runtime
-    broadcast still pays the index's shuffle WRITE before converting
-    the join; the static plan never does).  Plan-pinned in
-    tests/test_plans.py.  For an increment too large to broadcast, pass
-    ``broadcast_increment=False``: the join degrades to a hash-key
-    shuffle — store the index bucketed on ``h`` to make that shuffle
-    one-sided.  Persist the updated index via
-    :func:`merge_shingle_index` on the increment's own
-    :func:`shingle_count_index`."""
+    EITHER input, so AQE elects the increment's distinct-shingle counts
+    as the broadcast build side whenever they are MEASURED small, and
+    the index is scanned, never sort-merge-shuffled (the runtime
+    BroadcastHashJoin is pinned in tests/test_plans.py; the one AQE
+    cost is the index's shuffle write materialized before the
+    conversion).
+
+    ``broadcast_increment=True`` hint-forces the broadcast so the plan
+    is STATICALLY a BroadcastHashJoin and the index has no Exchange at
+    all — use it only for increments KNOWN tiny (a hint collects the
+    increment's distinct-hash relation to the driver and builds the
+    hash relation single-threaded: benchmarked 10× SLOWER than the AQE
+    path when the increment was 1/5 of an sf0.1 corpus, and a
+    build-side OOM for a real daily increment — measured r11, which is
+    why the default is False).  For huge increments, store the index
+    bucketed on ``h`` so the AQE shuffle is one-sided.  Persist the
+    updated index via :func:`merge_shingle_index` on the increment's
+    own :func:`shingle_count_index`."""
     base, sh = _token_shingles(new_docs, id_col, text_col, k)
     inc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_ic"))
     inc_build = F.broadcast(inc) if broadcast_increment else inc

@@ -535,16 +535,20 @@ def test_span_dedup_shuffles_hashes_not_text(spark, row):
 
 
 def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
-    """ADVICE r10: the persisted (h, c) index must never be the SHUFFLED
-    side of the increment join.  The old ``inc LEFT OUTER index`` form
-    could only ever broadcast the INDEX (Spark broadcasts the right side
-    of a left-outer join), so any index above the broadcast threshold —
-    i.e. every real corpus — forced a SortMergeJoin that Exchange-
-    shuffled the whole index on ``h`` every increment.  Pin the fixed
-    shape STATICALLY (an AQE runtime broadcast election would still
-    materialize the index's shuffle write first): the index scan's own
-    ``h`` attribute must appear in NO Exchange hashpartitioning, and
-    the plan must carry a BroadcastHashJoin."""
+    """ADVICE r10: the persisted (h, c) index must never be the
+    sort-merge-shuffled side of the increment join.  The old ``inc LEFT
+    OUTER index`` form could only ever broadcast the INDEX (Spark
+    broadcasts the right side of a left-outer join), so any index above
+    the broadcast threshold — i.e. every real corpus — forced a
+    SortMergeJoin.  The inner-join restructure makes the increment
+    broadcastABLE; differential pin: with the index made too big to
+    broadcast and the increment runtime-small, the executed adaptive
+    plan must elect a BroadcastHashJoin (increment build side) and
+    contain no SortMergeJoin — the old form fails this.  No hint is
+    forced by default: a hint collects the increment's distinct-hash
+    relation to the driver (measured 10× slower at sf0.1-increment
+    scale, r11); ``broadcast_increment=True`` remains for KNOWN-tiny
+    increments and is pinned statically below."""
     import re
 
     from smalltsdb_spark.operators.dedup import (
@@ -562,18 +566,43 @@ def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
     out = remove_duplicated_spans_incremental(
         batch, index, "doc_id", "text", k=4
     )
-    plan = physical_plan(out)
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "65536")
+        # correctness ride-along: the shared within-batch span
+        # ('a b c d' ∪ its extensions) strips from both docs
+        got = {r.doc_id: r.text_clean for r in out.collect()}
+        executed = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == {1: "e", 2: "f"}
+    # the adaptive plan string carries BOTH sections; judge the FINAL one
+    final = executed.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+    # the KNOWN-tiny-increment hint path: statically a BroadcastHashJoin,
+    # the index scan's h attribute in no Exchange hashpartitioning at all
+    hinted = remove_duplicated_spans_incremental(
+        batch, index, "doc_id", "text", k=4, broadcast_increment=True
+    )
+    plan = physical_plan(hinted)
     assert "BroadcastHashJoin" in plan
-    # the index parquet scan's h attribute id is never a shuffle key
     scan = re.search(
         r"Scan parquet[^\n]*\n[^\n]*Output[^\n]*\[h#(\d+)L", plan
     )
     assert scan is not None, plan
     assert f"hashpartitioning(h#{scan.group(1)}L" not in plan
-    # ... and correctness is unchanged by the hint: the shared within-
-    # batch span ('a b c d' ∪ its extensions) strips from both docs
-    got = {r.doc_id: r.text_clean for r in out.collect()}
-    assert got == {1: "e", 2: "f"}
 
 
 def test_semantic_incremental_plan_shape(spark):
