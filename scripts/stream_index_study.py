@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """Measured evidence for the r11 streaming span-dedup index layout
-(VERDICT r10 "What's wrong" #1): per-trigger cost of the hash-prefix
-PARTITIONED index (upsert only touched partitions) vs the r10 layout's
-full-index rewrite, across corpus sizes, with a fixed-size micro-batch.
+(VERDICT r10 "What's wrong" #1): index MAINTENANCE cost of the
+hash-prefix partitioned, LSM-appended index vs the r10 layout's
+full-index rewrite, across corpus sizes.
 
-Method: build a corpus index of N documents (replica-marked sf0.1
-documents, the span_incremental_study fixture recipe) through the batch
-handler; then time ONE trigger of a fixed 200-doc batch two ways:
+Two measurements per scale, isolating maintenance from the dedup itself
+(the batch-vs-index count lookup is inherent and identical in both
+designs):
 
-- partitioned: the shipped handler (read touched prefixes, rewrite
-  touched partitions, manifest commit, GC);
-- full-rewrite: read the ENTIRE index, union-sum, rewrite every row as
-  one new version — what the r10 handler did every trigger.
+1. one-trigger wall: with the batch's (h, c, pfx) delta pre-computed
+   and persisted, time (a) the O(batch) delta append write vs (b) the
+   r10 full read + union-sum + rewrite;
+2. steady state: drive T=8 consecutive triggers through the SHIPPED
+   handler (compact_files=4, zero grace) and count the actual
+   maintenance bytes written under the index (deltas + compaction
+   folds + retired-then-GC'd files) vs what 8 full rewrites of the
+   final index would have written — the disk/write-amplification story
+   a 10 s cadence lives or dies on.
 
 Prints one JSON line per scale.  Run:
     python scripts/stream_index_study.py [scales...]   # default 1 10 50
@@ -30,10 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from smalltsdb_spark.operators.dedup import (
-    merge_shingle_index,
-    shingle_count_index,
-)
+from smalltsdb_spark.operators.dedup import shingle_count_index
 from smalltsdb_spark.session import get_spark
 from smalltsdb_spark.streaming.span_dedup import (
     make_span_dedup_batch_handler,
@@ -43,6 +45,18 @@ from smalltsdb_spark.streaming.span_dedup import (
 K = 8
 N_PREFIXES = 64
 BATCH_DOCS = 200
+TRIGGERS = 8
+
+
+def _tree_bytes(root: str) -> int:
+    total = 0
+    for r, _d, fs in os.walk(root):
+        for f in fs:
+            try:
+                total += os.path.getsize(os.path.join(r, f))
+            except OSError:
+                pass
+    return total
 
 
 def main() -> None:
@@ -68,20 +82,16 @@ def main() -> None:
                 )
                 .select(
                     (F.col("doc_id") * scale + F.col("_r")).alias("doc_id"),
-                    # replica marker keeps shingles distinct across copies
-                    F.concat(F.lit("r"), F.col("_r"), F.lit(" "), F.col("text")).alias(
-                        "text"
-                    ),
+                    # PER-TOKEN replica marker: every k-token window of
+                    # every copy contains a marker token, so distinct
+                    # shingles (index rows) scale with the corpus
+                    F.regexp_replace(
+                        F.concat(F.lit("r"), F.col("_r"), F.lit(" "), F.col("text")),
+                        F.lit(" "),
+                        F.concat(F.lit(" m"), F.col("_r"), F.lit(" ")),
+                    ).alias("text"),
                 )
             )
-        batch = (
-            docs.limit(BATCH_DOCS)
-            .select(
-                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
-            )
-            .persist()
-        )
-        batch.count()
 
         work = tempfile.mkdtemp(prefix=f"stream_idx_study_{scale}x_")
         index_base, out = f"{work}/idx", f"{work}/out"
@@ -89,32 +99,65 @@ def main() -> None:
             spark, index_base, out, "doc_id", "text",
             k=K, n_prefixes=N_PREFIXES, gc_grace_seconds=0.0,
         )
-        # batch 0 = the corpus (index build; untimed for the comparison)
         t0 = time.perf_counter()
-        handle(corpus, 0)
+        handle(corpus, 0)  # batch 0 = the corpus (index build, untimed)
         build_s = time.perf_counter() - t0
         index_rows = read_index(spark, index_base).count()
+        index_bytes = _tree_bytes(index_base)
 
-        # timed trigger, partitioned path (the shipped handler)
-        t0 = time.perf_counter()
-        handle(batch, 1)
-        part_s = time.perf_counter() - t0
-        touched = len(
-            [
-                d
-                for d in os.listdir(os.path.join(index_base, "data_b1"))
-                if d.startswith("pfx=")
-            ]
+        # -- measurement 1: one trigger's MAINTENANCE write, isolated --
+        delta = (
+            shingle_count_index(
+                docs.limit(BATCH_DOCS).select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    "text",
+                ),
+                "doc_id", "text", k=K,
+            )
+            .withColumn("pfx", F.pmod(F.col("h"), F.lit(N_PREFIXES)))
+            .persist()
         )
-
-        # timed trigger, r10 layout: full-index union-sum rewrite
-        full_dir = f"{work}/full"
+        delta.count()
+        append_dir, full_dir = f"{work}/m_append", f"{work}/m_full"
         t0 = time.perf_counter()
-        merge_shingle_index(
-            read_index(spark, index_base),
-            shingle_count_index(batch, "doc_id", "text", k=K),
-        ).write.mode("overwrite").parquet(full_dir)
+        (
+            delta.select("h", "c", "pfx")
+            .repartition("pfx")
+            .write.mode("overwrite")
+            .partitionBy("pfx")
+            .parquet(append_dir)
+        )
+        append_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        (
+            read_index(spark, index_base)
+            .unionByName(delta.select("h", "c"))
+            .groupBy("h")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .write.mode("overwrite")
+            .parquet(full_dir)
+        )
         full_s = time.perf_counter() - t0
+        append_bytes = _tree_bytes(append_dir)
+        full_bytes = _tree_bytes(full_dir)
+        delta.unpersist()
+
+        # -- measurement 2: steady state over TRIGGERS handler calls --
+        written = 0
+        trigger_walls = []
+        before_dirs = {d for d in os.listdir(index_base)}
+        for b in range(1, TRIGGERS + 1):
+            batch = docs.limit(BATCH_DOCS).select(
+                (F.col("doc_id") + F.lit(10_000_000 * b)).alias("doc_id"),
+                "text",
+            )
+            t0 = time.perf_counter()
+            handle(batch, b)
+            trigger_walls.append(round(time.perf_counter() - t0, 2))
+            for d in os.listdir(index_base):
+                if d.startswith("data_b") and d not in before_dirs:
+                    written += _tree_bytes(os.path.join(index_base, d))
+                    before_dirs.add(d)
 
         print(
             json.dumps(
@@ -122,17 +165,21 @@ def main() -> None:
                     "scale": scale,
                     "corpus_docs": base_n * scale,
                     "index_rows": index_rows,
+                    "index_bytes": index_bytes,
                     "index_build_s": round(build_s, 2),
                     "batch_docs": BATCH_DOCS,
-                    "touched_prefixes": touched,
-                    "n_prefixes": N_PREFIXES,
-                    "trigger_partitioned_s": round(part_s, 2),
-                    "trigger_full_rewrite_s": round(full_s, 2),
+                    "one_trigger_append_write_s": round(append_s, 2),
+                    "one_trigger_full_rewrite_s": round(full_s, 2),
+                    "one_trigger_append_bytes": append_bytes,
+                    "one_trigger_full_bytes": full_bytes,
+                    "steady_triggers": TRIGGERS,
+                    "steady_maintenance_bytes": written,
+                    "steady_full_rewrite_bytes": full_bytes * TRIGGERS,
+                    "steady_trigger_walls_s": trigger_walls,
                 }
             ),
             flush=True,
         )
-        batch.unpersist()
         shutil.rmtree(work, ignore_errors=True)
 
 

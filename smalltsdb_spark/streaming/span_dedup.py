@@ -31,13 +31,21 @@ version every trigger, O(triggers × corpus shingles) disk and an
 O(corpus) rewrite per 10 s trigger):
 
 - The ``(h, c)`` relation is PARTITIONED by hash prefix
-  (``pmod(h, n_prefixes)`` directories, the storage-layout analog of
-  the IVF ``_list`` partitioning).  A batch's shingles touch some
-  subset of prefixes; the handler reads and rewrites ONLY those
-  partitions — per-trigger cost is O(touched partitions), which for a
-  micro-batch far smaller than the corpus approaches O(batch) as
-  ``n_prefixes`` grows.  Untouched partitions' files carry over into
-  the new manifest BY REFERENCE — never re-read, never re-written.
+  (``pmod(h, n_prefixes)`` directories) and maintained LSM-style:
+  counts are algebraic, so a trigger APPENDS the batch's per-hash
+  delta counts as one new file per touched partition — an O(batch)
+  write, never an index rewrite — and readers union-sum a partition's
+  base + delta files (:func:`read_index` carries the groupBy).  A
+  partition whose file count crosses ``compact_files`` is folded back
+  to one file (size-tiered compaction), so per-trigger write cost is
+  O(batch) + amortized O(partition/compact_files) and read
+  amplification stays bounded.  (A first design rewrote every TOUCHED
+  partition per trigger — but shingle hashes are uniform, so any
+  realistic batch touches ~all prefixes and "touched" degenerates to
+  the full index; measured 36× slower than the append form at a 200-doc
+  trigger.  Appending is what an algebraic relation buys.)
+- Untouched partitions' files carry into the new manifest BY
+  REFERENCE — never re-read, never re-written.
 - **Version count is bounded**: committing ``v{b}`` retires every
   manifest older than the pre-state version (the replay rule only ever
   needs the newest version < the replaying batch id, and foreachBatch
@@ -50,10 +58,11 @@ O(corpus) rewrite per 10 s trigger):
   retired ones.
 
 The per-batch dedup itself is the batch path's measured model
-(SCALE.md): batch shingling + one scan of the TOUCHED index partitions
-(24-byte rows) + one union-sum rewrite of those partitions — corpus
-text never re-shingles, and now the corpus INDEX never fully rewrites
-either.
+(SCALE.md): batch shingling + one read-only scan of the touched index
+partitions' 24-byte rows (the corpus-count lookup the dedup join
+inherently needs) + the O(batch) delta append — corpus text never
+re-shingles, and the corpus INDEX never rewrites outside amortized
+compaction.
 """
 
 from __future__ import annotations
@@ -79,6 +88,12 @@ DEFAULT_N_PREFIXES = 64
 #: an in-flight reader that resolved the previous manifest must be able to
 #: finish its scan (the storage._gc_unmanifested grace-window contract)
 DEFAULT_GC_GRACE_SECONDS = 300.0
+
+#: size-tiered compaction threshold: a partition holding more than this
+#: many (base + delta) files is folded back to one file at the next
+#: commit that touches it — bounds read amplification at amortized
+#: O(partition / compact_files) rewrite cost per trigger
+DEFAULT_COMPACT_FILES = 4
 
 
 def latest_index_version(index_base: str, before: int | None = None) -> int | None:
@@ -166,13 +181,20 @@ def read_index(
     """The (h, c) shingle-count relation as of the newest committed
     version (< ``before`` when given); empty relation when none.
     ``prefixes`` restricts the read to those hash-prefix partitions —
-    the per-trigger path reads only the partitions a batch touches."""
+    the per-trigger path reads only the partitions a batch touches.
+    A partition's base + delta files union-sum here (counts are
+    algebraic — the LSM read path), so callers always see one row per
+    hash."""
     _, files = _resolve_files(index_base, before)
     if prefixes is None:
         wanted = [f for fs in files.values() for f in fs]
     else:
         wanted = [f for p in prefixes for f in files.get(p, [])]
-    return _read_files(spark, index_base, wanted)
+    return (
+        _read_files(spark, index_base, wanted)
+        .groupBy("h")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
 
 
 def _gc_superseded(
@@ -267,15 +289,25 @@ def make_span_dedup_batch_handler(
     min_count: int = 2,
     n_prefixes: int = DEFAULT_N_PREFIXES,
     gc_grace_seconds: float = DEFAULT_GC_GRACE_SECONDS,
+    compact_files: int = DEFAULT_COMPACT_FILES,
 ):
     """A foreachBatch callable implementing idempotent streaming span
-    dedup over a hash-prefix-partitioned index (module docstring).
-    Pass to ``writeStream.foreachBatch``."""
+    dedup over a hash-prefix-partitioned, delta-appended index (module
+    docstring).  Pass to ``writeStream.foreachBatch``."""
     from smalltsdb_spark.operators.dedup import (
-        merge_shingle_index,
         remove_duplicated_spans_incremental,
         shingle_count_index,
     )
+
+    def _list_pfx_files(data_dir_name: str, p: int) -> list[str]:
+        pdir = os.path.join(index_base, data_dir_name, f"pfx={p}")
+        if not os.path.isdir(pdir):
+            return []
+        return sorted(
+            os.path.join(data_dir_name, f"pfx={p}", f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -290,10 +322,14 @@ def make_span_dedup_batch_handler(
             touched = sorted(
                 r.pfx for r in delta.select("pfx").distinct().collect()
             )
-            index_touched = _read_files(
-                spark,
-                index_base,
-                [f for p in touched for f in pre_files.get(p, [])],
+            index_touched = (
+                _read_files(
+                    spark,
+                    index_base,
+                    [f for p in touched for f in pre_files.get(p, [])],
+                )
+                .groupBy("h")
+                .agg(F.sum("c").cast("long").alias("c"))
             )
             # every batch shingle's prefix is in `touched`, so the
             # restricted index is exact for this batch's dedup
@@ -305,28 +341,47 @@ def make_span_dedup_batch_handler(
             )
             new_files = dict(pre_files)
             if touched:
-                data_dir = os.path.join(index_base, f"data_b{batch_id}")
+                # LSM append: the batch's delta counts land as ONE new
+                # file per touched partition — O(batch) written, the
+                # index is never rewritten here
+                data_name = f"data_b{batch_id}"
                 (
-                    merge_shingle_index(index_touched, delta.select("h", "c"))
-                    .withColumn(
-                        "pfx", F.pmod(F.col("h"), F.lit(n_prefixes))
-                    )
+                    delta.select("h", "c", "pfx")
                     .repartition("pfx")
                     .write.mode("overwrite")
                     .partitionBy("pfx")
-                    .parquet(data_dir)
+                    .parquet(os.path.join(index_base, data_name))
                 )
                 for p in touched:
-                    pdir = os.path.join(data_dir, f"pfx={p}")
-                    if not os.path.isdir(pdir):
-                        new_files[p] = []
-                        continue
-                    new_files[p] = sorted(
-                        os.path.join(f"data_b{batch_id}", f"pfx={p}", f)
-                        for f in os.listdir(pdir)
-                        if f.endswith(".parquet")
-                        and not f.startswith(("_", "."))
+                    new_files[p] = (
+                        pre_files.get(p, []) + _list_pfx_files(data_name, p)
                     )
+                # size-tiered compaction: fold any partition that
+                # accumulated too many files back to one (deterministic
+                # on replay — a function of pre_files + this delta)
+                to_compact = [
+                    p for p in touched if len(new_files[p]) > compact_files
+                ]
+                if to_compact:
+                    comp_name = f"data_b{batch_id}_c"
+                    (
+                        _read_files(
+                            spark,
+                            index_base,
+                            [f for p in to_compact for f in new_files[p]],
+                        )
+                        .groupBy("h")
+                        .agg(F.sum("c").cast("long").alias("c"))
+                        .withColumn(
+                            "pfx", F.pmod(F.col("h"), F.lit(n_prefixes))
+                        )
+                        .repartition("pfx")
+                        .write.mode("overwrite")
+                        .partitionBy("pfx")
+                        .parquet(os.path.join(index_base, comp_name))
+                    )
+                    for p in to_compact:
+                        new_files[p] = _list_pfx_files(comp_name, p)
             _write_manifest(index_base, batch_id, new_files)
             live = {
                 f

@@ -346,19 +346,21 @@ def test_span_dedup_stream_handler_is_idempotent_and_restart_safe(
     assert merged == scratch
 
 
-def test_span_dedup_index_rewrites_only_touched_partitions(spark, tmp_path):
+def test_span_dedup_index_appends_only_the_batch_delta(spark, tmp_path):
     """VERDICT r10 item 1: the streaming index is hash-prefix-partitioned
-    and a trigger rewrites ONLY the partitions its batch's shingles
-    touch.  Batch 0 seeds many prefixes; batch 1 carries exactly ONE
-    distinct shingle, so its data dir must hold exactly one pfx
-    partition and the committed manifest must keep referencing batch 0's
-    files for every untouched prefix — carried by reference, never
-    re-read or rewritten."""
+    and LSM-maintained — a trigger APPENDS one delta file per touched
+    partition (O(batch) written; counts merge at read) and never
+    rewrites the index.  Batch 0 seeds many prefixes; batch 1 carries
+    exactly ONE distinct shingle, so its data dir must hold exactly one
+    pfx partition, the touched partition's manifest entry must be batch
+    0's files PLUS the new delta, and every untouched prefix carries by
+    reference — never re-read or rewritten."""
     import os
 
     from smalltsdb_spark.streaming.span_dedup import (
         _read_manifest,
         make_span_dedup_batch_handler,
+        read_index,
     )
 
     b0 = spark.createDataFrame(
@@ -383,19 +385,56 @@ def test_span_dedup_index_rewrites_only_touched_partitions(spark, tmp_path):
         for d in os.listdir(os.path.join(index_base, "data_b1"))
         if d.startswith("pfx=")
     ]
-    assert len(pfx_dirs) == 1  # one distinct shingle -> one partition
+    assert len(pfx_dirs) == 1  # one distinct shingle -> one delta file
     files_v1 = _read_manifest(index_base, 1)
     touched = int(pfx_dirs[0].split("=", 1)[1])
-    assert all(f.startswith("data_b1/") for f in files_v1[touched])
-    carried = {
-        p: fs for p, fs in files_v1.items() if p != touched
-    }
-    assert carried == {
-        p: fs for p, fs in files_v0.items() if p != touched
-    }
+    delta_files = [f for f in files_v1[touched] if f.startswith("data_b1/")]
+    assert len(delta_files) == 1
+    assert files_v1[touched] == files_v0.get(touched, []) + delta_files
+    carried = {p: fs for p, fs in files_v1.items() if p != touched}
+    assert carried == {p: fs for p, fs in files_v0.items() if p != touched}
     assert all(
         f.startswith("data_b0/") for fs in carried.values() for f in fs
     )
+    # the read path union-sums base + delta: one row per hash
+    rows = read_index(spark, index_base).collect()
+    assert len({r.h for r in rows}) == len(rows)
+
+
+def test_span_dedup_index_compaction_bounds_files_per_partition(
+    spark, tmp_path
+):
+    """Size-tiered compaction: appending deltas forever would grow a
+    partition's file list without bound; a commit that pushes a
+    partition past compact_files folds it back to ONE file (keyed by
+    the committing batch id, so replay overwrites).  With
+    compact_files=2, every committed manifest holds ≤ 2 files per
+    partition, and the merged counts stay exact across folds."""
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_manifest,
+        latest_index_version,
+        make_span_dedup_batch_handler,
+        read_index,
+    )
+
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=4, min_count=2, n_prefixes=4,
+        gc_grace_seconds=0.0, compact_files=2,
+    )
+    for b in range(6):
+        df = spark.createDataFrame(
+            [(b, f"x a b c d y{b}")], "doc_id long, text string"
+        )
+        handle(df, b)
+        files = _read_manifest(index_base, latest_index_version(index_base))
+        assert all(len(fs) <= 2 for fs in files.values()), files
+    counts = {r.h: r.c for r in read_index(spark, index_base).collect()}
+    # 'x a b c' and 'a b c d' appeared once per batch; folds must not
+    # lose or double them; the per-batch tail shingle stays at 1
+    assert sum(1 for c in counts.values() if c == 6) == 2
+    assert sum(1 for c in counts.values() if c == 1) == 6
 
 
 def test_span_dedup_index_versions_and_disk_are_bounded(spark, tmp_path):
