@@ -51,6 +51,24 @@ def test_read_path_prunes_columns(spark, tsdb_dir):
         assert cols <= {"path", "timestamp", "p90"}, cols
 
 
+def test_bounds_read_prunes_the_persisted_histogram(spark, tsdb_dir):
+    """get_metric_bounds_df over a histograms=True store: the path
+    equality and the conservative time prefilter must reach the
+    persisted histogram's parquet scan (partition pruning + row-group
+    skipping at scale), and the scan reads only the 4 histogram
+    columns — never raw incoming."""
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 1e9, histograms=True)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    df = db.get_metric_bounds_df("one", "onehour", "p90", (0, 7200))
+    filters = " ".join(pushed_filters(df))
+    assert "EqualTo(path,one)" in filters
+    assert "GreaterThanOrEqual(timestamp," in filters
+    assert "LessThanOrEqual(timestamp," in filters
+    for cols in scan_columns(df):
+        assert cols <= {"path", "timestamp", "bin", "n"}, cols
+
+
 def test_view_mode_pushes_grouping_key_filter_below_agg(spark, tsdb_dir):
     """ViewTSDB: the path filter must push through the aggregation to the
     scan (path is a grouping key) — the optimization SQLite + a Python
