@@ -603,11 +603,21 @@ def test_incremental_span_index_join_broadcasts_increment(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
     assert got == {1: "e", 2: "f"}
-    # the adaptive plan string carries BOTH sections; judge the FINAL one
+    # the adaptive plan string carries BOTH sections; judge the FINAL
+    # one, and judge THE INDEX JOIN specifically — its node text carries
+    # the (_ic + _xc) condition.  (A global no-SMJ assertion is flaky:
+    # the 64 KB threshold applies to every join in the plan, and an
+    # unrelated downstream relation drifting past it keeps its own SMJ.)
     final = executed.split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final
-    assert "BroadcastHashJoin" in final
-    assert "SortMergeJoin" not in final
+    index_join = [
+        line
+        for line in final.splitlines()
+        if "_xc" in line and "Join" in line
+    ]
+    assert index_join, final
+    assert all("BroadcastHashJoin" in line for line in index_join), index_join
+    assert all("SortMergeJoin" not in line for line in index_join), index_join
 
     # the KNOWN-tiny-increment hint path: statically a BroadcastHashJoin,
     # the index scan's h attribute in no Exchange hashpartitioning at all

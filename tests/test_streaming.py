@@ -505,3 +505,57 @@ def test_span_dedup_index_versions_and_disk_are_bounded(spark, tmp_path):
         for r in shingle_count_index(all_docs, "doc_id", "text", k=4).collect()
     }
     assert merged == scratch
+
+
+def test_span_dedup_index_randomized_equals_scratch(spark, tmp_path):
+    """Randomized differential over the LSM index: after EVERY commit of
+    a random batch sequence (random doc counts, shared + unique spans,
+    occasional replays) the manifest-resolved union-sum must equal the
+    from-scratch shingle_count_index over everything ingested so far,
+    and the committed file lists must respect the compaction bound.
+    Seeded — failures reproduce."""
+    import random
+
+    from smalltsdb_spark.operators.dedup import shingle_count_index
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_manifest,
+        latest_index_version,
+        make_span_dedup_batch_handler,
+        read_index,
+    )
+
+    rng = random.Random(20260816)
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=3, min_count=2, n_prefixes=8,
+        gc_grace_seconds=0.0, compact_files=3,
+    )
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    ingested = []
+    batches = []
+    for b in range(7):
+        docs = [
+            (
+                100 * b + j,
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))),
+            )
+            for j in range(rng.randint(1, 4))
+        ]
+        batches.append(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        handle(df, b)
+        if rng.random() < 0.4:  # at-least-once: replay the same batch id
+            handle(df, b)
+        ingested.extend(docs)
+        merged = {r.h: r.c for r in read_index(spark, index_base).collect()}
+        scratch = {
+            r.h: r.c
+            for r in shingle_count_index(
+                spark.createDataFrame(ingested, "doc_id long, text string"),
+                "doc_id", "text", k=3,
+            ).collect()
+        }
+        assert merged == scratch, f"diverged after batch {b}"
+        files = _read_manifest(index_base, latest_index_version(index_base))
+        assert all(len(fs) <= 3 for fs in files.values()), (b, files)
