@@ -59,17 +59,21 @@ def default_interval(now: _dt.datetime | None = None) -> tuple:
 
 def graph_spec_from_args(args: dict, now: _dt.datetime | None = None) -> dict:
     """Flattened query args → {'metrics': [(name, period, stat)],
+    'bounds': [bool, ...] (aligned; ``metrics.N.bounds`` truthy serves
+    the percentile as histogram-cascade containment bounds, r11),
     'interval': (start, end)}; blank metric names dropped."""
     nested = unflatten(dict(args))
-    metrics = [
-        (m["name"], m["period"], m["stat"])
+    kept = [
+        m
         for m in nested.get("metrics", [])
         if str(m.get("name", "")).strip()
     ]
+    metrics = [(m["name"], m["period"], m["stat"]) for m in kept]
+    bounds = [bool(str(m.get("bounds", "")).strip()) for m in kept]
     d_start, d_end = default_interval(now)
     start = parse_datetime(nested.get("start", d_start))
     end = parse_datetime(nested.get("end", d_end))
-    return {"metrics": metrics, "interval": (start, end)}
+    return {"metrics": metrics, "bounds": bounds, "interval": (start, end)}
 
 
 def graph_data(db, args: dict, now: _dt.datetime | None = None) -> dict:
@@ -81,21 +85,40 @@ def graph_data(db, args: dict, now: _dt.datetime | None = None) -> dict:
     spec = graph_spec_from_args(args, now)
     labels = make_short_names(spec["metrics"]) if spec["metrics"] else []
     series = []
-    for (name, period, stat), label in zip(spec["metrics"], labels):
-        points = db.get_metric(name, period, stat, spec["interval"])
-        if not points:
-            points = [(0.0, 0.0)]
-        timestamps, values = zip(*points)
-        series.append(
-            {
-                "name": name,
-                "period": period,
-                "stat": stat,
-                "label": label,
+    for (name, period, stat), label, want_bounds in zip(
+        spec["metrics"], labels, spec["bounds"]
+    ):
+        entry = {
+            "name": name,
+            "period": period,
+            "stat": stat,
+            "label": label,
+        }
+        if want_bounds:
+            # percentile containment bounds from the histogram cascade
+            # (tsdb.get_metric_bounds, r11) — a band, not a line; hi is
+            # None in the clamp bin (honest unbounded tail)
+            points = db.get_metric(
+                name, period, stat, spec["interval"], bounds=True
+            )
+            if not points:
+                points = [(0.0, 0.0, 0.0)]
+            timestamps, lo, hi = zip(*points)
+            entry |= {
+                "timestamps": list(timestamps),
+                "lo": list(lo),
+                "hi": list(hi),
+            }
+        else:
+            points = db.get_metric(name, period, stat, spec["interval"])
+            if not points:
+                points = [(0.0, 0.0)]
+            timestamps, values = zip(*points)
+            entry |= {
                 "timestamps": list(timestamps),
                 "values": list(values),
             }
-        )
+        series.append(entry)
     return {"interval": spec["interval"], "series": series}
 
 

@@ -125,3 +125,38 @@ def test_per_period_retention(spark, tsdb_dir):
     assert db.get_metric("m", "oneday", "n", (0, 11 * SECONDS_PER_DAY)) == [
         (float(old_ts), 1.0)
     ]
+
+
+def test_graph_data_bounds_series(spark, tsdb_dir):
+    """metrics.N.bounds=1 serves the percentile as histogram-cascade
+    containment bounds (r11 — the /graph face of get_metric_bounds):
+    the series carries (timestamps, lo, hi) instead of values, hi None
+    in the clamp bin; plain series on the same request are unchanged."""
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 1e9, histograms=True)
+    db.insert(
+        [("m", float(10 * i), v)
+         for i, v in enumerate([10.0, 60.0, 110.0, 260.0, 510.0])]
+    )
+    # sync materializes the period tables AND the persisted histogram,
+    # then retention wipes incoming — both series must still serve
+    db.sync()
+    args = {
+        "metrics.0.name": "m",
+        "metrics.0.period": "onehour",
+        "metrics.0.stat": "p90",
+        "metrics.0.bounds": "1",
+        "metrics.1.name": "m",
+        "metrics.1.period": "onehour",
+        "metrics.1.stat": "n",
+        "start": "0",
+        "end": "7200",
+    }
+    data = graph_data(db, args)
+    band, plain = data["series"]
+    # test_api_ops' hand-computed bin arithmetic: p90 ranks -> bins 5, 10
+    assert band["timestamps"] == [0.0]
+    assert band["lo"] == [250.0] and band["hi"] == [550.0]
+    assert "values" not in band
+    assert plain["values"] == [5.0] and "lo" not in plain
