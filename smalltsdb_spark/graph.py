@@ -97,6 +97,23 @@ def _time_label(ts: float, span: float) -> str:
     return d.strftime("%Y-%m-%d")
 
 
+def _series_points(s: dict) -> tuple[str, list]:
+    """Normalize one ``graph_data`` series into a drawable shape.
+
+    Value series (``values`` key) → ``("line", [(t, v), ...])``; bounds
+    series from ``get_metric(..., bounds=True)`` carry ``lo``/``hi``
+    instead (a containment band; ``hi`` is None in the histogram clamp
+    bin) → ``("band", [(t, lo, hi), ...])``.  Sorted by timestamp; the
+    key is the stamp only — tuple tie-breaking would compare a None with
+    a float and raise on duplicate stamps.
+    """
+    if "values" in s:
+        pts = sorted(zip(s["timestamps"], s["values"]), key=lambda p: p[0])
+        return "line", pts
+    pts = sorted(zip(s["timestamps"], s["lo"], s["hi"]), key=lambda p: p[0])
+    return "band", pts
+
+
 def render_graph_svg(data: dict, width: int = 900, height: int = 360) -> str:
     """``graph_data`` output → a self-contained SVG document (string).
 
@@ -117,7 +134,14 @@ def render_graph_svg(data: dict, width: int = 900, height: int = 360) -> str:
     plot_w = width - margin_l - margin_r
     plot_h = height - margin_t - margin_b - legend_h
 
-    all_vals = [v for s in series for v in s["values"] if v is not None]
+    shaped = [_series_points(s) for s in series]
+    all_vals = []
+    for kind, pts in shaped:
+        if kind == "line":
+            all_vals.extend(v for _, v in pts if v is not None)
+        else:
+            all_vals.extend(lo for _, lo, _ in pts if lo is not None)
+            all_vals.extend(hi for _, _, hi in pts if hi is not None)
     y_lo = min(all_vals) if all_vals else 0.0
     y_hi = max(all_vals) if all_vals else 1.0
     if y_hi == y_lo:
@@ -172,11 +196,61 @@ def render_graph_svg(data: dict, width: int = 900, height: int = 360) -> str:
         f'stroke="{INK_SECONDARY}" stroke-width="1"/>'
     )
 
-    for i, s in enumerate(series):
+    for i, (s, (kind, pts)) in enumerate(zip(series, shaped)):
         color = PALETTE[i % len(PALETTE)]
-        # key on timestamp only — tuple tie-breaking would compare a
-        # None value with a float and raise on duplicate stamps
-        pts = sorted(zip(s["timestamps"], s["values"]), key=lambda p: p[0])
+        if kind == "band":
+            # containment band: filled polygon over each contiguous run
+            # of bounded (hi not None) points, lo drawn as a solid line
+            # throughout so clamp-bin points (unbounded tail) still show
+            run: list[tuple] = []
+            runs = []
+            for t, lo_v, hi_v in pts:
+                if lo_v is None:
+                    continue
+                if hi_v is None:
+                    if run:
+                        runs.append(run)
+                        run = []
+                    continue
+                run.append((t, lo_v, hi_v))
+            if run:
+                runs.append(run)
+            for r in runs:
+                poly = " ".join(f"{sx(t):.1f},{sy(lo_v):.1f}" for t, lo_v, _ in r)
+                poly += " " + " ".join(
+                    f"{sx(t):.1f},{sy(hi_v):.1f}" for t, _, hi_v in reversed(r)
+                )
+                out.append(
+                    f'<polygon points="{poly}" fill="{color}" '
+                    f'fill-opacity="0.18" stroke="none"/>'
+                )
+            lo_path = " ".join(
+                f"{sx(t):.1f},{sy(lo_v):.1f}" for t, lo_v, _ in pts if lo_v is not None
+            )
+            out.append(
+                f'<polyline points="{lo_path}" fill="none" stroke="{color}" '
+                f'stroke-width="2" stroke-linejoin="round" stroke-linecap="round"/>'
+            )
+            for t, lo_v, hi_v in pts:
+                if lo_v is None:
+                    continue
+                d = _dt.datetime.fromtimestamp(t, _dt.timezone.utc)
+                rng = f">= {lo_v:g}" if hi_v is None else f"in [{lo_v:g}, {hi_v:g}]"
+                out.append(
+                    f'<circle cx="{sx(t):.1f}" cy="{sy(lo_v):.1f}" r="6" '
+                    f'fill="transparent"><title>'
+                    f"{escape(s['label'])} {d:%Y-%m-%d %H:%M:%S} {escape(rng)}"
+                    f"</title></circle>"
+                )
+            last = [(t, lo_v) for t, lo_v, _ in pts if lo_v is not None]
+            if len(series) >= 2 and len(series) <= 4 and last:
+                t_last, v_last = last[-1]
+                out.append(
+                    f'<text x="{min(sx(t_last) + 6, width - 4):.1f}" '
+                    f'y="{sy(v_last) + 3.5:.1f}" fill="{INK}">'
+                    f"{escape(s['label'])}</text>"
+                )
+            continue
         path = " ".join(
             f"{sx(t):.1f},{sy(v):.1f}" for t, v in pts if v is not None
         )
@@ -269,12 +343,16 @@ _INTERACTIVE_JS = """
     var lg = D.series.length >= 2 ? 22 : 0;
     var pw = W - ml - mr, ph = H - mt - mb - lg, span = e - s;
     var lo = Infinity, hi = -Infinity;
+    function extend(t, v) {
+      if (t >= s && t <= e && v != null) {
+        if (v < lo) lo = v;
+        if (v > hi) hi = v;
+      }
+    }
     D.series.forEach(function (sr) {
       for (var i = 0; i < sr.t.length; i++) {
-        if (sr.t[i] >= s && sr.t[i] <= e && sr.v[i] != null) {
-          if (sr.v[i] < lo) lo = sr.v[i];
-          if (sr.v[i] > hi) hi = sr.v[i];
-        }
+        if (sr.band) { extend(sr.t[i], sr.lo[i]); extend(sr.t[i], sr.hi[i]); }
+        else extend(sr.t[i], sr.v[i]);
       }
     });
     if (!isFinite(lo)) { lo = 0; hi = 1; }
@@ -312,6 +390,45 @@ _INTERACTIVE_JS = """
            (mt + ph) + '" stroke="__INKSEC__" stroke-width="1"/>');
     D.series.forEach(function (sr, si) {
       var color = PAL[si % PAL.length], pts = [];
+      if (sr.band) {
+        // containment band: polygon per contiguous bounded run, lo
+        // drawn as a solid line throughout (clamp-bin hi is null)
+        var run = [], runs = [];
+        for (var i = 0; i < sr.t.length; i++) {
+          if (sr.lo[i] == null) continue;
+          if (sr.hi[i] == null) { if (run.length) { runs.push(run); run = []; } continue; }
+          run.push(i);
+        }
+        if (run.length) runs.push(run);
+        runs.forEach(function (r) {
+          var poly = [];
+          r.forEach(function (i) {
+            poly.push(sx(sr.t[i]).toFixed(1) + ',' + sy(sr.lo[i]).toFixed(1));
+          });
+          for (var k = r.length - 1; k >= 0; k--) {
+            var i = r[k];
+            poly.push(sx(sr.t[i]).toFixed(1) + ',' + sy(sr.hi[i]).toFixed(1));
+          }
+          o.push('<polygon clip-path="url(#plot)" points="' + poly.join(' ') +
+                 '" fill="' + color + '" fill-opacity="0.18" stroke="none"/>');
+        });
+        for (var i = 0; i < sr.t.length; i++) {
+          if (sr.lo[i] != null) pts.push(sx(sr.t[i]).toFixed(1) + ',' + sy(sr.lo[i]).toFixed(1));
+        }
+        o.push('<polyline clip-path="url(#plot)" points="' + pts.join(' ') +
+               '" fill="none" stroke="' + color +
+               '" stroke-width="2" stroke-linejoin="round" stroke-linecap="round"/>');
+        for (var j = 0; j < sr.t.length; j++) {
+          if (sr.lo[j] == null || sr.t[j] < s || sr.t[j] > e) continue;
+          var rng = esc(sr.hi[j] == null ? '>= ' + sr.lo[j]
+                  : 'in [' + sr.lo[j] + ', ' + sr.hi[j] + ']');
+          o.push('<circle cx="' + sx(sr.t[j]).toFixed(1) + '" cy="' + sy(sr.lo[j]).toFixed(1) +
+                 '" r="6" fill="transparent"><title>' + esc(sr.label) + ' ' +
+                 new Date(sr.t[j] * 1000).toISOString().replace('T', ' ').slice(0, 19) +
+                 ' ' + rng + '</title></circle>');
+        }
+        return;
+      }
       for (var i = 0; i < sr.t.length; i++) {
         if (sr.v[i] != null) pts.push(sx(sr.t[i]).toFixed(1) + ',' + sy(sr.v[i]).toFixed(1));
       }
@@ -392,9 +509,15 @@ def render_graph_html(
         def series_payload(s: dict) -> dict:
             # point order matters to the polyline; the server renderer
             # sorts, so the embedded copy does too (one sort per series)
-            # key on timestamp only — tuple tie-breaking would compare
-            # a None value with a float and raise on duplicate stamps
-            pts = sorted(zip(s["timestamps"], s["values"]), key=lambda p: p[0])
+            kind, pts = _series_points(s)
+            if kind == "band":
+                return {
+                    "label": str(s["label"]),
+                    "band": True,
+                    "t": [float(t) for t, _, _ in pts],
+                    "lo": [None if lo is None else float(lo) for _, lo, _ in pts],
+                    "hi": [None if hi is None else float(hi) for _, _, hi in pts],
+                }
             return {
                 "label": str(s["label"]),
                 "t": [float(t) for t, _ in pts],

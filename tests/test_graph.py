@@ -232,6 +232,144 @@ def test_flask_graph_svg_endpoint(spark, tsdb_dir):
     assert r2.is_json  # default JSON contract unchanged
 
 
+def _band_data():
+    """One value series + one bounds series (the graph_data shape for
+    metrics.N.bounds=1 — lo/hi keys, no values; hi None in the clamp
+    bin), with a None-hi point in the middle splitting the band."""
+    return {
+        "interval": (0.0, 600.0),
+        "series": [
+            {
+                "name": "m0",
+                "period": "oneminute",
+                "stat": "avg",
+                "label": "m0 avg",
+                "timestamps": [60.0 * j for j in range(5)],
+                "values": [float(j) for j in range(5)],
+            },
+            {
+                "name": "m0",
+                "period": "oneminute",
+                "stat": "p90",
+                "label": "m0 p90",
+                "timestamps": [60.0 * j for j in range(5)],
+                "lo": [2.0, 2.5, 3.0, 2.0, 2.5],
+                "hi": [3.0, 3.5, None, 3.0, 3.5],
+            },
+        ],
+    }
+
+
+def test_bounds_series_renders_as_band():
+    """ADVICE r11 (high): a bounds series (lo/hi, no 'values') must
+    render — previously KeyError: 'values' → a 500 on /graph?format=svg.
+    The band draws as fill polygons over contiguous bounded runs (the
+    None-hi clamp point splits the band in two) plus a solid lo line."""
+    svg = render_graph_svg(_band_data())
+    root = ET.fromstring(svg)
+    polys = root.findall(f".//{SVG_NS}polygon")
+    assert len(polys) == 2  # split at the None-hi point
+    assert all(p.get("fill") == PALETTE[1] for p in polys)
+    lines = _polylines(svg)
+    assert len(lines) == 2  # the value polyline + the lo polyline
+    titles = root.findall(f".//{SVG_NS}circle/{SVG_NS}title")
+    texts = [t.text for t in titles]
+    assert any("in [2, 3]" in t for t in texts)
+    assert any(">= 3" in t for t in texts)  # unbounded-tail readout
+
+
+def test_bounds_series_extends_y_range():
+    """The y-axis must cover the band's hi values, not just lo."""
+    data = _band_data()
+    data["series"] = [data["series"][1]]  # band only
+    data["series"][0]["hi"] = [30.0, 35.0, None, 30.0, 35.0]
+    svg = render_graph_svg(data)
+    # a y tick at or above 30 exists only if hi entered the extent
+    root = ET.fromstring(svg)
+    labels = [
+        t.text
+        for t in root.findall(f".//{SVG_NS}text")
+        if t.get("text-anchor") == "end"
+    ]
+    assert any(float(v) >= 30 for v in labels)
+
+
+def test_bounds_series_interactive_html(tmp_path):
+    """The client-side layer embeds lo/hi for band series and its JS
+    renderer draws the band after a gesture (node-driven when
+    available); the static fallback must at least produce the page."""
+    import json
+    import re
+    import shutil
+    import subprocess
+
+    html = render_graph_html(_band_data(), interactive=True)
+    m = re.search(r"var D = (\{.*?\});\n", html, re.DOTALL)
+    payload = json.loads(m.group(1))
+    band = payload["series"][1]
+    assert band["band"] is True
+    assert band["lo"] == [2.0, 2.5, 3.0, 2.0, 2.5]
+    assert band["hi"] == [3.0, 3.5, None, 3.0, 3.5]
+    node = shutil.which("node")
+    if node is None:
+        return
+    js = html.split("<script>", 1)[1].rsplit("</script>", 1)[0]
+    shim = """
+var listeners = {};
+var box = {
+  innerHTML: '',
+  addEventListener: function (t, fn) { listeners[t] = fn; },
+  setPointerCapture: function () {},
+  getBoundingClientRect: function () { return { left: 0, width: 900 }; },
+};
+var document = { getElementById: function () { return box; } };
+var requestAnimationFrame = function (fn) { fn(); return 0; };
+"""
+    check = """
+listeners['wheel']({ preventDefault: function(){}, clientX: 300, deltaY: -100 });
+var z = box.innerHTML;
+if ((z.match(/<polygon/g) || []).length !== 2) throw new Error('band polygon count');
+if ((z.match(/<polyline/g) || []).length !== 2) throw new Error('polyline count');
+if (!/in \\[2, 3\\]/.test(z)) throw new Error('band tooltip');
+if (!/&gt;= 3/.test(z)) throw new Error('clamp tooltip');
+console.log('OK');
+"""
+    script = tmp_path / "drive_band.js"
+    script.write_text(shim + js + check)
+    out = subprocess.run(
+        [node, str(script)], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
+def test_flask_graph_bounds_svg_endpoint(spark, tsdb_dir):
+    """End-to-end reproduction of the ADVICE r11 high finding:
+    /graph?...bounds=1&format=svg must return 200 SVG (previously 500
+    via KeyError: 'values'), and format=html must render too."""
+    __import__("pytest").importorskip("flask")
+
+    from smalltsdb_spark.app import create_app
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 1e9, histograms=True)
+    db.insert([("web.b", t, float(v)) for t, v in [(1, 10), (2, 20), (3, 130)]])
+    db.sync()
+    app = create_app(db)
+    client = app.test_client()
+    q = (
+        "/graph?metrics-0-name=web.b&metrics-0-period=onehour"
+        "&metrics-0-stat=p90&metrics-0-bounds=1&start=0&end=7200"
+    )
+    r = client.get(q + "&format=svg")
+    assert r.status_code == 200
+    assert r.mimetype == "image/svg+xml"
+    ET.fromstring(r.get_data(as_text=True))
+    r2 = client.get(q + "&format=html")
+    assert r2.status_code == 200
+    assert "<script>" in r2.get_data(as_text=True)
+
+
 def test_interactive_payload_sorts_none_values_without_typeerror():
     """ADVICE r7: duplicate timestamps where one value is None must not
     raise from tuple tie-breaking in the embedded-series sort."""
