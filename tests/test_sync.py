@@ -757,6 +757,7 @@ def test_histogram_table_synced_incrementally_and_bounds_survive_retention(
         periods=[("tensecond", 10), ("onehour", 3600)],
         now=lambda: clock["now"],
         histograms=True,
+        hist_fine_seconds=10,  # pin the fine grain this test asserts on
     )
     db.insert(
         [("m", float(10 * i), v)
@@ -799,3 +800,159 @@ def test_histogram_table_synced_incrementally_and_bounds_survive_retention(
     assert db.get_metric_bounds("m", "onehour", "p50", (0, 7200)) == [
         (0.0, 100.0, 300.0)
     ]
+
+
+def test_histogram_fine_seconds_default_geometry(spark, tsdb_dir):
+    """hist_fine_seconds (VERDICT r11 item 2): the persisted histogram
+    is decoupled from the store's finest period — default 60 s buckets
+    even when the finest period is 10 s (at a 1 s finest period a
+    finest-grain histogram is ≈ raw-sized, defeating the cascade
+    economics at 100 TB).  Bounds serve any period divisible by the
+    fine grain; others raise the divisibility ValueError."""
+    import pytest
+
+    db = TablesTSDB(
+        spark,
+        tsdb_dir,
+        periods=[("tensecond", 10), ("onehour", 3600)],
+        now=lambda: 1e9,
+        histograms=True,
+    )
+    # rows spread across two 60 s fine buckets of one hour bucket
+    db.insert([("m", float(t), v) for t, v in
+               [(0, 10.0), (30, 60.0), (61, 110.0), (90, 260.0), (119, 510.0)]])
+    db.sync()
+    hist = {
+        (r.timestamp, r.bin): r.n for r in db._histogram_table().collect()
+    }
+    # 60 s buckets: t in [0,60) -> 0.0, t in [60,120) -> 60.0
+    assert hist == {
+        (0.0, 0): 1, (0.0, 1): 1, (60.0, 2): 1, (60.0, 5): 1, (60.0, 10): 1,
+    }
+    # the persisted relation has 2 bucket keys vs 5 at the finest grain
+    # — the compression the knob exists for — and bounds still serve
+    # the hour with the exact same containment values
+    assert db.get_metric_bounds("m", "onehour", "p90", (0, 7200)) == [
+        (0.0, 250.0, 550.0)
+    ]
+    # tensecond (10 s) is not divisible by the 60 s fine grain
+    with pytest.raises(ValueError, match="not a multiple"):
+        db.get_metric_bounds("m", "tensecond", "p90", (0, 7200))
+
+
+def test_histogram_fine_seconds_validation(spark, tsdb_dir):
+    """Config validation: non-positive fine grain refuses; a fine grain
+    dividing NO configured period refuses at open (the histogram could
+    serve bounds for nothing)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="positive integer"):
+        TablesTSDB(spark, tsdb_dir, hist_fine_seconds=0)
+    with pytest.raises(ValueError, match="divides none"):
+        TablesTSDB(
+            spark,
+            tsdb_dir,
+            periods=[("tensecond", 10)],
+            histograms=True,
+            hist_fine_seconds=7,
+        )
+    # without histograms=True the knob is inert config — no divisibility
+    # requirement (the on-the-fly path falls back to the queried period)
+    TablesTSDB(spark, tsdb_dir, periods=[("tensecond", 10)], hist_fine_seconds=7)
+
+
+def test_histogram_geometry_pinned_on_disk(spark, tsdb_dir):
+    """The histogram geometry (bin width, clamp bin, fine seconds) is
+    fixed at store creation: the first histogram write pins a marker,
+    and reopening with ANY different geometry fails eagerly at open —
+    a mixed-geometry histogram would merge garbage (bucket-keyed
+    replacement would interleave two bucket widths)."""
+    import pytest
+
+    clock = {"now": 1e9}
+    db = TablesTSDB(
+        spark, tsdb_dir, now=lambda: clock["now"], histograms=True
+    )
+    db.insert([("m", 0.0, 10.0)])
+    db.sync()
+    # same geometry reopens fine
+    TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"], histograms=True)
+    for kw in (
+        {"hist_fine_seconds": 30},
+        {"hist_bin_width": 25.0},
+        {"hist_clamp_bin": 9},
+    ):
+        with pytest.raises(ValueError, match="geometry"):
+            TablesTSDB(
+                spark, tsdb_dir, now=lambda: clock["now"], histograms=True, **kw
+            )
+
+
+def test_bounds_with_include_partial_raises(spark, tsdb_dir):
+    """ADVICE r11: bounds=True serves final histogram buckets only, so
+    combining it with include_partial=True raises instead of silently
+    dropping the open buckets the caller asked for."""
+    import pytest
+
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 1e9, histograms=True)
+    db.insert([("m", 0.0, 10.0)])
+    db.sync()
+    with pytest.raises(ValueError, match="final histogram buckets only"):
+        db.get_metric(
+            "m", "onehour", "p90", (0, 7200), bounds=True, include_partial=True
+        )
+
+
+def test_histograms_enabled_late_warns_about_missing_history(spark, tsdb_dir):
+    """ADVICE r11: enabling histograms=True on a pre-existing store
+    starts the histogram HWM from scratch while incoming retention may
+    already have dropped old raw rows — sync warns that historical
+    buckets will be absent from bounds reads (rows missing, not
+    wrong)."""
+    import warnings
+
+    clock = {"now": 500.0}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    db.insert([("m", 0.0, 10.0)])
+    db.sync()
+    db2 = TablesTSDB(
+        spark, tsdb_dir, now=lambda: clock["now"], histograms=True
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        db2.sync()
+    assert any("histogram table is empty" in str(x.message) for x in w)
+    # once the histogram has rows, later syncs stay quiet
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        db2.sync()
+    assert not any("histogram table is empty" in str(x.message) for x in w)
+
+
+def test_concurrent_sync_propagates_worker_failure(
+    spark, tsdb_dir, monkeypatch
+):
+    """r12: the default CONCURRENT sync must re-raise a period worker's
+    failure — a plain thread swallows it, leaving the period silently
+    stale while sync reports success (and a timed-out concurrent sync
+    would never surface its TimeoutError).  Retention must not run
+    under a failed aggregate (raw rows would be deleted before ever
+    being aggregated)."""
+    from smalltsdb_spark import storage
+
+    clock = {"now": 100.0}
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: clock["now"])
+    db.insert([("m", 1.0, 1.0)])
+
+    real = storage.overwrite_partitions
+    def exploding(*a, **kw):
+        raise OSError("injected worker failure")
+
+    monkeypatch.setattr(storage, "overwrite_partitions", exploding)
+    with pytest.raises(OSError, match="injected worker failure"):
+        db.sync()  # concurrent=True default
+    monkeypatch.setattr(storage, "overwrite_partitions", real)
+    # the raw row survived (retention skipped) and a retry completes
+    assert db.incoming().count() == 1
+    db.sync()
+    assert db.get_metric("m", "tensecond", "n", (0, 100)) == [(0.0, 1.0)]
