@@ -218,31 +218,24 @@ def read_manifest(path: str) -> dict[int, list[str]] | None:
     makes the one-``os.replace`` commit atomic for the whole table."""
     import json
 
+    from smalltsdb_spark import manifests
+
     p = os.path.join(path, MANIFEST)
     if not os.path.isfile(p):
         return None
     with open(p) as f:
         data = json.load(f)
-    return {int(k): sorted(v) for k, v in data["files"].items()}
+    return manifests.parse_files_payload(data)
 
 
 def write_manifest(path: str, files: dict[int, list[str]]) -> None:
-    """Atomically publish the live-file map (tmp + ``os.replace``) —
-    THE commit point of every manifest-mode mutation."""
-    import json
-    import uuid
+    """Atomically publish the live-file map — THE commit point of every
+    manifest-mode mutation (manifests.atomic_publish_json)."""
+    from smalltsdb_spark import manifests
 
-    payload = {
-        "version": 1,
-        "files": {str(k): sorted(v) for k, v in sorted(files.items()) if v},
-    }
-    p = os.path.join(path, MANIFEST)
-    tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=0)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
+    manifests.atomic_publish_json(
+        os.path.join(path, MANIFEST), manifests.files_payload(files)
+    )
 
 
 def _listing_as_manifest(path: str) -> dict[int, list[str]]:
@@ -301,6 +294,8 @@ def _gc_unmanifested(
     reader ever resolved."""
     import time
 
+    from smalltsdb_spark import manifests
+
     live = {f for fs in manifest.values() for f in fs}
     removed = []
     keep_after = time.time() - min_age_seconds if min_age_seconds > 0 else None
@@ -319,11 +314,9 @@ def _gc_unmanifested(
                 if rel not in live:
                     full = os.path.join(root, f)
                     if keep_after is not None:
-                        try:
-                            if os.path.getmtime(full) > keep_after:
-                                continue
-                        except OSError:
-                            continue  # already gone — racing nobody
+                        if manifests.reap_if_aged(full, keep_after):
+                            removed.append(rel)
+                        continue
                     os.remove(full)
                     removed.append(rel)
             if not os.listdir(root):
@@ -332,16 +325,12 @@ def _gc_unmanifested(
 
 
 def _touch_retired(path: str, rel_files) -> None:
-    """Stamp just-retired data files with the retirement time (utime →
-    now) so :func:`_gc_unmanifested`'s min-age gate measures retirement
-    age, not write age (ADVICE r9).  Called AFTER the manifest commit
-    that retired them; a missing file races nobody (it was already
-    GC'd or never installed)."""
-    for rel in rel_files:
-        try:
-            os.utime(os.path.join(path, rel), None)
-        except OSError:
-            pass
+    """Retirement stamp (manifests.touch_retired): the min-age gate in
+    :func:`_gc_unmanifested` measures retirement age, not write age
+    (ADVICE r9)."""
+    from smalltsdb_spark import manifests
+
+    manifests.touch_retired(path, rel_files)
 
 
 def _install_staged_partition(staged_dir: str, dest_dir: str) -> list[str]:

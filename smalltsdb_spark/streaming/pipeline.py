@@ -255,6 +255,107 @@ def start_rollup_partials(
     return writer.start()
 
 
+def streaming_value_histogram(
+    incoming: DataFrame,
+    fine_seconds: int = 60,
+    tail: float = DEFAULT_TAIL,
+    bin_width: float = 50.0,
+    clamp_bin: int = 19,
+) -> DataFrame:
+    """operators/aggregate.value_histogram in streaming form: tumbling
+    ``fine_seconds`` windows on event time with a ``tail``-second
+    watermark, one count per (path, window, value bin).  Output schema
+    == HIST_SCHEMA (path, timestamp double, bin long, n long), bucket
+    labeled by window start — row-compatible with the batch-synced
+    persisted histogram, so the SAME bounds read
+    (``tsdb.get_metric_bounds_df``) serves either maintenance path.
+
+    In append mode each (path, window, bin) group emits EXACTLY ONCE
+    when the watermark passes the window end — the finality rule — so
+    closed buckets carry complete counts; rows later than the tail are
+    dropped, same as the period rollups.  State is bounded by
+    (active paths × open windows × ≤ clamp_bin+1 bins) counters — a
+    constant factor over the period rollup's state, with none of the
+    exact-percentile value buffering."""
+    bin_ = F.least(
+        F.floor(F.col("value") / F.lit(float(bin_width))), F.lit(int(clamp_bin))
+    ).cast("long")
+    return (
+        incoming.withColumn("_ts", F.timestamp_seconds(F.col("timestamp")))
+        .withWatermark("_ts", f"{int(tail)} seconds")
+        .groupBy(
+            "path",
+            F.window("_ts", f"{int(fine_seconds)} seconds").alias("_w"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "path",
+            F.unix_timestamp("_w.start").cast("double").alias("timestamp"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def start_histogram_rollup(
+    incoming_stream: DataFrame,
+    hist_path: str,
+    checkpoint: str,
+    fine_seconds: int = 60,
+    *,
+    tail: float = DEFAULT_TAIL,
+    interval: str | None = "10 seconds",
+    available_now: bool = False,
+    bin_width: float = 50.0,
+    clamp_bin: int = 19,
+    grain_seconds: int = SECONDS_PER_DAY,
+) -> StreamingQuery:
+    """Always-on maintenance of the persisted fine histogram (VERDICT
+    r11 item 3): the streaming twin of ``TablesTSDB.sync``'s
+    ``run_hist``, so ``get_metric(..., bounds=True)`` works in
+    streaming-only deployments without falling back to raw-incoming
+    scans — the exact cost the histogram cascade exists to avoid.
+
+    Point ``hist_path`` at the store's ``<path>/histogram`` directory
+    and match the store's geometry (``hist_fine_seconds``/
+    ``hist_bin_width``/``hist_clamp_bin``) — the bounds read resolves
+    the same table either way.  Histogram counts are algebraic and
+    append-mode emits each closed (path, window, bin) exactly once, so
+    the parquet file sink IS the LSM append: one O(batch-of-closed-
+    buckets) file per touched partition per trigger, never a table
+    rewrite, with exactly-once across failures from the sink's own
+    ``_spark_metadata`` log (a replayed micro-batch is skipped by the
+    log, not re-appended).  Like every stream-owned table, batch
+    mutators (sync's upsert, compaction, retention) are refused while
+    the log exists — one table, one maintenance flavor
+    (storage._assert_mutable); a retired stream's table converts back
+    with ``storage.decommission_streaming_sink``."""
+    hist = streaming_value_histogram(
+        incoming_stream,
+        fine_seconds,
+        tail=tail,
+        bin_width=bin_width,
+        clamp_bin=clamp_bin,
+    )
+    writer = (
+        hist.withColumn(
+            PARTITION_COLUMN,
+            F.floor(F.col("timestamp") / F.lit(grain_seconds)).cast("long"),
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", hist_path)
+        .partitionBy(PARTITION_COLUMN)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
 def start_rollup(
     incoming_stream: DataFrame,
     period_path: str,

@@ -123,29 +123,25 @@ def _manifest_path(index_base: str, version: int) -> str:
 def _read_manifest(index_base: str, version: int) -> dict[int, list[str]]:
     """The committed ``{prefix: [relative parquet paths]}`` map of one
     version."""
+    from smalltsdb_spark import manifests
+
     with open(_manifest_path(index_base, version)) as f:
         data = json.load(f)
-    return {int(k): sorted(v) for k, v in data["files"].items()}
+    return manifests.parse_files_payload(data)
 
 
 def _write_manifest(
     index_base: str, version: int, files: dict[int, list[str]]
 ) -> None:
-    """Atomically publish one version's live-file map (tmp +
-    ``os.replace``) — THE commit point of the batch's index mutation,
-    mirroring storage.write_manifest."""
-    payload = {
-        "version": 1,
-        "files": {str(k): sorted(v) for k, v in sorted(files.items()) if v},
-    }
+    """Atomically publish one version's live-file map — THE commit point
+    of the batch's index mutation (manifests.atomic_publish_json, the
+    same commit primitive storage.write_manifest uses)."""
+    from smalltsdb_spark import manifests
+
     os.makedirs(index_base, exist_ok=True)
-    p = _manifest_path(index_base, version)
-    tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=0)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
+    manifests.atomic_publish_json(
+        _manifest_path(index_base, version), manifests.files_payload(files)
+    )
 
 
 def _resolve_files(
@@ -231,12 +227,10 @@ def _gc_superseded(
         os.remove(os.path.join(index_base, name))
         removed_manifests.append(v)
     # stamp retirement time so the grace window measures retirement age,
-    # not write age (storage._touch_retired discipline)
-    for rel in retired:
-        try:
-            os.utime(os.path.join(index_base, rel), None)
-        except OSError:
-            pass
+    # not write age (the shared manifests.touch_retired discipline)
+    from smalltsdb_spark import manifests
+
+    manifests.touch_retired(index_base, retired)
     # sweep: unreferenced data files past the grace window (covers both
     # stamped retirees and crashed-writer debris, whose mtime is its
     # write time — the right bound for files no reader ever resolved)
@@ -248,17 +242,20 @@ def _gc_superseded(
         root_dir = os.path.join(index_base, name)
         if not name.startswith("data_b") or not os.path.isdir(root_dir):
             continue
-        parquets: list[str] = []
-        for root, dirs, fs in os.walk(root_dir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            parquets.extend(
-                os.path.join(root, f)
-                for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
+        parquets = manifests.collect_parquets(root_dir)
         rels = {p: os.path.relpath(p, index_base) for p in parquets}
         dead = [p for p in parquets if rels[p] not in live]
         try:
+            if not parquets:
+                # no data files at all — empty/partial writer debris.
+                # ADVICE r11: the all-dead branch was vacuously true here
+                # (all([]) is True), reaping the dir the instant it
+                # appeared; gate on the DIR's own mtime so debris only
+                # goes after the grace window, like any other unresolved
+                # file
+                if os.path.getmtime(root_dir) <= keep_after:
+                    shutil.rmtree(root_dir, ignore_errors=True)
+                continue
             if len(dead) == len(parquets) and all(
                 os.path.getmtime(p) <= keep_after for p in parquets
             ):
@@ -270,12 +267,8 @@ def _gc_superseded(
         except OSError:
             pass
         for p in dead:
-            try:
-                if os.path.getmtime(p) <= keep_after:
-                    os.remove(p)
-                    removed_files.append(rels[p])
-            except OSError:
-                continue
+            if manifests.reap_if_aged(p, keep_after):
+                removed_files.append(rels[p])
     return removed_manifests, removed_files
 
 
@@ -343,8 +336,17 @@ def make_span_dedup_batch_handler(
             if touched:
                 # LSM append: the batch's delta counts land as ONE new
                 # file per touched partition — O(batch) written, the
-                # index is never rewritten here
+                # index is never rewritten here.  ADVICE r11: on an
+                # at-least-once REPLAY after v{b} committed, the first
+                # attempt's dir must not be overwritten in place (Spark
+                # overwrite deletes it, yanking files out from under an
+                # external reader still holding the stale v{b} list
+                # inside its grace window) — the replay writes under an
+                # attempt-unique name and GC reaps the superseded
+                # attempt's files under the normal grace window.
                 data_name = f"data_b{batch_id}"
+                if os.path.exists(os.path.join(index_base, data_name)):
+                    data_name = f"data_b{batch_id}-{uuid.uuid4().hex[:8]}"
                 (
                     delta.select("h", "c", "pfx")
                     .repartition("pfx")
@@ -364,6 +366,8 @@ def make_span_dedup_batch_handler(
                 ]
                 if to_compact:
                     comp_name = f"data_b{batch_id}_c"
+                    if os.path.exists(os.path.join(index_base, comp_name)):
+                        comp_name = f"data_b{batch_id}_c-{uuid.uuid4().hex[:8]}"
                     (
                         _read_files(
                             spark,

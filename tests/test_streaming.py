@@ -10,6 +10,7 @@ Watermark mechanics under test (reference finality semantics, T2/T4):
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from smalltsdb_spark.sources.daemon import SpoolSink
 from smalltsdb_spark.streaming import (
@@ -406,8 +407,9 @@ def test_span_dedup_index_compaction_bounds_files_per_partition(
 ):
     """Size-tiered compaction: appending deltas forever would grow a
     partition's file list without bound; a commit that pushes a
-    partition past compact_files folds it back to ONE file (keyed by
-    the committing batch id, so replay overwrites).  With
+    partition past compact_files folds it back to ONE file (named by
+    the committing batch id; a replay folds into an attempt-unique
+    sibling dir and GC reaps the superseded attempt).  With
     compact_files=2, every committed manifest holds ≤ 2 files per
     partition, and the merged counts stay exact across folds."""
     from smalltsdb_spark.streaming.span_dedup import (
@@ -559,3 +561,257 @@ def test_span_dedup_index_randomized_equals_scratch(spark, tmp_path):
         assert merged == scratch, f"diverged after batch {b}"
         files = _read_manifest(index_base, latest_index_version(index_base))
         assert all(len(fs) <= 3 for fs in files.values()), (b, files)
+
+
+def test_reader_snapshot_survives_concurrent_commit_and_zero_grace_gc(
+    spark, tmp_path
+):
+    """VERDICT r11 item 7 — the LSM index under reader/writer
+    interleaving: a reader that resolved manifest v BEFORE the writer
+    commits v+1 (with GC at ZERO grace) must still find every file of
+    its resolved snapshot on disk and union-sum it to the exact
+    pre-commit relation.  This is the structural guarantee (not a
+    timing one): committing v+1 keeps the pre-state version v and its
+    files LIVE — only versions older than the pre-state are reaped —
+    so the sweep can never yank a current reader's snapshot, even with
+    no grace window at all.  Seeded interleaving over several commits;
+    failures reproduce."""
+    import os
+    import random
+
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_files,
+        _resolve_files,
+        make_span_dedup_batch_handler,
+    )
+
+    rng = random.Random(20260817)
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=3, min_count=2, n_prefixes=4,
+        gc_grace_seconds=0.0, compact_files=3,
+    )
+    vocab = ["w1", "w2", "w3", "w4"]
+    for b in range(5):
+        # reader phase: resolve the newest committed snapshot and pin
+        # its expected relation BEFORE the writer moves
+        version, files = _resolve_files(index_base)
+        rels = [f for fs in files.values() for f in fs]
+        expected = None
+        if rels:
+            expected = {
+                (r.h, r.c)
+                for r in _read_files(spark, index_base, rels)
+                .groupBy("h")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .collect()
+            }
+        # writer phase: commit the next batch; GC runs at zero grace
+        docs = [
+            (
+                100 * b + j,
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 7))),
+            )
+            for j in range(rng.randint(1, 3))
+        ]
+        handle(spark.createDataFrame(docs, "doc_id long, text string"), b)
+        # reader completes AFTER the commit: every resolved file must
+        # still exist, and the snapshot must still sum identically
+        for rel in rels:
+            assert os.path.isfile(os.path.join(index_base, rel)), (
+                f"reader snapshot file {rel} vanished during commit {b}"
+            )
+        if expected is not None:
+            got = {
+                (r.h, r.c)
+                for r in _read_files(spark, index_base, rels)
+                .groupBy("h")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .collect()
+            }
+            assert got == expected, f"snapshot diverged during commit {b}"
+
+
+def test_replay_writes_attempt_unique_dir_preserving_stale_readers(
+    spark, tmp_path
+):
+    """ADVICE r11: an at-least-once replay of batch b AFTER v{b}
+    committed must not overwrite data_b{b} in place — Spark overwrite
+    deletes the dir, yanking files from an external reader still
+    holding the stale v{b} list inside its grace window.  The replay
+    writes an attempt-unique dir; the stale files survive (grace) and
+    both manifests' lists read to the same relation."""
+    import os
+
+    from smalltsdb_spark.streaming.span_dedup import (
+        _read_files,
+        _read_manifest,
+        make_span_dedup_batch_handler,
+    )
+
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=3, min_count=2, n_prefixes=4,
+        gc_grace_seconds=300.0,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id long, text string"
+    )
+    handle(df, 0)
+    stale = _read_manifest(index_base, 0)
+    stale_rels = [f for fs in stale.values() for f in fs]
+    assert stale_rels and all(f.startswith("data_b0/") for f in stale_rels)
+
+    def relation(rels):
+        return {
+            (r.h, r.c)
+            for r in _read_files(spark, index_base, rels)
+            .groupBy("h")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .collect()
+        }
+
+    before = relation(stale_rels)
+    handle(df, 0)  # replay after commit
+    fresh = _read_manifest(index_base, 0)
+    fresh_rels = [f for fs in fresh.values() for f in fs]
+    # the replay landed in an attempt-unique sibling, not data_b0
+    assert all(not f.startswith("data_b0/") for f in fresh_rels), fresh_rels
+    # the stale reader's files are all still present and sum unchanged
+    for rel in stale_rels:
+        assert os.path.isfile(os.path.join(index_base, rel))
+    assert relation(stale_rels) == before == relation(fresh_rels)
+
+
+def test_empty_batch_dir_debris_respects_grace_window(spark, tmp_path):
+    """ADVICE r11: a data_b* dir holding ZERO parquet files (partial
+    writer debris) was reaped instantly — the all-dead branch is
+    vacuously true on an empty list.  It must honor the same grace
+    window as every other unresolved file: fresh debris survives a
+    commit, aged debris is swept."""
+    import os
+    import time as _time
+
+    from smalltsdb_spark.streaming.span_dedup import (
+        make_span_dedup_batch_handler,
+    )
+
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=3, min_count=2, n_prefixes=4,
+        gc_grace_seconds=60.0,
+    )
+    fresh_debris = os.path.join(index_base, "data_b90")
+    aged_debris = os.path.join(index_base, "data_b91")
+    os.makedirs(fresh_debris)
+    os.makedirs(aged_debris)
+    old = _time.time() - 3600
+    os.utime(aged_debris, (old, old))
+    handle(
+        spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"),
+        0,
+    )
+    assert os.path.isdir(fresh_debris), "fresh debris reaped inside grace"
+    assert not os.path.isdir(aged_debris), "aged debris must be swept"
+
+
+def test_histogram_rollup_exactly_once_across_restarts(spark, tmp_path):
+    """VERDICT r11 item 3 — streaming maintenance of the persisted
+    histogram: append-mode watermark finality emits each (path, fine
+    bucket, bin) count exactly once; a restarted query (same
+    checkpoint) resumes without duplicating; rows later than the tail
+    are dropped (same T4 rule as the period rollups); and the
+    stream-maintained table serves bounds through the SAME TablesTSDB
+    read path as the batch-synced one, which in turn refuses to
+    batch-mutate the stream-owned table."""
+    from smalltsdb_spark.operators.aggregate import value_histogram
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_histogram_rollup
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    hist_path = os.path.join(store, "histogram")
+
+    def run_once():
+        q = start_histogram_rollup(
+            spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+            hist_path,
+            ckpt,
+            10,
+            bin_width=1.0,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    def hist():
+        from smalltsdb_spark import storage
+        from smalltsdb_spark.schemas import HIST_SCHEMA
+
+        return {
+            (r.path, r.timestamp, r.bin): r.n
+            for r in storage.read_table(spark, hist_path, HIST_SCHEMA).collect()
+        }
+
+    inc_rows = [(p, float(t), float(v)) for p, t, v in GOLDEN_A_INPUT]
+    spark.createDataFrame(inc_rows, INCOMING_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # max event time ~12 → watermark 0 → nothing final yet
+    assert hist() == {}
+
+    # restart with a clock-advancing row: watermark 140 closes every
+    # golden bucket; counts equal the batch value_histogram exactly
+    spark.createDataFrame(
+        [("_clock", 200.0, 0.0)], INCOMING_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    expected = {
+        (r.path, r.timestamp, r.bin): r.n
+        for r in value_histogram(
+            spark.createDataFrame(inc_rows, INCOMING_SCHEMA), 10, bin_width=1.0
+        ).collect()
+    }
+    assert hist() == expected
+
+    # late rows behind the watermark are dropped; a replayed restart
+    # changes nothing (the sink log + state make re-runs no-ops)
+    spark.createDataFrame(
+        [("one", 3.0, 99.0)], INCOMING_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()
+    assert hist() == expected
+
+    # the stream-maintained table serves bounds through the standard
+    # read path (no sync ever ran), with the store's matching geometry
+    db = TablesTSDB(
+        spark,
+        store,
+        periods=[("tensecond", 10), ("onehour", 3600)],
+        now=lambda: 300.0,
+        histograms=True,
+        hist_fine_seconds=10,
+        hist_bin_width=1.0,
+    )
+    got = db.get_metric_bounds("one", "tensecond", "p50", (0, 100))
+    # every exact golden p50 must lie inside its [lo, hi) bin bounds
+    exact = {
+        (r[0], r[1]): r[7] for r in GOLDEN_A_TENSECOND
+    }  # (path, ts) -> p50
+    assert got, "bounds read from the stream-maintained table is empty"
+    for ts, lo, hi in got:
+        p50 = exact[("one", ts)]
+        assert lo - 1e-9 <= p50 and (hi is None or p50 <= hi + 1e-9)
+    # one table, one maintenance flavor: the batch syncer refuses to
+    # mutate the stream-owned histogram (the file-sink log owns it) —
+    # the row must be FINAL at now=300 (t=100 < finality cut 240) or
+    # the upsert early-returns before ever touching storage
+    db.insert([("one", 100.0, 1.0)])
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        db.sync()
