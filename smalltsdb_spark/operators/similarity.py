@@ -41,7 +41,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smalltsdb_spark.functions import cosine_similarity, dot_product_fixed
@@ -518,6 +518,55 @@ def semantic_near_dup_pairs_incremental(
 
     return both.groupBy("_list").applyInPandas(
         score_cluster, "cluster int, id_a long, id_b long, sim double"
+    )
+
+
+def semantic_index_append(
+    new_vecs: DataFrame,
+    index_path: str,
+    C: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Advance a PERSISTED SemDeDup/IVF corpus index by one ingested
+    batch (VERDICT r11 item 5 — the index-advance half every other
+    incremental dedup family already ships: minhash appends its band
+    table, spans their shingle index; without this, callers of
+    :func:`semantic_near_dup_pairs_incremental` had to hand-maintain
+    the ``corpus_index`` relation).
+
+    Assigns the batch to the FROZEN centroids ``C`` (the ones the index
+    was built with — never retrain mid-index: assignments would shift
+    and old and new rows would disagree about cluster membership) and
+    APPENDS the ``ivf_assign`` rows partitioned by ``_list`` — the same
+    layout the incremental probe prunes on, so a later batch's
+    touched-cluster read is a partition prune, not a scan.  Cost is one
+    batch-sized GEMM + one partitioned append; the corpus is never
+    re-read.
+
+    At-least-once callers (foreachBatch replays) should stage each
+    batch under a batch-keyed subdirectory or dedup on ``neighbor_id``
+    downstream — plain append is not idempotent (the storage/manifest
+    protocols in ``storage.py`` / ``streaming/span_dedup.py`` are the
+    transactional options when that matters)."""
+    (
+        ivf_assign(new_vecs, id_col, vec_col, C)
+        .write.mode("append")
+        .partitionBy("_list")
+        .parquet(index_path)
+    )
+
+
+def semantic_index_load(spark: SparkSession, index_path: str) -> DataFrame:
+    """The persisted corpus index back in :func:`ivf_assign`'s schema
+    (``_list`` is the partition column on disk, so its type is restored
+    explicitly; column order matters to ``unionByName`` callers not at
+    all, but the contract schema is pinned here)."""
+    return spark.read.parquet(index_path).select(
+        "neighbor_id",
+        "_v",
+        F.col("_list").cast("int").alias("_list"),
+        F.col("_n").cast("double").alias("_n"),
     )
 
 
