@@ -96,3 +96,151 @@ def reap_if_aged(full_path: str, keep_after: float) -> bool:
     except OSError:
         pass
     return False
+
+
+# ---------------------------------------------------------------------------
+# Batch-versioned manifests (the streaming-index protocol)
+# ---------------------------------------------------------------------------
+#
+# The single-manifest tables above have ONE live-file map swapped per
+# mutation; streaming indexes (span_dedup's shingle counts, semantic
+# dedup's assigned-vector lists) version theirs BY BATCH ID instead:
+# processing batch ``b`` resolves the newest committed
+# ``manifest_v{n}.json`` with ``n < b`` (a replay of ``b`` ignores its
+# own half-committed version) and commits ``manifest_v{b}.json``.
+# foreachBatch delivers batch b only after b-1's checkpoint committed,
+# so at most the pre-state and the new version are ever live — GC reaps
+# everything older plus data files referenced by no live manifest, under
+# the same retirement-stamp grace window as the single-manifest GC.
+
+import re as _re
+
+VERSION_RE = _re.compile(r"^manifest_v(\d+)\.json$")
+
+
+def latest_version(base: str, before: int | None = None) -> int | None:
+    """Newest committed version, optionally restricted to versions
+    strictly below ``before`` (the replay rule).  None when no committed
+    version qualifies — a version counts once its manifest JSON exists
+    (published by atomic rename, so presence is commit)."""
+    if not os.path.isdir(base):
+        return None
+    best = None
+    for name in os.listdir(base):
+        m = VERSION_RE.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if before is not None and v >= before:
+            continue
+        if best is None or v > best:
+            best = v
+    return best
+
+
+def version_path(base: str, version: int) -> str:
+    return os.path.join(base, f"manifest_v{version}.json")
+
+
+def read_version(base: str, version: int) -> dict[int, list[str]]:
+    """The committed ``{partition: [relative parquet paths]}`` map of
+    one version."""
+    with open(version_path(base, version)) as f:
+        return parse_files_payload(json.load(f))
+
+
+def write_version(base: str, version: int, files: dict[int, list[str]]) -> None:
+    """Atomically publish one version's live-file map — THE commit
+    point of the batch's index mutation."""
+    os.makedirs(base, exist_ok=True)
+    atomic_publish_json(version_path(base, version), files_payload(files))
+
+
+def resolve_version(
+    base: str, before: int | None = None
+) -> tuple[int | None, dict[int, list[str]]]:
+    """(version, files map) of the newest committed manifest (< before),
+    or (None, {}) for a fresh store."""
+    v = latest_version(base, before)
+    if v is None:
+        return None, {}
+    return v, read_version(base, v)
+
+
+def gc_superseded_versions(
+    base: str,
+    committed_version: int,
+    pre_version: int | None,
+    live: set[str],
+    grace_seconds: float,
+    data_prefix: str = "data_b",
+) -> tuple[list[int], list[str]]:
+    """Bound version count and disk after the ``v{committed_version}``
+    commit: delete manifests older than the pre-state version (the
+    replay rule never resolves them again), retirement-stamp their
+    newly-unreferenced data files, and remove unreferenced files whose
+    retirement age exceeds the grace window.  A ``data_prefix`` dir
+    holding ZERO parquet files (partial writer debris) is reaped only
+    once the DIR's own mtime passes the grace window (ADVICE r11: the
+    all-dead branch is vacuously true on an empty list).  Returns
+    (removed manifest versions, removed relative file paths)."""
+    import shutil
+    import time
+
+    removed_manifests: list[int] = []
+    retired: set[str] = set()
+    for name in list(os.listdir(base)):
+        m = VERSION_RE.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v == committed_version or (pre_version is not None and v == pre_version):
+            continue
+        if v > committed_version:
+            continue  # a future writer's version is never ours to GC
+        try:
+            for fs in read_version(base, v).values():
+                retired.update(f for f in fs if f not in live)
+        except OSError:
+            pass
+        os.remove(os.path.join(base, name))
+        removed_manifests.append(v)
+    touch_retired(base, retired)
+    removed_files: list[str] = []
+    keep_after = time.time() - grace_seconds
+    for name in list(os.listdir(base)):
+        root_dir = os.path.join(base, name)
+        if not name.startswith(data_prefix) or not os.path.isdir(root_dir):
+            continue
+        parquets = collect_parquets(root_dir)
+        rels = {p: os.path.relpath(p, base) for p in parquets}
+        dead = [p for p in parquets if rels[p] not in live]
+        try:
+            if not parquets:
+                if os.path.getmtime(root_dir) <= keep_after:
+                    shutil.rmtree(root_dir, ignore_errors=True)
+                continue
+            if len(dead) == len(parquets) and all(
+                os.path.getmtime(p) <= keep_after for p in parquets
+            ):
+                # nothing live left under this batch dir: remove the
+                # whole tree, writer markers (_SUCCESS) included
+                shutil.rmtree(root_dir, ignore_errors=True)
+                removed_files.extend(rels[p] for p in dead)
+                continue
+        except OSError:
+            pass
+        for p in dead:
+            if reap_if_aged(p, keep_after):
+                removed_files.append(rels[p])
+    return removed_manifests, removed_files
+
+
+def attempt_unique_dir(base: str, preferred: str) -> str:
+    """``preferred`` when free, else an attempt-unique sibling name — an
+    at-least-once replay must never overwrite a committed attempt's dir
+    in place (Spark overwrite deletes it, yanking files from stale
+    readers inside their grace window; ADVICE r11)."""
+    if not os.path.exists(os.path.join(base, preferred)):
+        return preferred
+    return f"{preferred}-{uuid.uuid4().hex[:8]}"

@@ -5556,3 +5556,79 @@ def stream_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bad.cast("long")).alias("violations"),
         F.count(F.lit(1)).alias("buckets"),
     )
+
+
+def _stream_semantic_oracle() -> str:
+    """Streaming SemDeDup oracle: the handler's time-ordered contract —
+    pairs emitted at batch b = frozen-centroid pairs over batches 0..b
+    touching b — makes the UNION over all batches exactly the FULL
+    frozen-centroid pair relation, each pair once (at the first batch
+    where both sides exist).  So the oracle is the full pair set with
+    centroids trained on the seed corpus (vec_id % 5 > 1), and any
+    double-emission or missed cross-batch pair flips the hash."""
+    return _semantic_oracle_sql("stream", "WHERE vec_id % 5 > 1", "TRUE")
+
+
+@query("stream_semantic_dedup", _stream_semantic_oracle)
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as a CONTINUOUS ingestion stage (r12 — the semantic
+    family's streaming shape, completing the column streaming spans
+    already have; streaming/semantic_dedup.py): embeddings arrive in
+    three micro-batches (seed corpus vec_id % 5 > 1, then % 5 == 0,
+    then % 5 == 1 — mtime-ordered files, maxFilesPerTrigger=1,
+    availableNow drain); each foreachBatch probes the batch against the
+    PERSISTED cluster-partitioned index for semantic near-dup pairs
+    (frozen centroids, touched clusters only — one batch×cluster GEMM),
+    writes the pairs batch-keyed, APPENDS the batch's assigned rows to
+    the index (one file per touched cluster; attempt-unique on replay),
+    and commits ``manifest_v{b}`` under the shared batch-versioned
+    manifest protocol (manifests.py — the span_dedup discipline:
+    idempotent, restart-safe, ≤ 2 live manifests, grace-window GC,
+    size-tiered compaction).
+
+    Scale shape per trigger: batch assignment GEMM + a partition-pruned
+    read of the touched clusters + an O(batch) append — the corpus is
+    never re-embedded, re-clustered, re-scored, or re-written outside
+    amortized compaction.  The oracle is exact because the union over
+    batches must reconstruct the full frozen-centroid pair relation
+    with no duplicates."""
+    import os
+
+    from smalltsdb_spark.queries import _scratch_dir
+    from smalltsdb_spark.streaming.semantic_dedup import (
+        make_semantic_dedup_batch_handler,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 5 > 1)
+    C = similarity.ivf_train(
+        corpus, "vec_id", "embedding",
+        n_centroids=SEMANTIC_CLUSTERS, seed=42,
+    )
+    base = _scratch_dir("stream_sem_dedup_")
+    staging, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    splits = [corpus, emb.filter(F.col("vec_id") % 5 == 0),
+              emb.filter(F.col("vec_id") % 5 == 1)]
+    for i, df in enumerate(splits):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/b{i}")
+    # FileStreamSource orders by mtime: force strict batch order
+    for i in (0, 1):
+        for root, _dirs, fs in os.walk(f"{staging}/b{i}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (float(i), float(i)))
+
+    handle = make_semantic_dedup_batch_handler(
+        spark, f"{base}/index", out, C, "vec_id", "embedding",
+        threshold=SEMANTIC_THRESHOLD,
+    )
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/b*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).drop("batch")

@@ -67,16 +67,14 @@ compaction.
 
 from __future__ import annotations
 
-import json
 import os
-import re
-import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MANIFEST_RE = re.compile(r"^manifest_v(\d+)\.json$")
+from smalltsdb_spark import manifests
+
+_MANIFEST_RE = manifests.VERSION_RE
 
 #: default hash-prefix fan-out of the partitioned index — 64 directories
 #: keeps driver-scale listings cheap; at 100 TB size it so one partition's
@@ -96,63 +94,16 @@ DEFAULT_GC_GRACE_SECONDS = 300.0
 DEFAULT_COMPACT_FILES = 4
 
 
-def latest_index_version(index_base: str, before: int | None = None) -> int | None:
-    """Newest committed index version, optionally restricted to versions
-    strictly below ``before`` (the replay rule).  None when no committed
-    version qualifies — a version counts once its manifest JSON exists
-    (published by atomic rename, so presence is commit)."""
-    if not os.path.isdir(index_base):
-        return None
-    best = None
-    for name in os.listdir(index_base):
-        m = _MANIFEST_RE.match(name)
-        if not m:
-            continue
-        v = int(m.group(1))
-        if before is not None and v >= before:
-            continue
-        if best is None or v > best:
-            best = v
-    return best
-
-
-def _manifest_path(index_base: str, version: int) -> str:
-    return os.path.join(index_base, f"manifest_v{version}.json")
-
-
-def _read_manifest(index_base: str, version: int) -> dict[int, list[str]]:
-    """The committed ``{prefix: [relative parquet paths]}`` map of one
-    version."""
-    from smalltsdb_spark import manifests
-
-    with open(_manifest_path(index_base, version)) as f:
-        data = json.load(f)
-    return manifests.parse_files_payload(data)
-
-
-def _write_manifest(
-    index_base: str, version: int, files: dict[int, list[str]]
-) -> None:
-    """Atomically publish one version's live-file map — THE commit point
-    of the batch's index mutation (manifests.atomic_publish_json, the
-    same commit primitive storage.write_manifest uses)."""
-    from smalltsdb_spark import manifests
-
-    os.makedirs(index_base, exist_ok=True)
-    manifests.atomic_publish_json(
-        _manifest_path(index_base, version), manifests.files_payload(files)
-    )
-
-
-def _resolve_files(
-    index_base: str, before: int | None = None
-) -> tuple[int | None, dict[int, list[str]]]:
-    """(version, files map) of the newest committed manifest (< before),
-    or (None, {}) for a fresh store."""
-    v = latest_index_version(index_base, before)
-    if v is None:
-        return None, {}
-    return v, _read_manifest(index_base, v)
+# The batch-versioned manifest protocol (resolve-before / atomic
+# version publish / pre-state-preserving GC) is shared machinery since
+# r12 — smalltsdb_spark.manifests owns it; the names below are this
+# module's historical public surface (tests and the semantic handler's
+# twin import them).
+latest_index_version = manifests.latest_version
+_manifest_path = manifests.version_path
+_read_manifest = manifests.read_version
+_write_manifest = manifests.write_version
+_resolve_files = manifests.resolve_version
 
 
 def _read_files(
@@ -193,83 +144,7 @@ def read_index(
     )
 
 
-def _gc_superseded(
-    index_base: str,
-    committed_version: int,
-    pre_version: int | None,
-    live: set[str],
-    grace_seconds: float,
-) -> tuple[list[int], list[str]]:
-    """Bound version count and disk after the ``v{committed_version}``
-    commit: delete manifests older than the pre-state version (the
-    replay rule never resolves them again — batch ``b`` replays read
-    the newest version < b, and batches ≤ b-1 never replay once b was
-    delivered), retirement-stamp their newly-unreferenced data files,
-    and remove unreferenced files whose retirement age exceeds the
-    grace window.  Returns (removed manifest versions, removed relative
-    file paths)."""
-    removed_manifests: list[int] = []
-    retired: set[str] = set()
-    for name in list(os.listdir(index_base)):
-        m = _MANIFEST_RE.match(name)
-        if not m:
-            continue
-        v = int(m.group(1))
-        if v == committed_version or (pre_version is not None and v == pre_version):
-            continue
-        if v > committed_version:
-            continue  # a future writer's version is never ours to GC
-        try:
-            for fs in _read_manifest(index_base, v).values():
-                retired.update(f for f in fs if f not in live)
-        except OSError:
-            pass
-        os.remove(os.path.join(index_base, name))
-        removed_manifests.append(v)
-    # stamp retirement time so the grace window measures retirement age,
-    # not write age (the shared manifests.touch_retired discipline)
-    from smalltsdb_spark import manifests
-
-    manifests.touch_retired(index_base, retired)
-    # sweep: unreferenced data files past the grace window (covers both
-    # stamped retirees and crashed-writer debris, whose mtime is its
-    # write time — the right bound for files no reader ever resolved)
-    import shutil
-
-    removed_files: list[str] = []
-    keep_after = time.time() - grace_seconds
-    for name in list(os.listdir(index_base)):
-        root_dir = os.path.join(index_base, name)
-        if not name.startswith("data_b") or not os.path.isdir(root_dir):
-            continue
-        parquets = manifests.collect_parquets(root_dir)
-        rels = {p: os.path.relpath(p, index_base) for p in parquets}
-        dead = [p for p in parquets if rels[p] not in live]
-        try:
-            if not parquets:
-                # no data files at all — empty/partial writer debris.
-                # ADVICE r11: the all-dead branch was vacuously true here
-                # (all([]) is True), reaping the dir the instant it
-                # appeared; gate on the DIR's own mtime so debris only
-                # goes after the grace window, like any other unresolved
-                # file
-                if os.path.getmtime(root_dir) <= keep_after:
-                    shutil.rmtree(root_dir, ignore_errors=True)
-                continue
-            if len(dead) == len(parquets) and all(
-                os.path.getmtime(p) <= keep_after for p in parquets
-            ):
-                # nothing live left under this batch dir: remove the whole
-                # tree, writer markers (_SUCCESS) included
-                shutil.rmtree(root_dir, ignore_errors=True)
-                removed_files.extend(rels[p] for p in dead)
-                continue
-        except OSError:
-            pass
-        for p in dead:
-            if manifests.reap_if_aged(p, keep_after):
-                removed_files.append(rels[p])
-    return removed_manifests, removed_files
+_gc_superseded = manifests.gc_superseded_versions
 
 
 def make_span_dedup_batch_handler(
@@ -344,9 +219,9 @@ def make_span_dedup_batch_handler(
                 # inside its grace window) — the replay writes under an
                 # attempt-unique name and GC reaps the superseded
                 # attempt's files under the normal grace window.
-                data_name = f"data_b{batch_id}"
-                if os.path.exists(os.path.join(index_base, data_name)):
-                    data_name = f"data_b{batch_id}-{uuid.uuid4().hex[:8]}"
+                data_name = manifests.attempt_unique_dir(
+                    index_base, f"data_b{batch_id}"
+                )
                 (
                     delta.select("h", "c", "pfx")
                     .repartition("pfx")
@@ -365,9 +240,9 @@ def make_span_dedup_batch_handler(
                     p for p in touched if len(new_files[p]) > compact_files
                 ]
                 if to_compact:
-                    comp_name = f"data_b{batch_id}_c"
-                    if os.path.exists(os.path.join(index_base, comp_name)):
-                        comp_name = f"data_b{batch_id}_c-{uuid.uuid4().hex[:8]}"
+                    comp_name = manifests.attempt_unique_dir(
+                        index_base, f"data_b{batch_id}_c"
+                    )
                     (
                         _read_files(
                             spark,

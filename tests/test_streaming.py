@@ -815,3 +815,84 @@ def test_histogram_rollup_exactly_once_across_restarts(spark, tmp_path):
     db.insert([("one", 100.0, 1.0)])
     with pytest.raises(ValueError, match="_spark_metadata"):
         db.sync()
+
+
+def test_semantic_dedup_handler_union_equals_frozen_full(spark, tmp_path):
+    """Streaming SemDeDup (r12 — streaming/semantic_dedup.py): three
+    batches driven through the handler directly; the union of the
+    batch-keyed pair outputs must equal the full frozen-centroid
+    SemDeDup pair relation (each pair once, at the first batch where
+    both sides exist); a replay after commit must change nothing
+    visible, land in an attempt-unique dir, and keep the stale
+    attempt's files inside the grace window; the advanced index must
+    round-trip to exactly ivf_assign over everything ingested."""
+    from smalltsdb_spark.operators import similarity
+    from smalltsdb_spark.streaming.semantic_dedup import (
+        make_semantic_dedup_batch_handler,
+        read_semantic_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 5 > 1)
+    b1 = emb.filter(F.col("vec_id") % 5 == 0)
+    b2 = emb.filter(F.col("vec_id") % 5 == 1)
+    C = similarity.ivf_train(corpus, "vec_id", "embedding", n_centroids=8, seed=7)
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_semantic_dedup_batch_handler(
+        spark, index_base, out, C, "vec_id", "embedding",
+        threshold=0.3, gc_grace_seconds=300.0, compact_files=2,
+    )
+    for b, df in enumerate([corpus, b1, b2]):
+        handle(df, b)
+
+    def pairs():
+        return {
+            (r.cluster, r.id_a, r.id_b, r.sim)
+            for r in spark.read.parquet(out).select(
+                "cluster", "id_a", "id_b", "sim"
+            ).collect()
+        }
+
+    full = {
+        (r.cluster, r.id_a, r.id_b, r.sim)
+        for r in similarity.semantic_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, centroids=C
+        ).collect()
+    }
+    got = pairs()
+    assert got == full
+    assert full, "fixture yields no pairs — weak test"
+    # per-batch counts must sum to the union size: no pair twice
+    per_batch = sum(
+        spark.read.parquet(os.path.join(out, f"batch={b}")).count()
+        for b in range(3)
+    )
+    assert per_batch == len(full)
+
+    # replay of batch 2 after commit: output unchanged, index files of
+    # the first attempt survive (grace), new manifest points elsewhere
+    from smalltsdb_spark import manifests
+
+    _, files_before = manifests.resolve_version(index_base)
+    rels_before = [f for fs in files_before.values() for f in fs]
+    handle(b2, 2)
+    assert pairs() == full
+    for rel in rels_before:
+        assert os.path.isfile(os.path.join(index_base, rel)), (
+            f"stale reader file {rel} vanished on replay"
+        )
+    # the advanced index equals ivf_assign over everything ingested
+    idx = {
+        (r.neighbor_id, r._list)
+        for r in read_semantic_index(spark, index_base).collect()
+    }
+    scratch = {
+        (r.neighbor_id, r._list)
+        for r in similarity.ivf_assign(emb, "vec_id", "embedding", C).collect()
+    }
+    assert idx == scratch
+    # compaction bound holds on the committed manifest
+    _, files = manifests.resolve_version(index_base)
+    assert all(len(fs) <= 2 for fs in files.values()), files
