@@ -259,6 +259,7 @@ def main() -> None:
     io_record: dict[str, dict[str, int]] = {}
     deferred: dict[str, object] = {}  # name -> run_once, re-measured at suite end
     noise_record: dict[str, str] = {}  # name -> noise_class of the flagged delta
+    runners: dict[str, object] = {}  # name -> run_once, for the floor-retry pass
     measured_count = {"n": 0}
 
     def noise_class(d: dict[str, int]) -> str:
@@ -299,6 +300,7 @@ def main() -> None:
         if measured_count["n"] % 20 == 0:
             take_probes(name)
         measured_count["n"] += 1
+        runners[name] = run_once
         runs = []
         io_before = io_after = {}
         for _ in range(2):
@@ -537,6 +539,46 @@ def main() -> None:
     except Exception:
         all_floors = {}
     floors = {k: float(v) for k, v in all_floors.get(sf_key, {}).items()}
+
+    # Floor-triggered retry (r12): an entry that would be environment-
+    # annotated (>3x its cross-session floor with a >2 s gap) gets ONE
+    # more isolated re-measure at the very end of the suite — a
+    # different noise window with high probability — and the LOWER
+    # median of all its runs is recorded: the deferral discipline,
+    # triggered by the ledger instead of the session's own min (the r12
+    # clean session still annotated 8 entries whose solo re-runs were
+    # fine; most would have been rescued by one more end-of-suite run).
+    # A real regression re-measures high and stays annotated.  Entries
+    # whose workload is no longer runnable (the join tables are dropped
+    # by now) are skipped by the try/except.
+    retried: list[str] = []
+    for name in sorted(timings):
+        fl = floors.get(name)
+        run_once = runners.get(name)
+        official = timings[name]
+        if (
+            not fl
+            or fl <= 0
+            or run_once is None
+            or not (official > 3 * fl and official - fl > 2.0)
+        ):
+            continue
+        try:
+            isolate()
+            io_b = stage_totals()
+            extra = round(run_once(), 3)
+            io_a = stage_totals()
+        except Exception:
+            continue  # workload context gone — leave the record as-is
+        runs_record[name] = runs_record[name] + [extra]
+        if io_b and io_a:
+            io_record[name] = {
+                k: io_a.get(k, 0) - io_b.get(k, 0) for k in io_a
+            }
+        rs = sorted(runs_record[name])
+        timings[name] = rs[(len(rs) - 1) // 2]
+        retried.append(name)
+
     floor_ratios: dict[str, float] = {}
     environment: list[str] = []
     for name, official in timings.items():
@@ -591,6 +633,9 @@ def main() -> None:
         # deferred end-of-suite re-measure (recorded value = lower median
         # of all runs; see measure()/settle_deferred)
         "deferred": deferred_names,
+        # entries given the floor-triggered end-of-suite re-measure
+        # (recorded value = lower median of all runs; see the retry pass)
+        "retried": retried,
         # per-entry official/best-ever ratio against the cross-session
         # floor ledger (BENCH_FLOORS.json, detail file only), and the
         # entries annotated as environment-distorted (>3x floor + the
