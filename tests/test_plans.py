@@ -6,6 +6,8 @@ sides, map-side partial aggregation, and bounded shuffle counts.  A
 regression here is invisible at sf0.001 and fatal at 100 TB.
 """
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -714,3 +716,52 @@ def test_curate_learned_adds_only_the_classifier_exchanges(spark):
     }
     assert len(keys) == 3, sorted(keys)
     assert all(cols <= {"doc_id", "lang", "text"} for cols in scan_columns(df))
+
+
+def test_bounds_read_prunes_the_stream_owned_histogram(spark, tmp_path):
+    """r12: the bounds read must keep its pushdown/pruning shape when
+    the histogram table is STREAM-maintained (start_histogram_rollup) —
+    the table is read through the file-sink's _spark_metadata log
+    (MetadataLogFileIndex), and a log-based scan that stopped pushing
+    the path/time filters or started reading extra columns would
+    silently turn the cascade read into a full-table scan in always-on
+    deployments."""
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_histogram_rollup
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    store, src, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = [("one", float(t), float(v)) for t, v in [(0, 10), (30, 60), (70, 120)]]
+    spark.createDataFrame(
+        rows + [("_clock", 100000.0, 0.0)], INCOMING_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_histogram_rollup(
+        spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+        os.path.join(store, "histogram"),
+        ckpt,
+        60,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    db = TablesTSDB(
+        spark,
+        store,
+        periods=[("oneminute", 60), ("onehour", 3600)],
+        now=lambda: 200000.0,
+        histograms=True,
+    )
+    df = db.get_metric_bounds_df("one", "onehour", "p90", (0, 7200))
+    filters = " ".join(pushed_filters(df))
+    assert "EqualTo(path,one)" in filters
+    assert "GreaterThanOrEqual(timestamp," in filters
+    assert "LessThanOrEqual(timestamp," in filters
+    for cols in scan_columns(df):
+        assert cols <= {"path", "timestamp", "bin", "n"}, cols
+    # and the read really is log-resolved, not a directory listing
+    from smalltsdb_spark import storage
+
+    assert storage.is_streaming_sink(os.path.join(store, "histogram"))
