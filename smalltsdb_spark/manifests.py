@@ -70,17 +70,31 @@ def touch_retired(base: str, rel_files) -> None:
             pass
 
 
+def is_hidden_name(name: str) -> bool:
+    """Spark's file-index visibility rule (InMemoryFileIndex): a name
+    is hidden when it starts with ``.``, or starts with ``_`` WITHOUT
+    containing ``=`` — ``_temporary``/``_SUCCESS`` are hidden, but a
+    partition directory for an underscore-named column (``_list=3``,
+    the semantic index's cluster partitioning) is DATA.  ADVICE r12
+    (high): pruning all ``_``-prefixed dirs made every live ``_list=*``
+    partition scan as empty writer debris, so GC rmtree'd
+    manifest-referenced index files once the dir aged past grace."""
+    return name.startswith(".") or (name.startswith("_") and "=" not in name)
+
+
 def collect_parquets(root_dir: str) -> list[str]:
     """Every committed data file under ``root_dir`` (full paths),
     skipping in-flight/hidden entries (``_temporary``, dotfiles) — the
-    same visibility rule as Spark's file index."""
+    same visibility rule as Spark's file index (see
+    :func:`is_hidden_name` for the ``=``-exemption that keeps
+    underscore-column partition dirs visible)."""
     out: list[str] = []
     for root, dirs, fs in os.walk(root_dir):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        dirs[:] = [d for d in dirs if not is_hidden_name(d)]
         out.extend(
             os.path.join(root, f)
             for f in fs
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+            if f.endswith(".parquet") and not is_hidden_name(f)
         )
     return out
 

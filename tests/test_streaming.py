@@ -896,3 +896,55 @@ def test_semantic_dedup_handler_union_equals_frozen_full(spark, tmp_path):
     # compaction bound holds on the committed manifest
     _, files = manifests.resolve_version(index_base)
     assert all(len(fs) <= 2 for fs in files.values()), files
+
+
+def test_semantic_dedup_zero_grace_gc_keeps_live_index(spark, tmp_path):
+    """ADVICE r12 (high) reproduction at the subsystem level: with
+    ``gc_grace_seconds=0`` every per-batch GC pass runs its aged-debris
+    branches immediately.  Before the manifests.py visibility fix the
+    ``_list=N`` partition dirs were pruned as hidden, every live
+    ``data_b*`` dir scanned as zero parquet files, and GC rmtree'd
+    manifest-referenced index files — corpus silently lost after one
+    batch.  Every committed-manifest file must survive, and the index
+    must still equal ivf_assign over everything ingested."""
+    from smalltsdb_spark import manifests
+    from smalltsdb_spark.operators import similarity
+    from smalltsdb_spark.streaming.semantic_dedup import (
+        make_semantic_dedup_batch_handler,
+        read_semantic_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 4 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 2)
+    C = similarity.ivf_train(corpus, "vec_id", "embedding", n_centroids=8, seed=7)
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_semantic_dedup_batch_handler(
+        spark, index_base, out, C, "vec_id", "embedding",
+        threshold=0.3, gc_grace_seconds=0.0, compact_files=2,
+    )
+    for b, df in enumerate([corpus, b1, b2]):
+        handle(df, b)
+        # every file the just-committed manifest references is on disk
+        v, files = manifests.resolve_version(index_base)
+        assert v == b
+        for rel in (f for fs in files.values() for f in fs):
+            assert os.path.isfile(os.path.join(index_base, rel)), (
+                f"batch {b}: live manifest-referenced file {rel} was "
+                "GC'd as debris (underscore-partition visibility bug)"
+            )
+    idx = {
+        (r.neighbor_id, r._list)
+        for r in read_semantic_index(spark, index_base).collect()
+    }
+    ingested = emb.filter(F.col("vec_id") % 4 != 3)
+    scratch = {
+        (r.neighbor_id, r._list)
+        for r in similarity.ivf_assign(
+            ingested, "vec_id", "embedding", C
+        ).collect()
+    }
+    assert idx == scratch and idx, "index lost corpus under zero-grace GC"
