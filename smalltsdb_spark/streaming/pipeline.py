@@ -320,7 +320,12 @@ def start_histogram_rollup(
     Point ``hist_path`` at the store's ``<path>/histogram`` directory
     and match the store's geometry (``hist_fine_seconds``/
     ``hist_bin_width``/``hist_clamp_bin``) — the bounds read resolves
-    the same table either way.  Histogram counts are algebraic and
+    the same table either way, and the geometry is ENFORCED: this
+    function write-or-verifies the table's ``_geometry.json`` pin
+    (storage.pin_histogram_geometry, the marker TablesTSDB pins on its
+    first batch histogram write) before ``start()``, so a store later
+    opened with a different geometry fails eagerly instead of serving
+    silently mis-binned bounds.  Histogram counts are algebraic and
     append-mode emits each closed (path, window, bin) exactly once, so
     the parquet file sink IS the LSM append: one O(batch-of-closed-
     buckets) file per touched partition per trigger, never a table
@@ -331,6 +336,20 @@ def start_histogram_rollup(
     the log exists — one table, one maintenance flavor
     (storage._assert_mutable); a retired stream's table converts back
     with ``storage.decommission_streaming_sink``."""
+    from smalltsdb_spark import storage as _storage
+
+    # write-or-verify the geometry pin BEFORE the query starts: the
+    # rows this stream appends are meaningless without it, and a
+    # mismatched pin (another maintainer used a different geometry)
+    # must fail here, not mis-bin bounds later
+    _storage.pin_histogram_geometry(
+        hist_path,
+        {
+            "bin_width": float(bin_width),
+            "clamp_bin": int(clamp_bin),
+            "fine_seconds": int(fine_seconds),
+        },
+    )
     hist = streaming_value_histogram(
         incoming_stream,
         fine_seconds,

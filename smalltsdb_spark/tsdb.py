@@ -209,46 +209,17 @@ class BaseTSDB:
         }
 
     def _pin_hist_geometry(self, write: bool = True) -> None:
-        """Pin the persisted histogram's geometry with a marker file.
-
-        The geometry decides what every (timestamp, bin, n) row MEANS —
-        opening an existing histograms=True store with a different bin
-        width, clamp bin, or fine period would silently merge
-        incompatible counts (bucket-keyed replacement would interleave
-        two bucket widths), so a mismatch is a hard error at open/write
-        time, not a corruption discovered in a bounds read.  Same
-        tmp+rename + re-read-after-replace discipline as
-        storage.pin_grain (two concurrent creators with different
-        geometries: last replace wins, the loser fails)."""
-        import json as _json
-        import uuid as _uuid
-
-        marker = os.path.join(self.path, "histogram", "_geometry.json")
-        want = self._hist_geometry()
-        if os.path.isfile(marker):
-            with open(marker) as f:
-                existing = _json.load(f)
-            if existing != want:
-                raise ValueError(
-                    f"histogram table at {self.path!r} was created with "
-                    f"geometry {existing}; cannot open with {want} — "
-                    "rebuild the histogram table to change its geometry"
-                )
-            return
-        if not write:
-            return
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        tmp = f"{marker}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            _json.dump(want, f)
-        os.replace(tmp, marker)
-        with open(marker) as f:
-            final = _json.load(f)
-        if final != want:
-            raise ValueError(
-                f"histogram table at {self.path!r} was concurrently "
-                f"pinned to geometry {final}; cannot open with {want}"
-            )
+        """Pin/verify the persisted histogram's geometry marker
+        (storage.pin_histogram_geometry — shared with the streaming
+        maintenance path, which pins the same marker before start()).
+        A mismatch, or a non-empty table with no marker at all, is a
+        hard error at open/write/read time, not a corruption discovered
+        in a bounds read."""
+        storage.pin_histogram_geometry(
+            os.path.join(self.path, "histogram"),
+            self._hist_geometry(),
+            write=write,
+        )
 
     def _pin_grain(self) -> None:
         """Write-path hook: pin the grain markers (first write creates
@@ -660,9 +631,14 @@ class TablesTSDB(BaseTSDB):
         """The persisted fine histogram (histograms=True): maintained by
         sync at the finest period under the same finality rule as the
         period tables, so bounds reads serve FINAL buckets and survive
-        incoming retention."""
+        incoming retention.  Re-verifies the geometry pin at READ time
+        (not just open): a stream may have started maintaining the table
+        after this handle opened over an empty directory, and a
+        non-empty table with a missing/mismatched pin must refuse to
+        serve bounds rather than silently mis-bin them."""
         if not self.histograms:
             return None
+        self._pin_hist_geometry(write=False)
         return storage.read_table(
             self.spark, os.path.join(self.path, "histogram"), HIST_SCHEMA
         )

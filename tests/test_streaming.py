@@ -948,3 +948,177 @@ def test_semantic_dedup_zero_grace_gc_keeps_live_index(spark, tmp_path):
         ).collect()
     }
     assert idx == scratch and idx, "index lost corpus under zero-grace GC"
+
+
+def test_stream_histogram_geometry_pin_written_and_enforced(spark, tmp_path):
+    """VERDICT r12 item 1: start_histogram_rollup write-or-verifies the
+    SAME _geometry.json pin the batch path creates (tsdb.py
+    _pin_hist_geometry), BEFORE the query starts.  A store opened with
+    a different geometry over the stream-maintained table must raise
+    the existing geometry ValueError instead of silently serving
+    mis-binned bounds; a second maintainer with mismatched geometry
+    must fail before start()."""
+    import json
+
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_histogram_rollup
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    hist_path = os.path.join(store, "histogram")
+    spark.createDataFrame(
+        [("one", 5.0, 42.0)], INCOMING_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_histogram_rollup(
+        spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+        hist_path,
+        str(tmp_path / "ckpt"),
+        10,
+        bin_width=10.0,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    with open(os.path.join(hist_path, storage.HIST_GEOMETRY_MARKER)) as f:
+        assert json.load(f) == {
+            "bin_width": 10.0, "clamp_bin": 19, "fine_seconds": 10,
+        }
+    # default-geometry open (bin_width=50) over the bin_width=10 table
+    with pytest.raises(ValueError, match="geometry"):
+        TablesTSDB(spark, store, histograms=True, hist_fine_seconds=10)
+    # matching geometry opens fine
+    TablesTSDB(
+        spark, store, histograms=True,
+        hist_fine_seconds=10, hist_bin_width=10.0,
+    )
+    # a second maintainer with a DIFFERENT geometry fails before start
+    with pytest.raises(ValueError, match="geometry"):
+        start_histogram_rollup(
+            spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+            hist_path,
+            str(tmp_path / "ckpt2"),
+            60,
+            bin_width=50.0,
+        )
+
+
+def test_unpinned_nonempty_histogram_refused(spark, tmp_path):
+    """A non-empty histogram table with NO geometry pin (legacy stream
+    data, foreign files) is refused at open AND at bounds-read time —
+    its rows' bin width/clamp/fine period are unknowable."""
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    store = str(tmp_path / "store")
+    hist_dir = os.path.join(store, "histogram")
+    # empty dir (markers only) is fine to open
+    os.makedirs(hist_dir)
+    db = TablesTSDB(spark, store, histograms=True, now=lambda: 1000.0)
+    # unpinned data appears AFTER open (e.g. an old-version stream):
+    # the read path re-verifies and refuses
+    os.makedirs(os.path.join(hist_dir, "pday=0"))
+    with open(os.path.join(hist_dir, "pday=0", "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    with pytest.raises(ValueError, match="no _geometry.json pin"):
+        db.get_metric_bounds("one", "tensecond", "p50", (0, 100))
+    # and a fresh open refuses eagerly
+    with pytest.raises(ValueError, match="no _geometry.json pin"):
+        TablesTSDB(spark, store, histograms=True)
+
+
+def test_histogram_stream_to_batch_decommission_handover(spark, tmp_path):
+    """VERDICT r12 item 6: full stream→batch ownership round-trip for
+    the HISTOGRAM table.  A stream maintains it (geometry-pinned); the
+    retired stream's table is decommissioned; a batch TablesTSDB then
+    continues the SAME table with sync() — the new buckets append next
+    to the stream's, bounds reads serve the union correctly, and the
+    geometry pin survives the handover (a wrong-geometry open still
+    raises)."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.operators.aggregate import value_histogram
+    from smalltsdb_spark.schemas import HIST_SCHEMA, INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_histogram_rollup
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    hist_path = os.path.join(store, "histogram")
+    inc_rows = [(p, float(t), float(v)) for p, t, v in GOLDEN_A_INPUT]
+    spark.createDataFrame(
+        inc_rows + [("_clock", 200.0, 0.0)], INCOMING_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_histogram_rollup(
+        spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+        hist_path,
+        str(tmp_path / "ckpt"),
+        10,
+        bin_width=1.0,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    def hist():
+        return {
+            (r.path, r.timestamp, r.bin): r.n
+            for r in storage.read_table(
+                spark, hist_path, HIST_SCHEMA
+            ).collect()
+        }
+
+    golden_hist = {
+        (r.path, r.timestamp, r.bin): r.n
+        for r in value_histogram(
+            spark.createDataFrame(inc_rows, INCOMING_SCHEMA), 10, bin_width=1.0
+        ).collect()
+    }
+    assert hist() == golden_hist, "stream phase did not finalize goldens"
+
+    # retire the stream; hand the table to batch ownership
+    assert storage.decommission_streaming_sink(hist_path)
+    db = TablesTSDB(
+        spark, store,
+        periods=[("tensecond", 10), ("onehour", 3600)],
+        now=lambda: 1000.0,
+        histograms=True,
+        hist_fine_seconds=10,
+        hist_bin_width=1.0,
+    )
+    new_rows = [("one", 300.0, 2.0), ("one", 303.0, 7.0), ("one", 412.0, 4.0)]
+    db.insert(new_rows)
+    db.sync()  # was a ValueError while the stream owned the table
+    expected = dict(golden_hist)
+    expected.update(
+        {
+            (r.path, r.timestamp, r.bin): r.n
+            for r in value_histogram(
+                spark.createDataFrame(new_rows, INCOMING_SCHEMA),
+                10,
+                bin_width=1.0,
+            ).collect()
+        }
+    )
+    assert hist() == expected, "batch sync did not continue the table"
+    # bounds serve the union: stream-written and batch-written buckets
+    got = dict()
+    for ts, lo, hi in db.get_metric_bounds(
+        "one", "tensecond", "p50", (0, 500)
+    ):
+        got[ts] = (lo, hi)
+    exact = {
+        (r[0], r[1]): r[7] for r in GOLDEN_A_TENSECOND
+    }  # (path, ts) -> p50
+    exact[("one", 300.0)] = 4.5  # p50 of {2, 7}
+    exact[("one", 410.0)] = 4.0
+    for (path, ts), p50 in exact.items():
+        if path != "one":
+            continue
+        lo, hi = got[ts]
+        assert lo - 1e-9 <= p50 and (hi is None or p50 <= hi + 1e-9), (
+            ts, lo, hi, p50,
+        )
+    # geometry pin survived the handover
+    with pytest.raises(ValueError, match="geometry"):
+        TablesTSDB(
+            spark, store, histograms=True,
+            hist_fine_seconds=10, hist_bin_width=2.0,
+        )
