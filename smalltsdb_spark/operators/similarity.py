@@ -548,7 +548,10 @@ def semantic_index_append(
     batch under a batch-keyed subdirectory or dedup on ``neighbor_id``
     downstream — plain append is not idempotent (the storage/manifest
     protocols in ``storage.py`` / ``streaming/span_dedup.py`` are the
-    transactional options when that matters)."""
+    transactional options when that matters).  A MANIFEST-MANAGED index
+    (``streaming/semantic_dedup.py``) is refused outright — see
+    :func:`_refuse_manifest_managed`."""
+    _refuse_manifest_managed(index_path, "append into")
     (
         ivf_assign(new_vecs, id_col, vec_col, C)
         .write.mode("append")
@@ -557,11 +560,45 @@ def semantic_index_append(
     )
 
 
+def _refuse_manifest_managed(index_path: str, op: str) -> None:
+    """Refuse directory-level reads/appends of a batch-versioned,
+    manifest-managed index (VERDICT r12 item 2, the
+    storage._assert_mutable twin).  A streaming semantic index
+    (``streaming/semantic_dedup.py``) keeps superseded replay attempts
+    and pre-compaction files LIVE ON DISK inside their GC grace window
+    — only the committed ``manifest_v{b}.json`` says which files are
+    current — so a directory read silently double-counts rows and a
+    directory append writes files no manifest will ever reference.
+    Use ``streaming.semantic_dedup.read_semantic_index`` instead."""
+    import os
+
+    try:
+        names = os.listdir(index_path)
+    except OSError:
+        return
+    from smalltsdb_spark.manifests import VERSION_RE
+
+    if any(VERSION_RE.match(n) for n in names):
+        raise ValueError(
+            f"cannot {op} {index_path!r} as a directory: the index is "
+            "manifest-managed (manifest_v*.json present) — superseded "
+            "replay attempts and pre-compaction files are live on disk "
+            "inside their grace window, so a directory read "
+            "double-counts and a directory append is invisible to the "
+            "manifest.  Read it with "
+            "smalltsdb_spark.streaming.semantic_dedup.read_semantic_index; "
+            "advance it through its foreachBatch handler."
+        )
+
+
 def semantic_index_load(spark: SparkSession, index_path: str) -> DataFrame:
     """The persisted corpus index back in :func:`ivf_assign`'s schema
     (``_list`` is the partition column on disk, so its type is restored
     explicitly; column order matters to ``unionByName`` callers not at
-    all, but the contract schema is pinned here)."""
+    all, but the contract schema is pinned here).  Refuses a
+    manifest-managed streaming index (:func:`_refuse_manifest_managed`
+    — directory-reading one double-counts superseded files)."""
+    _refuse_manifest_managed(index_path, "directory-read")
     return spark.read.parquet(index_path).select(
         "neighbor_id",
         "_v",

@@ -606,3 +606,32 @@ def test_semantic_index_append_two_batch_differential(spark, tmp_path):
     assert any(a % 5 == 0 or b % 5 == 0 for _, a, b, _s in inc), (
         "no pair against batch 1 — the advanced index was not probed"
     )
+
+
+def test_semantic_index_refuses_manifest_managed_dirs(spark, tmp_path):
+    """VERDICT r12 item 2: a batch-versioned manifest-managed index
+    (streaming/semantic_dedup.py) keeps superseded replay attempts live
+    on disk inside their grace window, so directory-reading it silently
+    double-counts and directory-appending writes files no manifest
+    references.  Both batch helpers must refuse with a pointer to
+    read_semantic_index."""
+    import numpy as np
+
+    from smalltsdb_spark import manifests
+
+    index_path = str(tmp_path / "stream_idx")
+    manifests.write_version(index_path, 0, {})
+    C = np.eye(2)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="read_semantic_index"):
+        similarity.semantic_index_load(spark, index_path)
+    with pytest.raises(ValueError, match="read_semantic_index"):
+        similarity.semantic_index_append(
+            vecs, index_path, C, "vec_id", "embedding"
+        )
+    # a plain (non-manifest) index still loads/appends fine
+    plain = str(tmp_path / "plain_idx")
+    similarity.semantic_index_append(vecs, plain, C, "vec_id", "embedding")
+    assert similarity.semantic_index_load(spark, plain).count() == 1
