@@ -561,6 +561,10 @@ def main() -> None:
     # whose workload is no longer runnable (the join tables are dropped
     # by now) are skipped by the try/except.
     retried: list[str] = []
+    # io delta of the ORIGINAL (distorted) measurement for entries the
+    # retry pass re-runs — noise_class must attribute the run that
+    # earned the annotation, not the retry (ADVICE r12)
+    pre_retry_io: dict[str, dict[str, int]] = {}
     # the pass is wall-clock-BOUNDED: on a badly noisy host every retry
     # can itself stall (observed: a 131 s re-run of an 8 s workload), and
     # an unbounded pass could push the whole bench past the driver's
@@ -590,11 +594,23 @@ def main() -> None:
             continue  # workload context gone — leave the record as-is
         runs_record[name] = runs_record[name] + [extra]
         if io_b and io_a:
+            # keep the DISTORTED run's io fingerprint for noise
+            # classification (ADVICE r12: overwriting it here made
+            # noise_class attribute the retry run's io, not the run
+            # that earned the annotation) — it lands in the detail
+            # record under "io_pre_retry"; "io" shows the retry's delta
+            pre_retry_io.setdefault(name, dict(io_record.get(name, {})))
             io_record[name] = {
                 k: io_a.get(k, 0) - io_b.get(k, 0) for k in io_a
             }
         rs = sorted(runs_record[name])
-        timings[name] = rs[(len(rs) - 1) // 2]
+        # the rescue pass must never WORSEN the record it repairs
+        # (ADVICE r12): an official from min-of-2 agreement plus one
+        # stalled retry would make median-of-3 the HIGHER agreeing run
+        # (e.g. agreeing [4.0, 7.9] official 4.0, a 131 s stalled retry
+        # lifts the median to 7.9) — record min(previous official,
+        # median of all runs)
+        timings[name] = min(official, rs[(len(rs) - 1) // 2])
         retried.append(name)
 
     floor_ratios: dict[str, float] = {}
@@ -610,8 +626,13 @@ def main() -> None:
             # unannotated); the class itself is recorded per entry.
             if official > 3 * fl and official - fl > 2.0:
                 environment.append(name)
+                # classify from the ORIGINAL run's io delta when the
+                # retry pass overwrote it (ADVICE r12)
                 noise_record.setdefault(
-                    name, noise_class(io_record.get(name, {}))
+                    name,
+                    noise_class(
+                        pre_retry_io.get(name, io_record.get(name, {}))
+                    ),
                 )
         # Floor update rule (r12 — VERDICT r11 item 1): floors advance
         # from the OFFICIAL value only, never from raw runs.  Raw-run
@@ -631,6 +652,15 @@ def main() -> None:
         all_floors[sf_key] = dict(sorted(floors.items()))
         with open(floors_path, "w") as f:
             json.dump(dict(sorted(all_floors.items())), f, indent=1)
+
+    _ratios = sorted(floor_ratios.values())
+    session_noise = {
+        "median_floor_ratio": (
+            _ratios[(len(_ratios) - 1) // 2] if _ratios else None
+        ),
+        "entries_over_3x_floor": sum(1 for r in _ratios if r > 3.0),
+        "entries_with_floor": len(_ratios),
+    }
 
     result = {
         "metric": "suite_total_wall_sec",
@@ -656,10 +686,20 @@ def main() -> None:
         "retried": retried,
         # per-entry official/best-ever ratio against the cross-session
         # floor ledger (BENCH_FLOORS.json, detail file only), and the
-        # entries annotated as environment-distorted (>3x floor + the
-        # collapse io fingerprint on this session's own delta)
+        # entries annotated as environment-distorted (official >3x its
+        # floor with a >2 s absolute gap — wall-time evidence alone;
+        # the io fingerprint only CLASSIFIES the mode, it no longer
+        # gates the annotation)
         "floor_ratios": floor_ratios,
         "environment": sorted(environment),
+        # ONE-GLANCE session health (VERDICT r12 item 4): the r12
+        # driver record needed a cross-reference against the committed
+        # clean session to see the whole host was ~1.4x inflated —
+        # median floor_ratio across all floored entries plus the
+        # >3x-floor count makes a noisy session self-describing, so a
+        # reader can tell host noise from code regressions without
+        # another record
+        "session_noise": session_noise,
         # the noise MODE behind every deferred or environment-annotated
         # entry: cpu-collapse | gc-storm | stall | no-io-evidence (r12 —
         # the fingerprint class belongs in the record)
@@ -670,6 +710,9 @@ def main() -> None:
         # stall windows are attributable per entry now
         "probes": probes,
         "io": io_record,
+        # original (pre-retry) io deltas for retried entries — the
+        # fingerprints noise_class classified (ADVICE r12)
+        "io_pre_retry": pre_retry_io,
     }
 
     # The driver's capture keeps only the LAST 2000 chars of stdout and
@@ -704,6 +747,7 @@ def main() -> None:
         line = dict(result)
         line.pop("runs", None)  # raw runs live in the detail file only
         line.pop("io", None)
+        line.pop("io_pre_retry", None)
         line.pop("probes", None)
         line.pop("floor_ratios", None)  # detail file only; stdout keeps
         # the compact "environment" list — the annotation a reader of

@@ -141,3 +141,166 @@ def test_gc_empty_batch_dir_still_reaped_as_debris(tmp_path):
     _age(os.path.join(base, "data_b0"))
     manifests.gc_superseded_versions(base, 1, 0, live=set(), grace_seconds=0.0)
     assert not os.path.exists(os.path.join(base, "data_b0"))
+
+
+# ---------------------------------------------------------------------------
+# Property tests (VERDICT r12 item 7): randomized writer/replay/zombie
+# interleavings over the batch-versioned protocol.  Pure-Python model of
+# the foreachBatch handlers' manifest ops (semantic_dedup.handle's shape
+# without Spark): each "file" is a JSON token list named *.parquet, so
+# collect_parquets/GC see exactly the real layout (including the
+# underscore partition dirs), and compaction unions token sets the way
+# the real one unions immutable rows.
+# ---------------------------------------------------------------------------
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_COMPACT = 3
+
+
+def _write_tokens(path: str, tokens: set[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(sorted(tokens), f)
+
+
+def _read_tokens(base: str, rels: list[str]) -> set[str]:
+    out: set[str] = set()
+    for rel in rels:
+        with open(os.path.join(base, rel)) as f:
+            out.update(json.load(f))
+    return out
+
+
+def _process_batch(base: str, batch_id: int, parts: list[int],
+                   grace: float) -> None:
+    """One handler invocation: resolve pre-state (< batch_id), append
+    one delta file per touched partition under an attempt-unique
+    data_b{batch_id}/_list={p}/ dir, compact partitions past the file
+    bound, commit manifest_v{batch_id}, GC."""
+    pre_v, pre_files = manifests.resolve_version(base, before=batch_id)
+    new_files = dict(pre_files)
+    data_name = manifests.attempt_unique_dir(base, f"data_b{batch_id}")
+    for p in parts:
+        rel = os.path.join(data_name, f"_list={p}", "part-0.parquet")
+        _write_tokens(os.path.join(base, rel), {f"b{batch_id}p{p}"})
+        new_files[p] = pre_files.get(p, []) + [rel]
+    to_compact = [p for p in parts if len(new_files[p]) > _COMPACT]
+    if to_compact:
+        comp = manifests.attempt_unique_dir(base, f"data_b{batch_id}_c")
+        for p in to_compact:
+            rel = os.path.join(comp, f"_list={p}", "part-0.parquet")
+            _write_tokens(
+                os.path.join(base, rel), _read_tokens(base, new_files[p])
+            )
+            new_files[p] = [rel]
+    manifests.write_version(base, batch_id, new_files)
+    live = {
+        f
+        for fm in (new_files, pre_files)
+        for fs in fm.values()
+        for f in fs
+    }
+    manifests.gc_superseded_versions(base, batch_id, pre_v, live, grace)
+
+
+def _assert_resolved_state(base: str, want_version: int,
+                           model: dict[int, set[str]]) -> None:
+    v, files = manifests.resolve_version(base)
+    assert v == want_version
+    for p, toks in model.items():
+        rels = files.get(p, [])
+        for rel in rels:
+            assert os.path.isfile(os.path.join(base, rel)), (
+                f"live manifest-referenced file {rel} missing"
+            )
+        assert _read_tokens(base, rels) == toks, f"partition {p} corpus lost"
+    assert set(files) == {p for p, t in model.items() if t}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.booleans(),  # True = at-least-once replay of the latest batch
+            st.sets(st.integers(0, 2), min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_property_sequential_replays_never_lose_corpus(tmp_path_factory, steps):
+    """At-least-once single-stream orderings at ZERO grace: every step
+    either advances to a new batch or replays the latest committed one
+    (commit succeeded, checkpoint lost).  After EVERY commit+GC, the
+    resolved manifest must be the newest batch, every referenced file
+    must exist, and the token union per partition must equal the model
+    (the union of all batches that touched it, compaction included) —
+    zero grace makes every superseded file instantly sweep-eligible, so
+    any over-eager GC surfaces immediately."""
+    base = str(tmp_path_factory.mktemp("idx"))
+    model: dict[int, set[str]] = {0: set(), 1: set(), 2: set()}
+    next_batch = 0
+    last_parts: list[int] | None = None
+    for is_replay, parts_set in steps:
+        if is_replay and last_parts is not None:
+            batch_id, parts = next_batch - 1, last_parts  # same data again
+        else:
+            batch_id, parts = next_batch, sorted(parts_set)
+            next_batch += 1
+            last_parts = parts
+        _process_batch(base, batch_id, parts, grace=0.0)
+        for p in parts:
+            model[p].add(f"b{batch_id}p{p}")
+        _assert_resolved_state(base, next_batch - 1, model)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_batches=st.integers(2, 6),
+    zombie_of=st.integers(0, 4),
+    parts_per_batch=st.lists(
+        st.sets(st.integers(0, 2), min_size=1, max_size=3),
+        min_size=6,
+        max_size=6,
+    ),
+)
+def test_property_zombie_gc_never_touches_future_state(
+    tmp_path_factory, n_batches, zombie_of, parts_per_batch
+):
+    """A ZOMBIE writer (crash-recovery leftover) re-running an OLD
+    batch's commit+GC while the stream has already advanced: its GC
+    must never remove the newer manifests (the future-version skip,
+    manifests.py) and — inside the grace window — never remove their
+    files, so the current reader's resolved state is untouched.  The
+    zombie's own manifest replace is benign: nothing resolves an old
+    version while a newer one exists."""
+    base = str(tmp_path_factory.mktemp("idx"))
+    model: dict[int, set[str]] = {0: set(), 1: set(), 2: set()}
+    for b in range(n_batches):
+        parts = sorted(parts_per_batch[b])
+        _process_batch(base, b, parts, grace=3600.0)
+        for p in parts:
+            model[p].add(f"b{b}p{p}")
+    latest = n_batches - 1
+    _assert_resolved_state(base, latest, model)
+    manifests_before = {
+        n for n in os.listdir(base) if manifests.VERSION_RE.match(n)
+    }
+    # zombie replays an older batch end-to-end (same data)
+    z = min(zombie_of, latest - 1)
+    _process_batch(base, z, sorted(parts_per_batch[z]), grace=3600.0)
+    # every manifest that existed before the zombie still exists (the
+    # future-version skip: v > committed is never the zombie's to GC);
+    # the zombie may only have ADDED its own v{z} back
+    manifests_after = {
+        n for n in os.listdir(base) if manifests.VERSION_RE.match(n)
+    }
+    assert manifests_before <= manifests_after, (
+        f"zombie GC of batch {z} removed manifests "
+        f"{manifests_before - manifests_after}"
+    )
+    _assert_resolved_state(base, latest, model)
