@@ -5632,3 +5632,108 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(out).drop("batch")
+
+
+@query(
+    "stream_histogram_handover",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS buckets
+    FROM (
+        SELECT floor(epoch(ts) / 3600) * 3600 AS b
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    """,
+)
+def stream_histogram_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OWNERSHIP ROUND-TRIP of the persisted histogram (r13 —
+    VERDICT r12 item 6 made driver-certified): the time-older half of
+    the events mapping is maintained by the STREAMING rollup
+    (start_histogram_rollup, availableNow drain — every bucket closes
+    under the clock row), the retired stream's table is decommissioned
+    (storage.decommission_streaming_sink removes the sink log, making
+    batch mutation legal again), and a batch TablesTSDB then CONTINUES
+    the same table: the newer half is inserted and sync()'s run_hist
+    appends its buckets next to the stream's (the histogram HWM comes
+    from the table itself, so the batch writer picks up exactly where
+    the stream stopped — the phase cut is aligned to the 60 s fine
+    grain, so no fine bucket straddles the two writers).
+
+    The value gate is containment over the UNION: every hour bucket's
+    exact raw p90 (computed over BOTH halves) must lie inside the
+    bounds served from the handed-over table — a lost stream bucket, a
+    lost batch bucket, or a geometry drift across the handover flips
+    (violations, buckets) against the oracle's (0, n).  The geometry
+    pin written by the stream (storage.pin_histogram_geometry) is
+    verified by the batch open and re-verified by the bounds read.
+
+    Scale shape: the handover itself is O(1) (delete one log dir); the
+    batch continuation writes only buckets above the stream's HWM —
+    nothing is ever recomputed or rewritten across the boundary."""
+    import math
+
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.operators.aggregate import aggregate
+    from smalltsdb_spark.queries import (
+        STREAM_STATE_PARTITIONS,
+        _scratch_dir,
+        _stream_state_partitions,
+        events_as_incoming,
+    )
+    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+    from smalltsdb_spark.streaming import start_histogram_rollup
+    from smalltsdb_spark.tsdb import TablesTSDB
+
+    inc = events_as_incoming(spark, sf_dir)
+    lo, hi = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+    # phase cut on a fine-bucket boundary: stream owns [lo, cut),
+    # batch owns [cut, hi] — no 60 s bucket straddles the writers
+    cut = 60.0 * math.floor(((lo + hi) / 2.0) / 60.0)
+    base = _scratch_dir("stream_hist_handover_")
+    src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+    clock = spark.createDataFrame(
+        [("_clock", 3_999_999_999.0, 0.0)], INCOMING_SCHEMA
+    )
+    (
+        inc.filter(F.col("timestamp") < cut)
+        .unionByName(clock)
+        .coalesce(4)
+        .write.mode("append")
+        .parquet(src)
+    )
+    with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = start_histogram_rollup(
+            spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+            f"{store}/histogram",
+            ckpt,
+            60,
+            available_now=True,
+        )
+        q.awaitTermination(600)
+    # retire the stream; hand the table to batch ownership
+    storage.decommission_streaming_sink(f"{store}/histogram")
+    db = TablesTSDB(
+        spark,
+        store,
+        periods=[("oneminute", 60), ("onehour", 3600)],
+        now=lambda: 4_000_000_000.0,
+        histograms=True,
+    )
+    db.insert(inc.filter(F.col("timestamp") >= cut))
+    db.sync()
+    bounds = db.get_metric_bounds_df(
+        "click", "onehour", "p90", (0.0, 4_000_000_000.0)
+    )
+    exact = (
+        aggregate(inc.filter(F.col("path") == "click"), 3600)
+        .select("timestamp", "p90")
+    )
+    j = exact.join(bounds, "timestamp")
+    bad = (F.col("p90") < F.col("p90_lo") - F.lit(1e-9)) | (
+        F.col("p90_hi").isNotNull()
+        & (F.col("p90") > F.col("p90_hi") + F.lit(1e-9))
+    )
+    return j.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("buckets"),
+    )
