@@ -166,6 +166,38 @@ def cmd_stream(args) -> None:
             q.stop()
 
 
+def cmd_decommission(args) -> None:
+    """One-way handover of retired stream-owned tables back to batch
+    ownership (storage.decommission_streaming_sink): removes each
+    table's ``_spark_metadata`` sink log so the table is read by
+    directory listing again and batch maintenance (sync upsert,
+    compaction, retention) becomes legal.  ONLY run this after the
+    streaming queries are stopped FOREVER — a resumed query would
+    re-create a log listing only post-resume files, hiding everything
+    older from log-based readers.  Shares the sync lock: the handover
+    flips the table's writer protocol and must not race a syncer.
+    Pure filesystem — no Spark session is started."""
+    import os
+
+    from smalltsdb_spark.storage import STREAM_METADATA_DIR, decommission_streaming_sink
+
+    tables = args.table
+    if not tables:
+        # autodetect: every immediate subdirectory carrying a sink log
+        tables = sorted(
+            n
+            for n in os.listdir(args.db)
+            if os.path.isdir(os.path.join(args.db, n, STREAM_METADATA_DIR))
+        )
+        if not tables:
+            print("no stream-owned tables found")
+            return
+    with exclusive_lock(args.lock_file):
+        for t in tables:
+            done = decommission_streaming_sink(os.path.join(args.db, t))
+            print(f"{t}: {'decommissioned' if done else 'not stream-owned'}")
+
+
 def cmd_rundev(args) -> None:
     """One-process dev harness (reference rundev.py:29-55): socket daemon
     + web app + a synthetic hour of ``local.random.diceroll`` datapoints
@@ -304,6 +336,22 @@ def main(argv=None) -> None:
         help="only rewrite partitions with more data files than this",
     )
     p.set_defaults(func=cmd_compact)
+
+    p = sub.add_parser(
+        "decommission",
+        help="convert retired stream-owned tables back to batch "
+        "ownership (removes the file-sink log; ONLY after the stream "
+        "is stopped forever)",
+    )
+    p.add_argument("--db", required=True)
+    p.add_argument("--lock-file", help="flock here so the handover never races a sync")
+    p.add_argument(
+        "table",
+        nargs="*",
+        help="table dirs under the store (default: autodetect every "
+        "stream-owned table)",
+    )
+    p.set_defaults(func=cmd_decommission)
 
     p = sub.add_parser(
         "rundev",

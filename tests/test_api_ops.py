@@ -203,3 +203,50 @@ def test_get_metric_bounds_golden(spark, tsdb_dir):
         db.get_metric_bounds("m", "onehour", "avg", (0, 7200))
     with pytest.raises(ValueError, match="unknown stat"):
         db.get_metric_bounds("m", "onehour", "p999", (0, 7200))
+
+
+def test_cli_decommission(tsdb_dir, tmp_path, capsys):
+    """`smalltsdb_spark decommission` — the operational face of the
+    stream→batch handover (storage.decommission_streaming_sink):
+    targeted tables convert, autodetect finds every stream-owned table
+    and nothing else, re-running is a clean no-op, and the handover
+    honors the sync lock (it flips the writer protocol)."""
+    import os
+
+    hist_md = os.path.join(tsdb_dir, "histogram", "_spark_metadata")
+    inc_md = os.path.join(tsdb_dir, "incoming", "_spark_metadata")
+    os.makedirs(hist_md)
+    os.makedirs(inc_md)
+    os.makedirs(os.path.join(tsdb_dir, "tensecond"))  # batch-owned
+
+    # targeted: only the named table converts
+    cli.main(["decommission", "--db", tsdb_dir, "histogram"])
+    assert not os.path.isdir(hist_md)
+    assert os.path.isdir(inc_md)
+    assert "histogram: decommissioned" in capsys.readouterr().out
+
+    # autodetect: converts the remaining stream-owned table only
+    cli.main(["decommission", "--db", tsdb_dir])
+    out = capsys.readouterr().out
+    assert not os.path.isdir(inc_md)
+    assert "incoming: decommissioned" in out
+    assert "tensecond" not in out
+
+    # nothing stream-owned left: clean no-op
+    cli.main(["decommission", "--db", tsdb_dir])
+    assert "no stream-owned tables found" in capsys.readouterr().out
+
+    # the handover is a writer and respects the sync lock
+    os.makedirs(hist_md)
+    lock_file = str(tmp_path / "sync.lock")
+    holder = open(lock_file, "a")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["decommission", "--db", tsdb_dir, "--lock-file", lock_file]
+        )
+    assert os.path.isdir(hist_md), "handover ran despite a held lock"
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    cli.main(["decommission", "--db", tsdb_dir, "--lock-file", lock_file])
+    assert not os.path.isdir(hist_md)
