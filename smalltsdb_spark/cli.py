@@ -176,10 +176,19 @@ def cmd_decommission(args) -> None:
     re-create a log listing only post-resume files, hiding everything
     older from log-based readers.  Shares the sync lock: the handover
     flips the table's writer protocol and must not race a syncer.
-    Pure filesystem — no Spark session is started."""
+    The sink log is reconciled against the directory first
+    (storage.reconcile_sink_log): part files a crashed trigger staged
+    but never committed are quarantined / deleted / refused per
+    ``--on-orphans`` BEFORE the log comes down, so the handover can
+    never surface them as duplicate rows.  Pure filesystem — no Spark
+    session is started."""
     import os
 
-    from smalltsdb_spark.storage import STREAM_METADATA_DIR, decommission_streaming_sink
+    from smalltsdb_spark.storage import (
+        STREAM_METADATA_DIR,
+        decommission_streaming_sink,
+        reconcile_sink_log,
+    )
 
     tables = args.table
     if not tables:
@@ -194,7 +203,12 @@ def cmd_decommission(args) -> None:
             return
     with exclusive_lock(args.lock_file):
         for t in tables:
-            done = decommission_streaming_sink(os.path.join(args.db, t))
+            path = os.path.join(args.db, t)
+            orphans = reconcile_sink_log(path, on_orphans=args.on_orphans)
+            if orphans:
+                verb = "quarantined" if args.on_orphans == "quarantine" else "deleted"
+                print(f"{t}: {verb} {len(orphans)} uncommitted file(s)")
+            done = decommission_streaming_sink(path, on_orphans=args.on_orphans)
             print(f"{t}: {'decommissioned' if done else 'not stream-owned'}")
 
 
@@ -345,6 +359,15 @@ def main(argv=None) -> None:
     )
     p.add_argument("--db", required=True)
     p.add_argument("--lock-file", help="flock here so the handover never races a sync")
+    p.add_argument(
+        "--on-orphans",
+        choices=("quarantine", "delete", "refuse"),
+        default="quarantine",
+        help="disposal of staged-but-uncommitted part files a crashed "
+        "trigger left (the sink log hid them; the handover would "
+        "surface them as duplicate rows): quarantine to a dot-dir "
+        "(default), delete, or refuse the whole handover",
+    )
     p.add_argument(
         "table",
         nargs="*",

@@ -250,6 +250,80 @@ def gc_superseded_versions(
     return removed_manifests, removed_files
 
 
+def decommission_manifest_index(base: str) -> dict[int, list[str]] | None:
+    """One-way retirement of a batch-versioned streaming index: flatten
+    the newest committed manifest into a PLAIN partitioned-parquet
+    directory and remove the manifest protocol (VERDICT r13 item 7 —
+    the streaming-index symmetry of ``storage.decommission_streaming_
+    sink``; before this, a retired span/semantic stream's index stayed
+    manifest-managed forever with no batch-ownership path).
+
+    Mechanics: every live file moves up out of its ``data_b*`` attempt
+    directory into ``<partition-dir>/<name>`` directly under ``base``
+    (the attempt level exists only for the at-least-once replay rule,
+    which dies with the stream; without flattening, a plain recursive
+    read trips over the non-``k=v`` ``data_b*`` level).  Everything the
+    newest manifest does not reference — superseded versions' files,
+    crashed-attempt debris — is deleted: unlike the sink-log handover
+    there is nothing recoverable here, the protocol's own GC was always
+    going to reap it.  Every ``manifest_v*.json`` is then removed; the
+    directory is afterwards an ordinary partitioned parquet table
+    (``spark.read.parquet(base)`` with partition inference), legal for
+    batch mutation, and the manifest-misuse guards that refuse
+    manifest-managed directories no longer trigger on it.
+
+    Only safe once the streaming query is stopped FOREVER — a resumed
+    stream would resolve no manifest and rebuild from empty, orphaning
+    this data.  Returns the final ``{partition: [relative paths]}`` map,
+    or None when no committed manifest exists (nothing to retire)."""
+    import shutil
+
+    v = latest_version(base)
+    if v is None:
+        return None
+    files = read_version(base, v)
+    # validate BEFORE the first move: failing mid-flatten would leave a
+    # manifest referencing already-moved files — manufactured corruption
+    for rels in files.values():
+        for rel in rels:
+            if not os.path.isfile(os.path.join(base, rel)):
+                raise ValueError(
+                    f"index at {base!r} is corrupt: manifest v{v} "
+                    f"references missing file {rel!r}; refusing to "
+                    "decommission"
+                )
+    final: dict[int, list[str]] = {}
+    for part, rels in sorted(files.items()):
+        out = []
+        for rel in rels:
+            src = os.path.join(base, rel)
+            pieces = rel.split(os.sep)
+            # rel is data_b*/…/<pdir>/<name>; keep the partition dir
+            # (the k=v component) and the unique part-file name
+            pdir = next((p for p in pieces[:-1] if "=" in p), None)
+            new_rel = (
+                os.path.join(pdir, pieces[-1]) if pdir else pieces[-1]
+            )
+            dest = os.path.join(base, new_rel)
+            n = 0
+            while os.path.exists(dest):  # name collision across attempts
+                stem, ext = os.path.splitext(pieces[-1])
+                new_rel = os.path.join(pdir or "", f"{stem}-d{n}{ext}")
+                dest = os.path.join(base, new_rel)
+                n += 1
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+            out.append(new_rel)
+        final[part] = sorted(out)
+    for name in list(os.listdir(base)):
+        full = os.path.join(base, name)
+        if VERSION_RE.match(name):
+            os.remove(full)
+        elif name.startswith("data_b") and os.path.isdir(full):
+            shutil.rmtree(full)  # only dead files / writer markers left
+    return final
+
+
 def attempt_unique_dir(base: str, preferred: str) -> str:
     """``preferred`` when free, else an attempt-unique sibling name — an
     at-least-once replay must never overwrite a committed attempt's dir

@@ -5709,7 +5709,11 @@ def stream_histogram_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
             60,
             available_now=True,
         )
-        q.awaitTermination(600)
+        # the drain MUST have completed before the handover: a timed-out
+        # awaitTermination leaves the stream live while decommission
+        # removes its log and batch sync mutates the table — exactly the
+        # race decommission forbids (ADVICE r13)
+        assert q.awaitTermination(600), "histogram drain did not finish"
     # retire the stream; hand the table to batch ownership
     storage.decommission_streaming_sink(f"{store}/histogram")
     db = TablesTSDB(

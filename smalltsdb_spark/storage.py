@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from smalltsdb_spark.manifests import is_hidden_name
 from smalltsdb_spark.schemas import PARTITION_COLUMN, SECONDS_PER_DAY
 
 
@@ -54,11 +55,15 @@ def _has_data(path: str) -> bool:
         return False
     for root, dirs, files in os.walk(path):
         # skip in-flight commit dirs (_temporary) and hidden files — a
-        # half-written flush must read as "no data yet", not a race
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        # half-written flush must read as "no data yet", not a race.
+        # Visibility is manifests.is_hidden_name everywhere (ADVICE
+        # r13): Spark's ``=``-exemption keeps partition dirs of
+        # underscore-named columns visible, so the rule has ONE
+        # definition and the r12 GC/visibility bug class cannot recur
+        # table-by-table.
+        dirs[:] = [d for d in dirs if not is_hidden_name(d)]
         if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in files
+            f.endswith(".parquet") and not is_hidden_name(f) for f in files
         ):
             return True
     return False
@@ -131,7 +136,7 @@ def _has_partition_dirs(root: str) -> bool:
         sub = os.path.join(root, name)
         if name.startswith(prefix):
             return True
-        if os.path.isdir(sub) and not name.startswith(("_", ".")):
+        if os.path.isdir(sub) and not is_hidden_name(name):
             try:
                 if any(n.startswith(prefix) for n in os.listdir(sub)):
                     return True
@@ -203,15 +208,18 @@ def pin_histogram_geometry(
 
 
 def _histogram_has_data(hist_dir: str) -> bool:
-    """True when the histogram table directory holds any VISIBLE entry
-    (``pday=N`` partition dirs or data files) — Spark's hidden-name
-    rule, so ``_spark_metadata``/``_manifest.json``/dotfiles don't
-    count as data."""
-    from smalltsdb_spark.manifests import is_hidden_name
+    """True when the histogram table holds at least one VISIBLE
+    ``*.parquet`` data file (manifests.collect_parquets — Spark's
+    hidden-name rule, so ``_spark_metadata``/``_manifest.json``/
+    dotfiles don't count).  File-level, not dir-level (ADVICE r13): an
+    empty ``pday=N`` directory left by a crashed writer holds no rows
+    whose geometry could be unknowable, so it must not make a
+    logically-empty unpinned table refuse pin/open forever."""
+    from smalltsdb_spark.manifests import collect_parquets
 
     if not os.path.isdir(hist_dir):
         return False
-    return any(not is_hidden_name(n) for n in os.listdir(hist_dir))
+    return bool(collect_parquets(hist_dir))
 
 
 def read_grain(root: str, default: int = SECONDS_PER_DAY) -> int:
@@ -264,10 +272,175 @@ def _assert_mutable(path: str, op: str) -> None:
         )
 
 
-def decommission_streaming_sink(path: str) -> bool:
+def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
+    """Parse a file sink's ``_spark_metadata`` transaction log into the
+    set of COMMITTED data files, or None when no log exists.
+
+    Returns ``(rel_paths, basenames)`` — relative paths of committed
+    files under the table root, plus their basenames (the fallback key
+    when a log entry's absolute URI does not resolve under ``path``,
+    e.g. a table read through a different mount/symlink of the same
+    directory; part-file names carry a per-task UUID, so basename
+    equality is effectively exact).
+
+    Log format (Spark ``FileStreamSinkLog``, public on-disk protocol):
+    files named ``<batchId>`` (one per committed micro-batch) or
+    ``<batchId>.compact`` (the folded history of every batch ≤ id,
+    written every ``compactInterval`` batches); each is a ``v1`` header
+    line followed by one JSON ``SinkFileStatus`` per line —
+    ``{"path": "file://...", ..., "action": "add"|"delete"}``.  The
+    committed set is the latest compact file plus every delta file
+    with a larger batch id; ``delete`` entries (compaction retention)
+    retract earlier adds."""
+    import json
+    from urllib.parse import unquote, urlparse
+
+    md = os.path.join(path, STREAM_METADATA_DIR)
+    if not os.path.isdir(md):
+        return None
+    deltas: dict[int, str] = {}
+    compacts: dict[int, str] = {}
+    for name in os.listdir(md):
+        full = os.path.join(md, name)
+        if name.startswith(".") or not os.path.isfile(full):
+            continue  # .crc shadows, tmp dirs
+        if name.endswith(".compact"):
+            stem = name[: -len(".compact")]
+            if stem.isdigit():
+                compacts[int(stem)] = full
+        elif name.isdigit():
+            deltas[int(name)] = full
+    to_read: list[str] = []
+    floor_batch = -1
+    if compacts:
+        floor_batch = max(compacts)
+        to_read.append(compacts[floor_batch])
+    to_read.extend(f for b, f in sorted(deltas.items()) if b > floor_batch)
+
+    table_root = os.path.abspath(path)
+    rel_paths: set[str] = set()
+    basenames: set[str] = set()
+
+    def _one(entry: dict, add: bool) -> None:
+        uri = entry.get("path")
+        if not uri or entry.get("isDir"):
+            return
+        p = unquote(urlparse(uri).path) if "://" in uri else uri
+        rel = os.path.relpath(os.path.abspath(p), table_root)
+        base = os.path.basename(p)
+        if add:
+            if not rel.startswith(".."):
+                rel_paths.add(rel)
+            basenames.add(base)
+        else:
+            rel_paths.discard(rel)
+            basenames.discard(base)
+
+    for log_file in to_read:
+        with open(log_file) as f:
+            lines = f.read().splitlines()
+        for line in lines:
+            line = line.strip()
+            if not line or line.startswith("v"):
+                continue
+            entry = json.loads(line)
+            _one(entry, entry.get("action", "add") != "delete")
+    return rel_paths, basenames
+
+
+SINK_QUARANTINE_DIR = ".decommission_quarantine"
+
+
+def reconcile_sink_log(path: str, on_orphans: str = "quarantine") -> list[str]:
+    """Diff a file sink's committed set against the on-disk listing and
+    dispose of ORPHANS — ``part-*.parquet`` files a task staged but the
+    sink log never committed (crashed trigger, task death between write
+    and commit).  The log-based reader correctly hid them; the
+    directory-listing reader a decommission hands the table to would
+    see them as duplicate/partial rows (VERDICT r13 item 1), so they
+    must be resolved BEFORE the log is removed.
+
+    ``on_orphans``: ``"quarantine"`` (default) moves each orphan to
+    ``.decommission_quarantine/<relpath>`` inside the table — a
+    dot-dir, invisible to every reader, recoverable by hand;
+    ``"delete"`` removes them; ``"refuse"`` raises ValueError listing
+    them (strict mode — nothing is touched).  Matching is conservative
+    in the lossy direction: a file is an orphan only when NEITHER its
+    relative path NOR its (task-UUID-carrying) basename appears in the
+    log, so a committed file can never be swept by a path-resolution
+    quirk.  Returns the orphans' relative paths (already disposed of,
+    unless refusing raised).  No-op (returns []) when no log exists."""
+    committed = read_sink_log(path)
+    if committed is None:
+        return []
+    rel_paths, basenames = committed
+    orphans: list[str] = []
+    root_abs = os.path.abspath(path)
+    for root, dirs, fs in os.walk(root_abs):
+        dirs[:] = [d for d in dirs if not is_hidden_name(d)]
+        rel_root = os.path.relpath(root, root_abs)
+        for f in fs:
+            if is_hidden_name(f) or not f.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.join(rel_root, f))
+            if rel not in rel_paths and f not in basenames:
+                orphans.append(rel)
+    orphans.sort()
+    if not orphans:
+        return []
+    if on_orphans == "refuse":
+        shown = ", ".join(orphans[:5]) + ("…" if len(orphans) > 5 else "")
+        raise ValueError(
+            f"sink table at {path!r} holds {len(orphans)} data file(s) "
+            f"the _spark_metadata log never committed ({shown}): a "
+            "crashed trigger staged them and the log-based reader hid "
+            "them; decommissioning now would surface them as duplicate "
+            "rows.  Re-run with on_orphans='quarantine' (or 'delete') "
+            "to dispose of them first."
+        )
+    if on_orphans == "delete":
+        for rel in orphans:
+            os.remove(os.path.join(root_abs, rel))
+    elif on_orphans == "quarantine":
+        qroot = os.path.join(root_abs, SINK_QUARANTINE_DIR)
+        for rel in orphans:
+            dest = os.path.join(qroot, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root_abs, rel), dest)
+    else:
+        raise ValueError(
+            f"on_orphans must be 'quarantine', 'delete' or 'refuse', "
+            f"not {on_orphans!r}"
+        )
+    # orphan removal can empty a partition dir a crashed trigger
+    # created; drop such dirs so they don't read as empty partitions.
+    # VISIBLE dirs only — the sweep must not eat _spark_metadata (the
+    # caller removes it, deliberately) or the quarantine dot-dir.
+    for name in os.listdir(root_abs):
+        if is_hidden_name(name):
+            continue
+        top = os.path.join(root_abs, name)
+        if not os.path.isdir(top):
+            continue
+        for root, dirs, fs in os.walk(top, topdown=False):
+            if not os.listdir(root):
+                os.rmdir(root)
+    return orphans
+
+
+def decommission_streaming_sink(
+    path: str, on_orphans: str = "quarantine"
+) -> bool:
     """One-way migration: remove a file sink's ``_spark_metadata`` log so
     the table is read by directory listing again (making batch append /
     upsert / retention / compaction legal on it).
+
+    The log is first RECONCILED against the directory
+    (:func:`reconcile_sink_log`): files a crashed trigger staged but
+    the log never committed are quarantined (default) / deleted /
+    refused per ``on_orphans`` BEFORE the log comes down — otherwise
+    the handover would silently surface them as duplicate rows to the
+    listing-based readers it enables (VERDICT r13 item 1).
 
     Only safe once the streaming query is stopped FOREVER: a resumed
     query would re-create a log listing only post-resume files, hiding
@@ -276,6 +449,7 @@ def decommission_streaming_sink(path: str) -> bool:
     md = os.path.join(path, STREAM_METADATA_DIR)
     if not os.path.isdir(md):
         return False
+    reconcile_sink_log(path, on_orphans=on_orphans)
     shutil.rmtree(md)
     return True
 
@@ -329,12 +503,12 @@ def _listing_as_manifest(path: str) -> dict[int, list[str]]:
         pdir = os.path.join(path, name)
         entries = []
         for root, dirs, fs in os.walk(pdir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            dirs[:] = [d for d in dirs if not is_hidden_name(d)]
             rel_root = os.path.relpath(root, path)
             entries.extend(
                 os.path.join(rel_root, f)
                 for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
+                if f.endswith(".parquet") and not is_hidden_name(f)
             )
         if entries:
             files[unit] = sorted(entries)
@@ -379,10 +553,10 @@ def _gc_unmanifested(
             continue
         pdir = os.path.join(path, name)
         for root, dirs, fs in os.walk(pdir, topdown=False):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            dirs[:] = [d for d in dirs if not is_hidden_name(d)]
             rel_root = os.path.relpath(root, path)
             for f in fs:
-                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                if is_hidden_name(f) or not f.endswith(".parquet"):
                     continue
                 rel = os.path.join(rel_root, f)
                 if rel not in live:
@@ -416,7 +590,7 @@ def _install_staged_partition(staged_dir: str, dest_dir: str) -> list[str]:
     os.makedirs(dest_dir, exist_ok=True)
     moved = []
     for f in sorted(os.listdir(staged_dir)):
-        if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+        if is_hidden_name(f) or not f.endswith(".parquet"):
             continue
         os.rename(os.path.join(staged_dir, f), os.path.join(dest_dir, f))
         moved.append(f)
@@ -744,11 +918,11 @@ def partition_file_counts(path: str) -> dict[int, int]:
         pdir = os.path.join(path, name)
         n = 0
         for root, dirs, files in os.walk(pdir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            dirs[:] = [d for d in dirs if not is_hidden_name(d)]
             n += sum(
                 1
                 for f in files
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
+                if f.endswith(".parquet") and not is_hidden_name(f)
             )
         counts[unit] = n
     return counts

@@ -174,7 +174,7 @@ def make_span_dedup_batch_handler(
         return sorted(
             os.path.join(data_dir_name, f"pfx={p}", f)
             for f in os.listdir(pdir)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+            if f.endswith(".parquet") and not manifests.is_hidden_name(f)
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

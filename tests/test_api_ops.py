@@ -250,3 +250,51 @@ def test_cli_decommission(tsdb_dir, tmp_path, capsys):
     holder.close()
     cli.main(["decommission", "--db", tsdb_dir, "--lock-file", lock_file])
     assert not os.path.isdir(hist_md)
+
+
+def test_cli_decommission_orphan_modes(tsdb_dir, capsys):
+    """--on-orphans: a staged-but-uncommitted part file (present on
+    disk, absent from the sink log — a crashed trigger's leftovers)
+    refuses the handover in strict mode and is quarantined by default,
+    with the disposal reported (VERDICT r13 item 1, CLI face)."""
+    import json
+    import os
+
+    from smalltsdb_spark.storage import SINK_QUARANTINE_DIR
+
+    table = os.path.join(tsdb_dir, "histogram")
+    md = os.path.join(table, "_spark_metadata")
+    pdir = os.path.join(table, "pday=0")
+    os.makedirs(md)
+    os.makedirs(pdir)
+    committed = os.path.join(pdir, "part-00000-aaaa.c000.snappy.parquet")
+    orphan = os.path.join(pdir, "part-00001-bbbb.c000.snappy.parquet")
+    for f in (committed, orphan):
+        with open(f, "wb") as fh:
+            fh.write(b"PAR1")
+    with open(os.path.join(md, "0"), "w") as fh:
+        fh.write("v1\n" + json.dumps({
+            "path": "file://" + committed, "size": 4, "isDir": False,
+            "modificationTime": 0, "blockReplication": 1, "action": "add",
+        }))
+
+    # strict mode: the whole handover is refused, nothing is touched
+    with pytest.raises(ValueError, match="never committed"):
+        cli.main(
+            ["decommission", "--db", tsdb_dir, "--on-orphans", "refuse",
+             "histogram"]
+        )
+    assert os.path.isdir(md) and os.path.isfile(orphan)
+
+    # default quarantine: orphan moved aside, disposal reported, log gone
+    cli.main(["decommission", "--db", tsdb_dir, "histogram"])
+    out = capsys.readouterr().out
+    assert "histogram: quarantined 1 uncommitted file(s)" in out
+    assert "histogram: decommissioned" in out
+    assert not os.path.isdir(md)
+    assert os.path.isfile(committed)
+    assert not os.path.exists(orphan)
+    assert os.path.isfile(os.path.join(
+        table, SINK_QUARANTINE_DIR, "pday=0",
+        "part-00001-bbbb.c000.snappy.parquet",
+    ))

@@ -304,3 +304,171 @@ def test_property_zombie_gc_never_touches_future_state(
         f"{manifests_before - manifests_after}"
     )
     _assert_resolved_state(base, latest, model)
+
+
+# ---------------------------------------------------------------------------
+# File-sink log protocol (storage.read_sink_log / reconcile_sink_log)
+# ---------------------------------------------------------------------------
+#
+# The stream→batch handover (VERDICT r13 item 1) removes the sink's
+# _spark_metadata log, so whatever the directory then lists IS the
+# table.  The property below drives a model of Spark's sink through
+# random interleavings of write-files / commit-batch / crash-pre-commit
+# (plus log compaction and compaction-retention deletes) and asserts
+# the post-handover directory read equals exactly the union of
+# COMMITTED batches — crashed triggers' staged files are quarantined,
+# never surfaced, and committed files are never swept.
+
+
+def _sink_log_entry(table: str, rel: str, action: str = "add") -> str:
+    return json.dumps({
+        "path": "file://" + os.path.join(os.path.abspath(table), rel),
+        "size": 4, "isDir": False, "modificationTime": 0,
+        "blockReplication": 1, "action": action,
+    })
+
+
+from hypothesis import HealthCheck
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.integers(1, 3),        # part files written this trigger
+            st.sampled_from([0, 1]),  # target pday partition
+            st.booleans(),            # True = batch commits, False = crash
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    compact_every=st.sampled_from([2, 3, 100]),
+    retention_drop=st.booleans(),
+)
+def test_property_sink_handover_equals_committed_union(
+    tmp_path, steps, compact_every, retention_drop
+):
+    """Random write/commit/crash/compact interleavings of the file-sink
+    protocol: after decommission, the visible directory listing equals
+    the committed union (adds minus retention deletes), and everything
+    else — crashed-trigger leftovers AND retention-deleted files still
+    on disk — sits in the quarantine dot-dir."""
+    import pytest
+
+    from smalltsdb_spark import storage
+
+    table = str(tmp_path / f"t{abs(hash(str(steps))) % 10**8}")
+    md = os.path.join(table, storage.STREAM_METADATA_DIR)
+    os.makedirs(md)
+
+    committed: list[str] = []   # rel paths, commit order
+    dropped: set[str] = set()   # retention-deleted (still on disk)
+    orphans: set[str] = set()   # crashed-trigger leftovers
+    batch_id = 0
+    counter = 0
+    for n_files, pday, commits in steps:
+        rels = []
+        for _ in range(n_files):
+            rel = os.path.join(
+                f"pday={pday}",
+                f"part-{counter:05d}-feedface.c000.snappy.parquet",
+            )
+            counter += 1
+            _mkfile(os.path.join(table, rel), b"PAR1")
+            rels.append(rel)
+        if not commits:
+            orphans.update(rels)  # staged; the log never learns of them
+            continue
+        if (batch_id + 1) % compact_every == 0:
+            # compaction folds all history into one file — and with
+            # sink-log retention it may DELETE-mark the oldest entry
+            lines = ["v1"]
+            if retention_drop and committed:
+                victim = committed.pop(0)
+                dropped.add(victim)
+                lines.append(_sink_log_entry(table, victim, "delete"))
+            committed.extend(rels)
+            lines.extend(_sink_log_entry(table, r) for r in committed)
+            log_name = f"{batch_id}.compact"
+        else:
+            committed.extend(rels)
+            lines = ["v1"] + [_sink_log_entry(table, r) for r in rels]
+            log_name = str(batch_id)
+        with open(os.path.join(md, log_name), "w") as f:
+            f.write("\n".join(lines))
+        batch_id += 1
+
+    expect_quarantined = orphans | dropped
+    if expect_quarantined:
+        with pytest.raises(ValueError, match="never committed"):
+            storage.decommission_streaming_sink(table, on_orphans="refuse")
+        assert os.path.isdir(md), "refuse must leave the log intact"
+    assert storage.decommission_streaming_sink(table)  # quarantine mode
+    assert not os.path.isdir(md)
+    visible = {
+        os.path.relpath(p, table)
+        for p in manifests.collect_parquets(table)
+    }
+    assert visible == set(committed), (
+        "post-handover listing is not the committed union"
+    )
+    qroot = os.path.join(table, storage.SINK_QUARANTINE_DIR)
+    quarantined = (
+        {os.path.relpath(p, qroot) for p in manifests.collect_parquets(qroot)}
+        if os.path.isdir(qroot)
+        else set()
+    )
+    assert quarantined == expect_quarantined
+
+
+def test_decommission_manifest_index_flattens_committed_state(tmp_path):
+    """VERDICT r13 item 7: the streaming-index symmetry of the sink-log
+    handover.  After batches 0-4 (with compaction), decommission must
+    leave a PLAIN partitioned directory — no manifests, no data_b*
+    attempt level — whose per-partition token union equals the resolved
+    committed state, with every superseded file gone."""
+    base = str(tmp_path / "idx")
+    for b in range(5):
+        _process_batch(base, b, [0, 1] if b % 2 == 0 else [1, 2], grace=0.0)
+    v, files = manifests.resolve_version(base)
+    want = {p: _read_tokens(base, rels) for p, rels in files.items()}
+
+    final = manifests.decommission_manifest_index(base)
+    assert final is not None and set(final) == set(want)
+    # protocol fully retired: no manifests, no attempt dirs
+    names = os.listdir(base)
+    assert not any(manifests.VERSION_RE.match(n) for n in names)
+    assert not any(n.startswith("data_b") for n in names)
+    # the flattened layout is <partition-dir>/<file> only, and the
+    # content per partition is exactly the committed state
+    for p, rels in final.items():
+        for rel in rels:
+            head, tail = os.path.split(rel)
+            assert head == f"_list={p}" and os.sep not in head
+        assert _read_tokens(base, rels) == want[p]
+    # nothing else survived: every visible parquet is in the final map
+    visible = {
+        os.path.relpath(f, base) for f in manifests.collect_parquets(base)
+    }
+    assert visible == {r for rels in final.values() for r in rels}
+    # idempotence face: a second call finds no manifest — nothing to do
+    assert manifests.decommission_manifest_index(base) is None
+
+
+def test_decommission_manifest_index_refuses_corrupt_index(tmp_path):
+    """A manifest referencing a missing file is corruption — refuse
+    rather than hand over a partial index."""
+    import pytest
+
+    base = str(tmp_path / "idx")
+    _process_batch(base, 0, [0], grace=0.0)
+    v, files = manifests.resolve_version(base)
+    os.remove(os.path.join(base, files[0][0]))
+    with pytest.raises(ValueError, match="missing file"):
+        manifests.decommission_manifest_index(base)
+    # refused: the manifest is still there (nothing half-retired)
+    assert manifests.latest_version(base) == v

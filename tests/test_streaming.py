@@ -199,6 +199,97 @@ def test_streaming_sink_tables_refuse_file_mutation(spark, spool, tmp_path):
     )
 
 
+def _drained_sink_with_orphan(spark, spool, tmp_path):
+    """A drained stream-owned incoming table with one planted orphan —
+    a copy of a committed part file under a fresh task-UUID name in the
+    same partition dir, exactly what a task that died after writing but
+    before its batch commit leaves behind: on disk, valid parquet,
+    absent from the sink log."""
+    import shutil as _sh
+    import uuid
+
+    from smalltsdb_spark import storage
+
+    for p, t, v in GOLDEN_A_INPUT:
+        spool([(p, t, v)])
+    incoming_path = str(tmp_path / "incoming")
+    q = start_ingest(
+        read_spool_stream(spark, spool.spool_dir),
+        incoming_path,
+        str(tmp_path / "ckpt_orph"),
+        available_now=True,
+    )
+    assert q.awaitTermination(180), "drain did not finish"
+    committed = sorted(map(tuple, spark.read.parquet(incoming_path).select(
+        "path", "timestamp", "value").collect()))
+    rel_paths, _ = storage.read_sink_log(incoming_path)
+    donor_rel = sorted(rel_paths)[0]
+    orphan_rel = os.path.join(
+        os.path.dirname(donor_rel),
+        f"part-00000-{uuid.uuid4()}.c000.snappy.parquet",
+    )
+    _sh.copyfile(
+        os.path.join(incoming_path, donor_rel),
+        os.path.join(incoming_path, orphan_rel),
+    )
+    # the orphan is real data a listing-based reader would double-count
+    assert spark.read.parquet(
+        os.path.join(incoming_path, orphan_rel)
+    ).count() > 0
+    return incoming_path, committed, orphan_rel
+
+
+def test_decommission_quarantines_uncommitted_sink_files(spark, spool, tmp_path):
+    """VERDICT r13 item 1: a stream that crashed mid-trigger leaves
+    staged-but-uncommitted part files the sink log correctly hid;
+    decommission must reconcile the log against the directory and
+    quarantine those orphans BEFORE removing the log, or the handover
+    silently surfaces them as duplicate rows to listing-based readers."""
+    from smalltsdb_spark import storage
+
+    incoming_path, committed, orphan_rel = _drained_sink_with_orphan(
+        spark, spool, tmp_path
+    )
+    assert storage.decommission_streaming_sink(incoming_path)  # quarantine
+    # the post-handover directory read equals the log's committed set —
+    # no duplicate rows from the orphan
+    after = sorted(map(tuple, spark.read.parquet(incoming_path).select(
+        "path", "timestamp", "value").collect()))
+    assert after == committed
+    # the orphan was moved (not destroyed) into the hidden quarantine
+    # dot-dir, preserving its relative path for hand recovery
+    assert not os.path.exists(os.path.join(incoming_path, orphan_rel))
+    assert os.path.isfile(os.path.join(
+        incoming_path, storage.SINK_QUARANTINE_DIR, orphan_rel
+    ))
+
+
+def test_decommission_refuse_and_delete_orphan_modes(spark, spool, tmp_path):
+    """Strict mode refuses the whole handover while uncommitted files
+    exist (nothing touched, log intact); delete mode removes them."""
+    import pytest
+
+    from smalltsdb_spark import storage
+
+    incoming_path, committed, orphan_rel = _drained_sink_with_orphan(
+        spark, spool, tmp_path
+    )
+    with pytest.raises(ValueError, match="never committed"):
+        storage.decommission_streaming_sink(incoming_path, on_orphans="refuse")
+    # refused: table untouched — still stream-owned, orphan still there
+    assert storage.is_streaming_sink(incoming_path)
+    assert os.path.isfile(os.path.join(incoming_path, orphan_rel))
+
+    assert storage.decommission_streaming_sink(incoming_path, on_orphans="delete")
+    assert not os.path.exists(os.path.join(incoming_path, orphan_rel))
+    assert not os.path.isdir(
+        os.path.join(incoming_path, storage.SINK_QUARANTINE_DIR)
+    )
+    after = sorted(map(tuple, spark.read.parquet(incoming_path).select(
+        "path", "timestamp", "value").collect()))
+    assert after == committed
+
+
 def test_partials_rollup_exposes_open_buckets_and_converges(spark, spool, tmp_path):
     """start_rollup_partials (r8, T2 upgrade): update mode materializes
     buckets the finality rule hasn't closed — absent from the append
@@ -1055,7 +1146,8 @@ def test_histogram_stream_to_batch_decommission_handover(spark, tmp_path):
         bin_width=1.0,
         available_now=True,
     )
-    q.awaitTermination(120)
+    # the handover below is only legal on a FINISHED stream (ADVICE r13)
+    assert q.awaitTermination(120), "stream drain did not finish"
 
     def hist():
         return {
@@ -1122,3 +1214,44 @@ def test_histogram_stream_to_batch_decommission_handover(spark, tmp_path):
             spark, store, histograms=True,
             hist_fine_seconds=10, hist_bin_width=2.0,
         )
+
+
+def test_span_index_decommission_to_plain_table(spark, tmp_path):
+    """VERDICT r13 item 7: a retired span-dedup stream's index can be
+    handed to batch ownership — manifests.decommission_manifest_index
+    flattens the newest committed manifest into a plain partitioned
+    directory; an ordinary spark.read.parquet + the LSM merge
+    (groupBy-sum, exactly what the manifest read path does) then serves
+    the identical counts, and the manifest protocol is gone."""
+    from smalltsdb_spark import manifests
+    from smalltsdb_spark.streaming.span_dedup import (
+        make_span_dedup_batch_handler,
+        read_index,
+    )
+
+    index_base, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    handle = make_span_dedup_batch_handler(
+        spark, index_base, out, "doc_id", "text",
+        k=4, min_count=2, n_prefixes=4,
+        gc_grace_seconds=0.0, compact_files=2,
+    )
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b, f"x a b c d y{b}")], "doc_id long, text string"
+        )
+        handle(df, b)
+    before = {r.h: r.c for r in read_index(spark, index_base).collect()}
+
+    final = manifests.decommission_manifest_index(index_base)
+    assert final is not None
+    names = os.listdir(index_base)
+    assert not any(manifests.VERSION_RE.match(n) for n in names)
+    assert not any(n.startswith("data_b") for n in names)
+    after = {
+        r.h: r.c
+        for r in spark.read.parquet(index_base)
+        .groupBy("h")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert after == before
