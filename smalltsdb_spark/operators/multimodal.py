@@ -780,3 +780,103 @@ def audio_near_dup_pairs(
     Decode+hash is the only Python stage; everything after is JVM."""
     sig = ahash_audio(media).filter(F.col("decoded")).select("media_id", "ahash")
     return _banded_hamming_pairs(sig, "ahash", max_hamming, bucket_cap)
+
+
+# ---------------------------------------------------------------------------
+# Video: opaque byte-stream payloads + frame sampling (the triad's third leg)
+# ---------------------------------------------------------------------------
+
+#: base frame-payload size; doc_id adds up to 6 extra frames plus a
+#: deliberately ragged tail so the last frame is PARTIAL (the sampler
+#: must keep it, a real frame-grabber's end-of-stream case)
+SYNTH_VIDEO_BASE = 256
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic opaque video payload for a document id — a raw byte
+    stream (containers like MP4 need codecs this sandbox doesn't ship;
+    the engine treats video as opaque binary + typed metadata per the
+    multimodal design, so the byte stream IS the representative case)
+    with a closed form both engines can compute::
+
+        len(doc_id) = 256 + (doc_id % 7) * 48 + (doc_id % 29)
+        byte(k)     = (doc_id * 13 + k * 7) % 256
+
+    The ``% 29`` tail makes most payloads end mid-frame, so frame
+    splitting's partial-last-frame behavior is value-checked, and the
+    ``% 7`` factor varies frame COUNT so every_n selection is exercised
+    across different stream lengths."""
+    n = SYNTH_VIDEO_BASE + (doc_id % 7) * 48 + (doc_id % 29)
+    return bytes((doc_id * 13 + k * 7) % 256 for k in range(n))
+
+
+def synth_video_media(docs: DataFrame) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows whose payloads are the deterministic
+    byte streams of :func:`synth_video_payload` — the video leg of the
+    synth_bmp_media / synth_wav_media fixture family."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["video"] * len(ids),
+                    "data": [synth_video_payload(i) for i in ids],
+                }
+            )
+
+    body = docs.select("doc_id").mapInPandas(
+        run, T.StructType(MEDIA_SCHEMA.fields[:3])
+    )
+    return body.withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ),
+    )
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame (length, byte-sum checksum) over :func:`sample_frames`
+    output — the cheap integrity projection a frame-sampling stage ships
+    to its consumer (and the value gate that lets an oracle re-derive
+    the sampler's exact output without comparing raw binary).  numpy
+    ``frombuffer`` sum per frame, Arrow-batched; no shuffle — a pure
+    projection that stays partition-local behind the sampler."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, sums = [], []
+            for data in pdf["frame"]:
+                raw = bytes(data)
+                lens.append(len(raw))
+                sums.append(
+                    int(np.frombuffer(raw, dtype=np.uint8).sum())
+                    if raw
+                    else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_len": lens,
+                    "checksum": sums,
+                }
+            )
+
+    return frames.mapInPandas(run, FRAME_STATS_SCHEMA)

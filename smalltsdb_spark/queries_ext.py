@@ -2128,6 +2128,56 @@ def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_near_dup_pairs(media, max_hamming=2)
 
 
+@query(
+    "mm_video_frames",
+    """
+    WITH g16v AS (SELECT a.i AS i FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                                               (8),(9),(10),(11),(12),(13),(14),(15)) a(i)),
+    g4v AS (SELECT a.i AS i FROM (VALUES (0),(1),(2),(3)) a(i)),
+    gridkv AS (
+        SELECT c.i * 256 + a.i * 16 + b.i AS k
+        FROM g4v c CROSS JOIN g16v a CROSS JOIN g16v b
+    ),
+    vbytes AS (
+        SELECT doc_id, k, (doc_id * 13 + k * 7) % 256 AS v
+        FROM documents CROSS JOIN gridkv
+        WHERE doc_id % 3 = 2
+          AND k < 256 + (doc_id % 7) * 48 + (doc_id % 29)
+    ),
+    vframes AS (
+        SELECT doc_id AS media_id,
+               CAST((k - k % 64) / 64 AS BIGINT) AS frame_idx,
+               CAST(count(*) AS BIGINT) AS frame_len,
+               CAST(sum(v) AS BIGINT) AS checksum
+        FROM vbytes GROUP BY 1, 2
+    )
+    SELECT media_id, frame_idx, frame_len, checksum
+    FROM vframes WHERE frame_idx % 2 = 0
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over opaque byte-stream payloads — the third
+    leg of the multimodal triad (image aHash / audio envelope / VIDEO
+    frame grab), driver-certified end to end: deterministic variable-
+    length streams are synthesized per video document
+    (multimodal.synth_video_payload — closed-form bytes, ragged tails),
+    split into fixed 64-byte frames with every 2nd kept
+    (multimodal.sample_frames, the real mapInPandas sampler a codec
+    decode would feed), and projected to per-frame (length, byte-sum)
+    integrity stats (multimodal.frame_stats) that the oracle re-derives
+    entirely in SQL — including the PARTIAL last frame most streams end
+    on.  A green row pins the sampler's chunking, stride, and
+    end-of-stream semantics, not just arithmetic.
+
+    Scale shape: synth→sample→stats is one shuffle-free mapInPandas
+    chain — frames never leave their payload's partition, so the plan
+    is a single whole-stage scan + Arrow stage at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = multimodal.synth_video_media(docs)
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2)
+    return multimodal.frame_stats(frames)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data pipeline)
 # ---------------------------------------------------------------------------

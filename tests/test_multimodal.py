@@ -439,3 +439,37 @@ def test_audio_near_dup_pairs(spark):
     assert not any(99 in p for p in got)
     # the two groups have different slopes → no cross-group pair
     assert not any(a < 4 <= b for a, b in got)
+
+
+def test_synth_video_payload_closed_form():
+    """Length and byte formulas match the oracle CTE exactly, ragged
+    tails included (the partial-last-frame driver for mm_video_frames)."""
+    for d in (0, 5, 17, 100):
+        raw = multimodal.synth_video_payload(d)
+        assert len(raw) == 256 + (d % 7) * 48 + (d % 29)
+        assert all(raw[k] == (d * 13 + k * 7) % 256 for k in range(len(raw)))
+    # determinism
+    assert multimodal.synth_video_payload(17) == multimodal.synth_video_payload(17)
+
+
+def test_frame_stats_matches_hand_computation(spark):
+    """sample_frames -> frame_stats over synthetic video payloads equals
+    a pure-python model: every 2nd 64-byte frame, partial tail kept,
+    checksum = byte sum."""
+    docs = spark.createDataFrame([(2,), (3,), (5,)], "doc_id long")
+    media = multimodal.synth_video_media(docs)
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2)
+    got = {
+        (r.media_id, r.frame_idx): (r.frame_len, r.checksum)
+        for r in multimodal.frame_stats(frames).collect()
+    }
+    want = {}
+    for d in (2, 3, 5):
+        raw = multimodal.synth_video_payload(d)
+        chunks = [raw[i : i + 64] for i in range(0, len(raw), 64)]
+        for idx in range(0, len(chunks), 2):
+            want[(d, idx)] = (len(chunks[idx]), sum(chunks[idx]))
+    assert got == want
+    # at least one payload must actually end mid-frame on a SAMPLED
+    # frame, or the partial-tail path went untested
+    assert any(fl < 64 for fl, _ in want.values())
