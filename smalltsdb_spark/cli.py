@@ -212,6 +212,49 @@ def cmd_decommission(args) -> None:
             print(f"{t}: {'decommissioned' if done else 'not stream-owned'}")
 
 
+def cmd_decommission_index(args) -> None:
+    """One-way retirement of batch-versioned streaming INDEXES (span
+    shingle counts, semantic assigned-vector lists) — the
+    manifest-protocol symmetry of ``decommission``:
+    manifests.decommission_manifest_index flattens each index's newest
+    committed manifest into a plain partitioned directory (live files
+    out of their attempt dirs, superseded files and every manifest
+    removed) so an ordinary directory read serves the committed state.
+    ONLY after the owning stream is stopped FOREVER — a resumed stream
+    resolves no manifest and would rebuild from empty.  Shares the sync
+    lock.  Pure filesystem — no Spark session is started."""
+    import os
+
+    from smalltsdb_spark import manifests
+
+    indexes = args.index
+    if not indexes:
+        # autodetect: every immediate subdirectory holding a committed
+        # versioned manifest
+        indexes = sorted(
+            n
+            for n in os.listdir(args.db)
+            if os.path.isdir(os.path.join(args.db, n))
+            and manifests.latest_version(os.path.join(args.db, n)) is not None
+        )
+        if not indexes:
+            print("no manifest-managed indexes found")
+            return
+    with exclusive_lock(args.lock_file):
+        for name in indexes:
+            final = manifests.decommission_manifest_index(
+                os.path.join(args.db, name)
+            )
+            if final is None:
+                print(f"{name}: not manifest-managed")
+            else:
+                n_files = sum(len(fs) for fs in final.values())
+                print(
+                    f"{name}: decommissioned "
+                    f"({len(final)} partition(s), {n_files} file(s))"
+                )
+
+
 def cmd_rundev(args) -> None:
     """One-process dev harness (reference rundev.py:29-55): socket daemon
     + web app + a synthetic hour of ``local.random.diceroll`` datapoints
@@ -375,6 +418,22 @@ def main(argv=None) -> None:
         "stream-owned table)",
     )
     p.set_defaults(func=cmd_decommission)
+
+    p = sub.add_parser(
+        "decommission-index",
+        help="retire batch-versioned streaming indexes (span/semantic) "
+        "to plain partitioned directories (ONLY after the stream is "
+        "stopped forever)",
+    )
+    p.add_argument("--db", required=True, help="directory holding the index dirs")
+    p.add_argument("--lock-file", help="flock here so the handover never races a writer")
+    p.add_argument(
+        "index",
+        nargs="*",
+        help="index dirs under --db (default: autodetect every dir "
+        "with a committed versioned manifest)",
+    )
+    p.set_defaults(func=cmd_decommission_index)
 
     p = sub.add_parser(
         "rundev",

@@ -298,3 +298,48 @@ def test_cli_decommission_orphan_modes(tsdb_dir, capsys):
         table, SINK_QUARANTINE_DIR, "pday=0",
         "part-00001-bbbb.c000.snappy.parquet",
     ))
+
+
+def test_cli_decommission_index(tmp_path, capsys):
+    """`smalltsdb_spark decommission-index` — the manifest-protocol
+    symmetry of `decommission`: targeted and autodetected indexes
+    flatten to plain partitioned dirs, non-indexes are untouched, and
+    re-running is a clean no-op."""
+    import json
+    import os
+
+    from smalltsdb_spark import manifests
+
+    base = str(tmp_path / "indexes")
+
+    def build(name):
+        idx = os.path.join(base, name)
+        for b in range(2):
+            rel = os.path.join(f"data_b{b}", "pfx=0", "part-0.parquet")
+            full = os.path.join(idx, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "w") as f:
+                json.dump([f"{name}b{b}"], f)
+            prev = manifests.resolve_version(idx, before=b)[1]
+            merged = {0: prev.get(0, []) + [rel]}
+            manifests.write_version(idx, b, merged)
+        return idx
+
+    spans, sems = build("spans"), build("sems")
+    os.makedirs(os.path.join(base, "plain_table"))  # no manifest
+
+    # targeted: only the named index flattens
+    cli.main(["decommission-index", "--db", base, "spans"])
+    out = capsys.readouterr().out
+    assert "spans: decommissioned (1 partition(s), 2 file(s))" in out
+    assert manifests.latest_version(spans) is None
+    assert os.path.isfile(os.path.join(spans, "pfx=0", "part-0.parquet"))
+    assert manifests.latest_version(sems) is not None  # untouched
+
+    # autodetect: finds the remaining index, skips the plain dir
+    cli.main(["decommission-index", "--db", base])
+    out = capsys.readouterr().out
+    assert "sems: decommissioned" in out and "plain_table" not in out
+    # nothing manifest-managed left: clean no-op
+    cli.main(["decommission-index", "--db", base])
+    assert "no manifest-managed indexes found" in capsys.readouterr().out
