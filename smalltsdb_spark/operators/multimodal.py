@@ -880,3 +880,137 @@ def frame_stats(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(run, FRAME_STATS_SCHEMA)
+
+
+#: fixed payload size for the near-dup video fixture: 64 frames x 8
+#: bytes — a full signed-int64 temporal hash with no ragged tail
+SYNTH_VIDEO_ND_FRAMES = 64
+SYNTH_VIDEO_ND_FRAME_BYTES = 8
+
+
+def synth_video_group_payload(doc_id: int) -> bytes:
+    """Deterministic 512-byte video stream with NEAR-DUP group
+    structure — groups of 4 consecutive doc_ids share a base pattern
+    and differ only in one boosted frame each (the video analog of the
+    one-perturbed-pixel BMP groups / one-boosted-sample WAV groups)::
+
+        base  = doc_id - doc_id % 4
+        slope = 11 + (base * 13) % 97
+        v(k)  = abs(((base*37 + k*slope) % 415) - 207)
+                + (48 if k // 8 == (doc_id % 4) * 13 else 0)
+
+    The abs fold is load-bearing: a purely affine pattern cancels out
+    of the frame-mean-vs-global-mean threshold (a constant offset
+    shifts every frame sum AND the global mean equally), which would
+    make every stream hash identically; the fold makes the bit profile
+    depend on the offset phase, so distinct bases produce distinct
+    temporal hashes while in-group members stay within Hamming 2.
+    All values fit a byte (max 207 + 48)."""
+    base = doc_id - doc_id % 4
+    slope = 11 + (base * 13) % 97
+    hot = (doc_id % 4) * 13
+    return bytes(
+        abs(((base * 37 + k * slope) % 415) - 207)
+        + (48 if k // 8 == hot else 0)
+        for k in range(SYNTH_VIDEO_ND_FRAMES * SYNTH_VIDEO_ND_FRAME_BYTES)
+    )
+
+
+def synth_video_group_media(docs: DataFrame) -> DataFrame:
+    """documents → MEDIA_SCHEMA video rows with the near-dup group
+    payloads of :func:`synth_video_group_payload`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["video"] * len(ids),
+                    "data": [synth_video_group_payload(i) for i in ids],
+                }
+            )
+
+    body = docs.select("doc_id").mapInPandas(
+        run, T.StructType(MEDIA_SCHEMA.fields[:3])
+    )
+    return body.withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ),
+    )
+
+
+THASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("thash", T.LongType(), True),
+    ]
+)
+
+
+def temporal_hash_bytes(raw: bytes, frame_bytes: int = SYNTH_VIDEO_ND_FRAME_BYTES,
+                        frames: int = SYNTH_VIDEO_ND_FRAMES) -> int | None:
+    """Temporal-activity fingerprint of an opaque video byte stream:
+    split into ``frames`` fixed-size frames, bit f = 1 iff frame f's
+    byte sum exceeds the stream's mean frame sum — aHash's threshold
+    idea on the TIME axis (which frames are busier than the stream
+    overall), gain-of-structure analog of the audio envelope hash.
+    INTEGER comparison (sum_f * frames > total) so the bit is exact on
+    any engine.  Streams shorter than a full frame grid hash to None
+    (no stable profile to threshold).  Signed int64, bit i = frame i."""
+    import numpy as np
+
+    need = frame_bytes * frames
+    if len(raw) < need:
+        return None
+    arr = np.frombuffer(raw[:need], dtype=np.uint8).astype(np.int64)
+    sums = arr.reshape(frames, frame_bytes).sum(axis=1)
+    total = int(sums.sum())
+    h = 0
+    for i, s in enumerate(sums):
+        if int(s) * frames > total:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def thash_videos(media: DataFrame) -> DataFrame:
+    """(media_id, thash) over every video payload — the temporal hash,
+    Arrow-batched; streams too short for the frame grid get null."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thash": [
+                        temporal_hash_bytes(bytes(d)) for d in pdf["data"]
+                    ],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .mapInPandas(run, THASH_SCHEMA)
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 4, bucket_cap: int = 512
+) -> DataFrame:
+    """Near-duplicate video pairs by temporal-activity hash: the shared
+    banded-Hamming machinery (4x16-bit chunks, bucket pairing,
+    xor/bit_count verify) pointed at the time axis.  Hash is the only
+    Python stage; everything after is JVM."""
+    sig = (
+        thash_videos(media)
+        .filter(F.col("thash").isNotNull())
+        .select("media_id", F.col("thash").alias("thash"))
+    )
+    return _banded_hamming_pairs(sig, "thash", max_hamming, bucket_cap)

@@ -2178,6 +2178,80 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_stats(frames)
 
 
+@query(
+    "mm_video_near_dups",
+    """
+    WITH g16w AS (SELECT a.i AS i FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                                               (8),(9),(10),(11),(12),(13),(14),(15)) a(i)),
+    g2w AS (SELECT a.i AS i FROM (VALUES (0),(1)) a(i)),
+    gridkw AS (
+        SELECT c.i * 256 + a.i * 16 + b.i AS k
+        FROM g2w c CROSS JOIN g16w a CROSS JOIN g16w b
+    ),
+    wbytes AS (
+        SELECT doc_id, k,
+               abs((((doc_id - doc_id % 4) * 37
+                     + k * (11 + ((doc_id - doc_id % 4) * 13) % 97)) % 415)
+                   - 207)
+               + CASE WHEN CAST((k - k % 8) / 8 AS BIGINT)
+                           = (doc_id % 4) * 13
+                      THEN 48 ELSE 0 END AS v
+        FROM documents CROSS JOIN gridkw
+        WHERE doc_id % 3 = 2
+    ),
+    wf AS (
+        SELECT doc_id, CAST((k - k % 8) / 8 AS BIGINT) AS f,
+               CAST(sum(v) AS BIGINT) AS s
+        FROM wbytes GROUP BY 1, 2
+    ),
+    wtot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM wf GROUP BY 1),
+    wbits AS (
+        SELECT wf.doc_id, f, CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS b
+        FROM wf JOIN wtot USING (doc_id)
+    ),
+    wchunks AS (
+        SELECT doc_id,
+               CASE WHEN f < 16 THEN 0 WHEN f < 32 THEN 1
+                    WHEN f < 48 THEN 2 ELSE 3 END AS q,
+               CAST(sum(CAST(b AS BIGINT) << (f % 16)) AS BIGINT) AS chunk
+        FROM wbits GROUP BY 1, 2
+    ),
+    wcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM wchunks a JOIN wchunks b
+          ON a.q = b.q AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    wham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM wcand c
+        JOIN wbits x ON x.doc_id = c.id_a
+        JOIN wbits y ON y.doc_id = c.id_b AND y.f = x.f
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM wham WHERE hamming <= 4
+    """,
+)
+def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the triad's third near-dup leg
+    (image pixels / audio envelope / video temporal activity), sharing
+    the banded-Hamming machinery: a temporal-activity hash (bit f = is
+    frame f busier than the stream's mean frame — aHash's threshold on
+    the TIME axis, integer-exact by construction) over deterministic
+    512-byte streams where groups of 4 consecutive doc_ids share a base
+    pattern and differ in ONE boosted frame each (within-group Hamming
+    ≤ 2 → threshold 4); the abs-fold in the fixture is what makes
+    distinct bases hash distinctly, since a purely affine pattern
+    cancels out of a mean threshold.  The oracle re-derives every byte,
+    frame sum, threshold bit, 16-bit band, candidate pair, and Hamming
+    distance in pure SQL — candidate GENERATION is modeled too, so the
+    row pins the banded retrieval semantics end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = multimodal.synth_video_group_media(docs)
+    return multimodal.video_near_dup_pairs(media, max_hamming=4)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data pipeline)
 # ---------------------------------------------------------------------------

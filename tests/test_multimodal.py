@@ -473,3 +473,42 @@ def test_frame_stats_matches_hand_computation(spark):
     # at least one payload must actually end mid-frame on a SAMPLED
     # frame, or the partial-tail path went untested
     assert any(fl < 64 for fl, _ in want.values())
+
+
+def test_temporal_hash_group_structure(spark):
+    """Groups of 4 share a base pattern with one boosted frame each:
+    within-group temporal-hash Hamming <= 2, and video_near_dup_pairs
+    finds every in-group pair at threshold 4 on a small corpus."""
+    ids = list(range(16))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = multimodal.synth_video_group_media(docs)
+    sigs = {
+        r.media_id: r.thash for r in multimodal.thash_videos(media).collect()
+    }
+    # signatures match the pure-python model byte for byte
+    for d in ids:
+        assert sigs[d] == multimodal.temporal_hash_bytes(
+            multimodal.synth_video_group_payload(d)
+        )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.video_near_dup_pairs(media, max_hamming=4).collect()
+    }
+    for g in range(0, 16, 4):
+        for a in range(g, g + 4):
+            for b in range(a + 1, g + 4):
+                assert ham(sigs[a], sigs[b]) <= 2
+                assert (a, b) in pairs, f"in-group pair {(a, b)} missed"
+
+
+def test_temporal_hash_short_stream_is_null():
+    """A stream shorter than the 64x8 frame grid has no stable profile
+    to threshold — hash to None, excluded from pairing."""
+    assert multimodal.temporal_hash_bytes(b"x" * 100) is None
+    assert multimodal.temporal_hash_bytes(
+        multimodal.synth_video_group_payload(3)
+    ) is not None
