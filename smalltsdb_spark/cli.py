@@ -180,8 +180,11 @@ def cmd_decommission(args) -> None:
     (storage.reconcile_sink_log): part files a crashed trigger staged
     but never committed are quarantined / deleted / refused per
     ``--on-orphans`` BEFORE the log comes down, so the handover can
-    never surface them as duplicate rows.  Pure filesystem — no Spark
-    session is started."""
+    never surface them as duplicate rows.  Refuse mode is atomic across
+    the whole invocation: EVERY table is pre-checked before ANY
+    handover happens, so "refuse the whole handover" means exactly
+    that — no table is converted when a later one would have refused.
+    Pure filesystem — no Spark session is started."""
     import os
 
     from smalltsdb_spark.storage import (
@@ -201,14 +204,30 @@ def cmd_decommission(args) -> None:
         if not tables:
             print("no stream-owned tables found")
             return
+    allow_damaged = getattr(args, "allow_damaged_log", False)
     with exclusive_lock(args.lock_file):
+        if args.on_orphans == "refuse":
+            # pre-flight: a refusal anywhere must leave EVERY table
+            # untouched, not just the ones after the failing table
+            for t in tables:
+                reconcile_sink_log(
+                    os.path.join(args.db, t), on_orphans="refuse"
+                )
         for t in tables:
             path = os.path.join(args.db, t)
-            orphans = reconcile_sink_log(path, on_orphans=args.on_orphans)
+            orphans = reconcile_sink_log(
+                path,
+                on_orphans=args.on_orphans,
+                allow_damaged=allow_damaged,
+            )
             if orphans:
                 verb = "quarantined" if args.on_orphans == "quarantine" else "deleted"
                 print(f"{t}: {verb} {len(orphans)} uncommitted file(s)")
-            done = decommission_streaming_sink(path, on_orphans=args.on_orphans)
+            # reconcile=False: the pass above already ran — one log
+            # parse + one tree walk per table, not two
+            done = decommission_streaming_sink(
+                path, on_orphans=args.on_orphans, reconcile=False
+            )
             print(f"{t}: {'decommissioned' if done else 'not stream-owned'}")
 
 
@@ -410,6 +429,13 @@ def main(argv=None) -> None:
         "trigger left (the sink log hid them; the handover would "
         "surface them as duplicate rows): quarantine to a dot-dir "
         "(default), delete, or refuse the whole handover",
+    )
+    p.add_argument(
+        "--allow-damaged-log",
+        action="store_true",
+        help="tolerate torn sink-log lines (crash on a non-atomic "
+        "filesystem): unparseable entries are skipped and disposal is "
+        "forced recoverable (quarantine mode only)",
     )
     p.add_argument(
         "table",

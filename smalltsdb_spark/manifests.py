@@ -275,21 +275,39 @@ def decommission_manifest_index(base: str) -> dict[int, list[str]] | None:
     Only safe once the streaming query is stopped FOREVER — a resumed
     stream would resolve no manifest and rebuild from empty, orphaning
     this data.  Returns the final ``{partition: [relative paths]}`` map,
-    or None when no committed manifest exists (nothing to retire)."""
+    or None when no committed manifest exists (nothing to retire).
+
+    Crash-resumable: a process killed mid-flatten leaves the manifest
+    in place (it is removed LAST) with some files already moved to
+    their flattened destinations — a retry treats a missing source
+    whose flattened destination exists as already-moved and continues;
+    only a rel with NEITHER location present is real corruption and
+    refuses."""
     import shutil
+
+    def _flat_rel(rel: str) -> str:
+        pieces = rel.split(os.sep)
+        # rel is data_b*/…/<pdir>/<name>; keep the partition dir
+        # (the k=v component) and the unique part-file name
+        pdir = next((p for p in pieces[:-1] if "=" in p), None)
+        return os.path.join(pdir, pieces[-1]) if pdir else pieces[-1]
 
     v = latest_version(base)
     if v is None:
         return None
     files = read_version(base, v)
-    # validate BEFORE the first move: failing mid-flatten would leave a
-    # manifest referencing already-moved files — manufactured corruption
+    # validate BEFORE the first move (failing mid-flatten on a missing
+    # file would otherwise manufacture corruption); an interrupted
+    # earlier flatten is fine — its moved files sit at _flat_rel
     for rels in files.values():
         for rel in rels:
-            if not os.path.isfile(os.path.join(base, rel)):
+            if not os.path.isfile(os.path.join(base, rel)) and not (
+                os.path.isfile(os.path.join(base, _flat_rel(rel)))
+            ):
                 raise ValueError(
                     f"index at {base!r} is corrupt: manifest v{v} "
-                    f"references missing file {rel!r}; refusing to "
+                    f"references missing file {rel!r} (not at its "
+                    "flattened destination either); refusing to "
                     "decommission"
                 )
     final: dict[int, list[str]] = {}
@@ -297,21 +315,21 @@ def decommission_manifest_index(base: str) -> dict[int, list[str]] | None:
         out = []
         for rel in rels:
             src = os.path.join(base, rel)
-            pieces = rel.split(os.sep)
-            # rel is data_b*/…/<pdir>/<name>; keep the partition dir
-            # (the k=v component) and the unique part-file name
-            pdir = next((p for p in pieces[:-1] if "=" in p), None)
-            new_rel = (
-                os.path.join(pdir, pieces[-1]) if pdir else pieces[-1]
-            )
+            new_rel = _flat_rel(rel)
             dest = os.path.join(base, new_rel)
+            if not os.path.isfile(src):
+                # interrupted earlier run already moved it (validated
+                # above); nothing left to do for this rel
+                out.append(new_rel)
+                continue
+            stem, ext = os.path.splitext(os.path.basename(new_rel))
+            head = os.path.dirname(new_rel)
             n = 0
             while os.path.exists(dest):  # name collision across attempts
-                stem, ext = os.path.splitext(pieces[-1])
-                new_rel = os.path.join(pdir or "", f"{stem}-d{n}{ext}")
+                new_rel = os.path.join(head, f"{stem}-d{n}{ext}")
                 dest = os.path.join(base, new_rel)
                 n += 1
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.makedirs(os.path.dirname(dest) or base, exist_ok=True)
             os.replace(src, dest)
             out.append(new_rel)
         final[part] = sorted(out)

@@ -272,7 +272,9 @@ def _assert_mutable(path: str, op: str) -> None:
         )
 
 
-def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
+def read_sink_log(
+    path: str, allow_damaged: bool = False
+) -> tuple[set[str], set[str]] | None:
     """Parse a file sink's ``_spark_metadata`` transaction log into the
     set of COMMITTED data files, or None when no log exists.
 
@@ -291,7 +293,14 @@ def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
     ``{"path": "file://...", ..., "action": "add"|"delete"}``.  The
     committed set is the latest compact file plus every delta file
     with a larger batch id; ``delete`` entries (compaction retention)
-    retract earlier adds."""
+    retract earlier adds.
+
+    A log line that fails to parse (torn tail write on a filesystem
+    without durable atomic rename) raises ValueError naming the file:
+    the lost entry might be a committed add, so guessing would risk
+    disposing of committed data.  ``allow_damaged=True`` skips
+    unparseable lines instead — only safe when the caller disposes of
+    "orphans" RECOVERABLY (quarantine), never for deletion."""
     import json
     from urllib.parse import unquote, urlparse
 
@@ -319,7 +328,12 @@ def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
 
     table_root = os.path.abspath(path)
     rel_paths: set[str] = set()
-    basenames: set[str] = set()
+    # multiset: dynamic-partition batches can commit the SAME basename
+    # into several partition dirs; a retention delete of one copy must
+    # not strip the basename fallback from the surviving committed copy
+    from collections import Counter
+
+    basenames: Counter[str] = Counter()
 
     def _one(entry: dict, add: bool) -> None:
         uri = entry.get("path")
@@ -331,10 +345,11 @@ def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
         if add:
             if not rel.startswith(".."):
                 rel_paths.add(rel)
-            basenames.add(base)
+            basenames[base] += 1
         else:
             rel_paths.discard(rel)
-            basenames.discard(base)
+            if basenames[base] > 0:
+                basenames[base] -= 1
 
     for log_file in to_read:
         with open(log_file) as f:
@@ -343,15 +358,29 @@ def read_sink_log(path: str) -> tuple[set[str], set[str]] | None:
             line = line.strip()
             if not line or line.startswith("v"):
                 continue
-            entry = json.loads(line)
+            try:
+                entry = json.loads(line)
+            except ValueError as exc:
+                if allow_damaged:
+                    continue
+                raise ValueError(
+                    f"sink log {log_file!r} holds an unparseable entry "
+                    f"({exc}) — a torn tail write; the lost entry might "
+                    "be a committed add, so the committed set cannot be "
+                    "trusted for destructive disposal.  Inspect/restore "
+                    "the log, or reconcile with quarantine mode and "
+                    "allow_damaged=True (recoverable disposal only)."
+                ) from exc
             _one(entry, entry.get("action", "add") != "delete")
-    return rel_paths, basenames
+    return rel_paths, {b for b, n in basenames.items() if n > 0}
 
 
 SINK_QUARANTINE_DIR = ".decommission_quarantine"
 
 
-def reconcile_sink_log(path: str, on_orphans: str = "quarantine") -> list[str]:
+def reconcile_sink_log(
+    path: str, on_orphans: str = "quarantine", allow_damaged: bool = False
+) -> list[str]:
     """Diff a file sink's committed set against the on-disk listing and
     dispose of ORPHANS — ``part-*.parquet`` files a task staged but the
     sink log never committed (crashed trigger, task death between write
@@ -369,8 +398,19 @@ def reconcile_sink_log(path: str, on_orphans: str = "quarantine") -> list[str]:
     relative path NOR its (task-UUID-carrying) basename appears in the
     log, so a committed file can never be swept by a path-resolution
     quirk.  Returns the orphans' relative paths (already disposed of,
-    unless refusing raised).  No-op (returns []) when no log exists."""
-    committed = read_sink_log(path)
+    unless refusing raised).  No-op (returns []) when no log exists.
+
+    ``allow_damaged`` tolerates torn log lines (see
+    :func:`read_sink_log`) — quarantine mode only: with entries
+    possibly lost, an "orphan" might be committed data, so only the
+    recoverable disposal is allowed."""
+    if allow_damaged and on_orphans != "quarantine":
+        raise ValueError(
+            "allow_damaged requires on_orphans='quarantine': with log "
+            "entries possibly lost, an apparent orphan might be "
+            "committed data — only recoverable disposal is safe"
+        )
+    committed = read_sink_log(path, allow_damaged=allow_damaged)
     if committed is None:
         return []
     rel_paths, basenames = committed
@@ -429,7 +469,10 @@ def reconcile_sink_log(path: str, on_orphans: str = "quarantine") -> list[str]:
 
 
 def decommission_streaming_sink(
-    path: str, on_orphans: str = "quarantine"
+    path: str,
+    on_orphans: str = "quarantine",
+    allow_damaged: bool = False,
+    reconcile: bool = True,
 ) -> bool:
     """One-way migration: remove a file sink's ``_spark_metadata`` log so
     the table is read by directory listing again (making batch append /
@@ -445,11 +488,16 @@ def decommission_streaming_sink(
     Only safe once the streaming query is stopped FOREVER: a resumed
     query would re-create a log listing only post-resume files, hiding
     everything older from log-based readers.  Returns True if a log was
-    removed."""
+    removed.  ``reconcile=False`` skips the reconciliation pass for a
+    caller that just ran :func:`reconcile_sink_log` itself (the CLI:
+    one log parse + one tree walk, not two)."""
     md = os.path.join(path, STREAM_METADATA_DIR)
     if not os.path.isdir(md):
         return False
-    reconcile_sink_log(path, on_orphans=on_orphans)
+    if reconcile:
+        reconcile_sink_log(
+            path, on_orphans=on_orphans, allow_damaged=allow_damaged
+        )
     shutil.rmtree(md)
     return True
 

@@ -343,3 +343,43 @@ def test_cli_decommission_index(tmp_path, capsys):
     # nothing manifest-managed left: clean no-op
     cli.main(["decommission-index", "--db", base])
     assert "no manifest-managed indexes found" in capsys.readouterr().out
+
+
+def test_cli_decommission_refuse_is_atomic_across_tables(tsdb_dir):
+    """--on-orphans refuse must leave EVERY table untouched when ANY
+    table would refuse — the pre-flight pass: table A (clean) must not
+    be handed over before table B's orphan raises."""
+    import json
+    import os
+
+    def sink(table, with_orphan):
+        t = os.path.join(tsdb_dir, table)
+        md = os.path.join(t, "_spark_metadata")
+        pdir = os.path.join(t, "pday=0")
+        os.makedirs(md)
+        os.makedirs(pdir)
+        committed = os.path.join(pdir, "part-00000-aa.c000.snappy.parquet")
+        with open(committed, "wb") as fh:
+            fh.write(b"PAR1")
+        if with_orphan:
+            with open(
+                os.path.join(pdir, "part-00001-bb.c000.snappy.parquet"), "wb"
+            ) as fh:
+                fh.write(b"PAR1")
+        with open(os.path.join(md, "0"), "w") as fh:
+            fh.write("v1\n" + json.dumps({
+                "path": "file://" + committed, "size": 4, "isDir": False,
+                "modificationTime": 0, "blockReplication": 1,
+                "action": "add",
+            }))
+        return md
+
+    md_a = sink("aaa_clean", with_orphan=False)
+    md_b = sink("bbb_orphaned", with_orphan=True)
+    with pytest.raises(ValueError, match="never committed"):
+        cli.main(
+            ["decommission", "--db", tsdb_dir, "--on-orphans", "refuse",
+             "aaa_clean", "bbb_orphaned"]
+        )
+    # BOTH logs intact — the clean table was not converted first
+    assert os.path.isdir(md_a) and os.path.isdir(md_b)

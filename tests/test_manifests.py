@@ -357,11 +357,17 @@ def test_property_sink_handover_equals_committed_union(
     the committed union (adds minus retention deletes), and everything
     else — crashed-trigger leftovers AND retention-deleted files still
     on disk — sits in the quarantine dot-dir."""
+    import tempfile
+
     import pytest
 
     from smalltsdb_spark import storage
 
-    table = str(tmp_path / f"t{abs(hash(str(steps))) % 10**8}")
+    # tmp_path is function-scoped but hypothesis re-runs the body many
+    # times per test (including replaying the SAME example after a
+    # shrink) — the table dir must be unique per EXECUTION, not per
+    # example value, or leftover state corrupts the falsifying re-run
+    table = tempfile.mkdtemp(prefix="sink_", dir=str(tmp_path))
     md = os.path.join(table, storage.STREAM_METADATA_DIR)
     os.makedirs(md)
 
@@ -472,3 +478,75 @@ def test_decommission_manifest_index_refuses_corrupt_index(tmp_path):
         manifests.decommission_manifest_index(base)
     # refused: the manifest is still there (nothing half-retired)
     assert manifests.latest_version(base) == v
+
+
+def test_sink_log_torn_line_refuses_unless_recoverable(tmp_path):
+    """A torn (unparseable) log line means the committed set cannot be
+    trusted: every mode refuses by default; allow_damaged skips the
+    line but is only accepted with quarantine (recoverable) disposal."""
+    import pytest
+
+    from smalltsdb_spark import storage
+
+    table = str(tmp_path / "t")
+    md = os.path.join(table, storage.STREAM_METADATA_DIR)
+    os.makedirs(md)
+    committed = os.path.join("pday=0", "part-00000-aa.c000.snappy.parquet")
+    maybe = os.path.join("pday=0", "part-00001-bb.c000.snappy.parquet")
+    for rel in (committed, maybe):
+        _mkfile(os.path.join(table, rel), b"PAR1")
+    with open(os.path.join(md, "0"), "w") as f:
+        f.write(
+            "v1\n"
+            + _sink_log_entry(table, committed)
+            + "\n"
+            + _sink_log_entry(table, maybe)[: 40]  # torn tail write
+        )
+    with pytest.raises(ValueError, match="unparseable"):
+        storage.read_sink_log(table)
+    with pytest.raises(ValueError, match="unparseable"):
+        storage.decommission_streaming_sink(table)
+    # destructive disposal with lost entries is refused outright
+    with pytest.raises(ValueError, match="allow_damaged requires"):
+        storage.reconcile_sink_log(
+            table, on_orphans="delete", allow_damaged=True
+        )
+    assert os.path.isdir(md)
+    # recoverable path: the torn entry's file quarantines (it MIGHT be
+    # committed — that is exactly why it is not deleted)
+    assert storage.decommission_streaming_sink(table, allow_damaged=True)
+    assert os.path.isfile(os.path.join(table, committed))
+    assert not os.path.exists(os.path.join(table, maybe))
+    assert os.path.isfile(
+        os.path.join(table, storage.SINK_QUARANTINE_DIR, maybe)
+    )
+
+
+def test_decommission_manifest_index_resumes_after_crash(tmp_path):
+    """A process killed mid-flatten leaves the manifest in place with
+    some files already moved; the retry must treat moved-but-validated
+    files as done and complete, not refuse forever (the validation is
+    for real corruption: a rel present at NEITHER location)."""
+    base = str(tmp_path / "idx")
+    for b in range(3):
+        _process_batch(base, b, [0, 1], grace=0.0)
+    v, files = manifests.resolve_version(base)
+    want = {p: _read_tokens(base, rels) for p, rels in files.items()}
+    # simulate the crash: the first live file was already moved to its
+    # flattened destination, manifest still present
+    first_rel = files[0][0]
+    pieces = first_rel.split(os.sep)
+    pdir = next(p for p in pieces[:-1] if "=" in p)
+    os.makedirs(os.path.join(base, pdir), exist_ok=True)
+    os.replace(
+        os.path.join(base, first_rel),
+        os.path.join(base, pdir, pieces[-1]),
+    )
+    final = manifests.decommission_manifest_index(base)  # resumes
+    assert final is not None
+    for p, rels in final.items():
+        assert _read_tokens(base, rels) == want[p]
+    assert not any(
+        manifests.VERSION_RE.match(n) or n.startswith("data_b")
+        for n in os.listdir(base)
+    )
