@@ -534,7 +534,7 @@ def stream_agg_tensecond(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream drain did not finish"
     return _round_stats(spark.table(sink), _STATS)
 
 
@@ -603,7 +603,7 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_ingest(
         read_spool_stream(spark, spool), inc_path, ckpt, available_now=True
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream drain did not finish"
 
     landed = spark.read.parquet(inc_path).select("path", "timestamp", "value")
     return _round_stats(aggregate(landed, 60), _STATS)
@@ -657,7 +657,7 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            assert q.awaitTermination(600), "stream drain did not finish"
 
     from smalltsdb_spark.schemas import INCOMING_SCHEMA
 
@@ -732,7 +732,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            assert q.awaitTermination(600), "stream drain did not finish"
 
     inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
         "append"
@@ -791,7 +791,7 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(bucket),
                 available_now=True,
             )
-            q.awaitTermination(600)
+            assert q.awaitTermination(600), "stream drain did not finish"
 
     inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
         "append"
@@ -858,7 +858,7 @@ def stream_rollup_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(bucket),
                 available_now=True,
             )
-            q.awaitTermination(600)
+            assert q.awaitTermination(600), "stream drain did not finish"
 
     inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
         "append"
@@ -1514,7 +1514,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            assert q.awaitTermination(600), "stream drain did not finish"
 
     for lo, hi in [(t_min - 1, t_split), (t_split, t_max + 1)]:
         clicks.filter(

@@ -1454,7 +1454,7 @@ def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream drain did not finish"
     return spark.read.parquet(out)
 
 
@@ -3888,7 +3888,7 @@ def stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream drain did not finish"
     w = Window.orderBy(F.desc("n"), "token")
     return (
         spark.table(sink)
@@ -5299,7 +5299,7 @@ def stream_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream drain did not finish"
     return spark.read.parquet(out).drop("batch")
 
 
@@ -5655,7 +5655,7 @@ def stream_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             60,
             available_now=True,
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream drain did not finish"
 
     db = TablesTSDB(
         spark,
@@ -5754,7 +5754,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream drain did not finish"
     return spark.read.parquet(out).drop("batch")
 
 
