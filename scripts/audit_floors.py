@@ -209,7 +209,13 @@ def main() -> None:
         clean_now = cur_session_clean and name in cur and name not in cur_noisy
         if clean_now:
             candidates.append(float(cur[name]))
-        if candidates:
+        # the r11 rule is blunter than the clean-session rule (round
+        # records list only each round's slowest entries — biased
+        # high, and a single entry can run hot inside an overall-clean
+        # session without earning a noise flag), so it only applies
+        # when NO clean-session evidence exists for the entry at all;
+        # a clean official within 2x of the floor VALIDATES the floor
+        if candidates and cm is None:
             best = min(candidates)
             if fl < best / 3 and clean_now:
                 print(
