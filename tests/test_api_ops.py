@@ -383,3 +383,47 @@ def test_cli_decommission_refuse_is_atomic_across_tables(tsdb_dir):
         )
     # BOTH logs intact — the clean table was not converted first
     assert os.path.isdir(md_a) and os.path.isdir(md_b)
+
+
+def test_cli_decommission_allow_damaged_log(tsdb_dir, capsys):
+    """--allow-damaged-log: a torn log line refuses by default and
+    proceeds recoverably (quarantine) with the flag."""
+    import json
+    import os
+
+    from smalltsdb_spark.storage import SINK_QUARANTINE_DIR
+
+    t = os.path.join(tsdb_dir, "histogram")
+    md = os.path.join(t, "_spark_metadata")
+    pdir = os.path.join(t, "pday=0")
+    os.makedirs(md)
+    os.makedirs(pdir)
+    committed = os.path.join(pdir, "part-00000-aa.c000.snappy.parquet")
+    lost = os.path.join(pdir, "part-00001-bb.c000.snappy.parquet")
+    for f in (committed, lost):
+        with open(f, "wb") as fh:
+            fh.write(b"PAR1")
+    entry = json.dumps({
+        "path": "file://" + committed, "size": 4, "isDir": False,
+        "modificationTime": 0, "blockReplication": 1, "action": "add",
+    })
+    with open(os.path.join(md, "0"), "w") as fh:
+        fh.write("v1\n" + entry + "\n" + entry[:25])  # torn tail
+
+    with pytest.raises(ValueError, match="unparseable"):
+        cli.main(["decommission", "--db", tsdb_dir, "histogram"])
+    assert os.path.isdir(md)
+
+    cli.main(
+        ["decommission", "--db", tsdb_dir, "--allow-damaged-log", "histogram"]
+    )
+    out = capsys.readouterr().out
+    assert "histogram: decommissioned" in out
+    assert not os.path.isdir(md)
+    assert os.path.isfile(committed)
+    # the torn entry's file went to quarantine (recoverable), not deleted
+    assert not os.path.exists(lost)
+    assert os.path.isfile(os.path.join(
+        t, SINK_QUARANTINE_DIR, "pday=0",
+        "part-00001-bb.c000.snappy.parquet",
+    ))
