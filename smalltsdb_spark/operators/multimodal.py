@@ -1014,3 +1014,27 @@ def video_near_dup_pairs(
         .select("media_id", F.col("thash").alias("thash"))
     )
     return _banded_hamming_pairs(sig, "thash", max_hamming, bucket_cap)
+
+
+def dedup_by_media_hash(
+    sig: DataFrame, id_col: str = "media_id", hash_col: str = "ahash"
+) -> DataFrame:
+    """Exact perceptual-hash dedup over any (id, hash) signature
+    relation — the curation op that drops documents whose IMAGE (or
+    audio/video) is an exact perceptual duplicate of a kept document's,
+    keyed by the already-computed aHash/envelope/temporal hash instead
+    of raw bytes.  Returns the DROP relation ``(id, keeper)``: every
+    non-minimal id per hash group, paired with the group's keeper
+    (deterministic min id — re-runnable, engine-portable).
+
+    Scale shape: one hash-keyed partial+final groupBy for the keeper
+    relation (≤ distinct-hash-sized) and one equi-join back on the
+    hash; no window over the full corpus, no Python.  At 100 TB the
+    keeper side is a hash-distinct aggregate — AQE broadcast-elects it
+    when small, shuffle-joins when not."""
+    keep = sig.groupBy(hash_col).agg(F.min(id_col).alias("keeper"))
+    return (
+        sig.join(keep, hash_col)
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col, "keeper")
+    )

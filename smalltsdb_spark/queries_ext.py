@@ -2252,6 +2252,49 @@ def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_near_dup_pairs(media, max_hamming=4)
 
 
+@query(
+    "mm_dedup_by_image",
+    f"""
+    WITH {_AHASH_BITS_CTE},
+    ihash AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b = 1 THEN
+                     CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                          ELSE (CAST(1 AS BIGINT) << k) END
+                   ELSE 0 END) AS BIGINT) AS h
+        FROM bits GROUP BY doc_id
+    ),
+    ikeep AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS keeper
+              FROM ihash GROUP BY h)
+    SELECT i.doc_id, k.keeper
+    FROM ihash i JOIN ikeep k USING (h)
+    WHERE i.doc_id <> k.keeper
+    """,
+)
+def mm_dedup_by_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-hash-keyed DOCUMENT dedup — the cross-modal curation op a
+    multimodal training pipeline runs after hashing (drop every
+    document whose image is an exact perceptual duplicate of a kept
+    document's, LAION/CCNet style): REAL BMP decode → aHash →
+    multimodal.dedup_by_media_hash keep-min-per-hash.  Returns the
+    DROP relation (doc_id, keeper); deterministic keeper = min doc_id
+    per hash group, so re-runs and engines agree.  The synthetic BMP
+    corpus's cycling pixel pattern gives genuine exact-hash collision
+    groups to collapse.
+
+    Scale shape: the signature relation is (id, int64) — the dedup
+    itself is one hash-keyed groupBy + one equi-join, no window over
+    the corpus, decode cost amortized into the already-needed hash
+    pass."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = multimodal.synth_bmp_media(docs)
+    sig = multimodal.ahash_images(media).select("media_id", "ahash")
+    return (
+        multimodal.dedup_by_media_hash(sig)
+        .select(F.col("media_id").alias("doc_id"), "keeper")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data pipeline)
 # ---------------------------------------------------------------------------

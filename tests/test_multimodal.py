@@ -512,3 +512,16 @@ def test_temporal_hash_short_stream_is_null():
     assert multimodal.temporal_hash_bytes(
         multimodal.synth_video_group_payload(3)
     ) is not None
+
+
+def test_dedup_by_media_hash(spark):
+    """Keep-min-per-hash over a signature relation: non-keepers pair
+    with their group's deterministic keeper; unique hashes drop out."""
+    sig = spark.createDataFrame(
+        [(5, 100), (3, 100), (9, 100), (7, 200), (1, 300), (2, 300)],
+        "media_id long, ahash long",
+    )
+    got = sorted(
+        map(tuple, multimodal.dedup_by_media_hash(sig).collect())
+    )
+    assert got == [(2, 1), (5, 3), (9, 3)]
