@@ -46,10 +46,14 @@ bit-identical across engines.  The 2^-12 argument quantization is part
 of the defined training algorithm (mirrored exactly), not an
 approximation of it.
 
-Scale shape at 100 TB: per iteration one broadcast (dim floats, ~2 MB at
-2^18) + one feature-keyed shuffle of the (doc, feature) relation — the
-same cost class as one TF-IDF pass, times a small fixed iteration count.
-No per-row Python anywhere.
+Scale shape at 100 TB: the (doc, feature) relation is shuffled ONCE
+(hash-partitioned by doc at cache time); per iteration one broadcast
+(dim floats, ~2 MB at 2^18), one exchange-free pass over the cached
+relation (margin groupBy and the doc-keyed gradient join both reuse the
+cache partitioning), and one feature-keyed exchange of pre-aggregated
+partials (≤ dim+1 rows per partition).  The same cost class as one
+TF-IDF pass once, plus iters tiny model-sized rounds.  No per-row
+Python anywhere.
 """
 
 from __future__ import annotations
@@ -241,8 +245,39 @@ def fit(
             raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
         features = features.filter(sample_gate(id_col, sample_frac))
         labels = labels.filter(sample_gate(id_col, sample_frac))
-    fx = features.join(labels, id_col).persist()
-    n_docs = fx.select(id_col).distinct().count()
+    # One synthetic BIAS feature row per training doc (feature == dim,
+    # x == 1.0): its weight is pinned to 0.0 so the margin sum is
+    # untouched (floor(1.0·0.0·2^24 + 0.5) = 0 — bias still adds as a
+    # plain float, outside the fixed-point sum), while the per-feature
+    # gradient aggregation yields the bias gradient for free at
+    # feature == dim — floor(err·1.0·2^24 + 0.5) ≡ floor(err·2^24 + 0.5)
+    # bit-exactly (IEEE-754: x·1.0 == x).  This folds what used to be a
+    # second per-iteration aggregation job into the gradient pass.
+    base = features.join(labels, id_col)
+    bias_rows = (
+        base.groupBy(id_col)
+        .agg(F.first("label").alias("label"))
+        .select(
+            id_col,
+            F.lit(dim).cast("long").alias("feature"),
+            F.lit(1.0).alias("x"),
+            "label",
+        )
+    )
+    # hash-partition the cached training relation by doc id ONCE: the
+    # per-iteration margin groupBy(id) and the gradient join back on id
+    # then run exchange-free (one upfront shuffle instead of one per
+    # iteration — at corpus scale this removes iters-1 full shuffles of
+    # the (doc, feature) relation).
+    fx = (
+        base.select(id_col, "feature", "x", "label")
+        .unionByName(bias_rows)
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    # every training doc owns exactly one bias row, so this count is the
+    # old distinct-id count
+    n_docs = fx.filter(F.col("feature") == dim).count()
     if n_docs == 0:
         raise ValueError("no labeled documents to fit on")
     sig_table = _sigmoid_table(spark)
@@ -252,39 +287,66 @@ def fit(
     try:
         for _ in range(iters):
             weights_df = spark.createDataFrame(
-                [(i, wi) for i, wi in enumerate(w)], "feature long, w double"
+                [(i, wi) for i, wi in enumerate(w)] + [(dim, 0.0)],
+                "feature long, w double",
             )
-            scores = _scores(
-                fx.select(id_col, "feature", "x"),
-                id_col,
-                weights_df,
-                bias,
-                sig_table,
+            # per-doc margin with the label carried THROUGH the
+            # aggregation (F.first over a per-doc-constant column —
+            # deterministic), so no per-iteration re-scan/join of the
+            # labels lineage; fx is hash-partitioned by id, so this
+            # groupBy has no Exchange
+            margins = (
+                fx.join(F.broadcast(weights_df), "feature")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("x") * F.col("w") * F.lit(FP_SCALE)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("_m_int"),
+                    F.first("label").cast("double").alias("_y"),
+                )
+                .select(
+                    id_col,
+                    (
+                        F.col("_m_int") / F.lit(FP_SCALE) + F.lit(float(bias))
+                    ).alias("margin"),
+                    "_y",
+                )
+            )
+            mq = F.greatest(
+                F.least(
+                    F.floor(F.col("margin") * F.lit(SIG_SCALE) + F.lit(0.5))
+                    .cast("long"),
+                    F.lit(SIG_CLIP).cast("long"),
+                ),
+                F.lit(-SIG_CLIP).cast("long"),
             )
             # err = sigma(margin) − label, per doc — margin is already
             # deterministic and sigma is a table lookup, so err is too;
             # everything summed below is fixed-point quantized per row
-            # persisted: err feeds BOTH the gradient join and the scalar
-            # aggregate below — without the cache the whole margin pass
-            # (broadcast join + corpus groupBy) would run twice per
-            # iteration.  docs-sized (one row per doc); AQE's runtime
-            # stats pick broadcast vs shuffle join for it — broadcast at
-            # bench scale, shuffle at corpus scale, both correct.
             err = (
-                scores.join(labels, id_col)
+                margins.withColumn("mq", mq)
+                .join(F.broadcast(sig_table), "mq")
                 .select(
                     id_col,
-                    (F.col("score") - F.col("label").cast("double")).alias(
-                        "err"
-                    ),
+                    (F.col("sigma") - F.col("_y")).alias("err"),
                     "margin",
-                    F.col("label").cast("double").alias("_y"),
+                    "_y",
                 )
-                .persist()
             )
+            # ONE job per iteration: the doc-keyed join is co-partitioned
+            # with the cached fx (no Exchange; the shuffle_hash hint
+            # builds the doc-sized err side per partition instead of
+            # sorting the corpus side), the feature groupBy partial-
+            # aggregates to ≤ dim+1 rows per partition before its tiny
+            # exchange, and exactly dim+2 numbers reach the driver.  The
+            # log-loss (driver-side DIAGNOSTIC — never feeds the weights,
+            # never oracle-compared; the only JVM transcendental, by
+            # design) rides the bias rows of the same aggregation.
             stats = (
-                fx.select(id_col, "feature", "x")
-                .join(err.select(id_col, "err"), id_col)
+                fx.join(err.hint("shuffle_hash"), id_col)
                 .groupBy("feature")
                 .agg(
                     F.sum(
@@ -292,37 +354,39 @@ def fit(
                             F.col("err") * F.col("x") * F.lit(FP_SCALE)
                             + F.lit(0.5)
                         ).cast("long")
-                    ).alias("g_int")
+                    ).alias("g_int"),
+                    F.sum(
+                        F.when(
+                            F.col("feature") == dim,
+                            F.round(
+                                F.log1p(F.exp(-F.abs(F.col("margin"))))
+                                + F.when(
+                                    (
+                                        (F.col("margin") >= 0)
+                                        & (F.col("_y") < 0.5)
+                                    )
+                                    | (
+                                        (F.col("margin") < 0)
+                                        & (F.col("_y") >= 0.5)
+                                    ),
+                                    F.abs(F.col("margin")),
+                                ).otherwise(F.lit(0.0)),
+                                6,
+                            ),
+                        )
+                    ).alias("loss_sum"),
                 )
                 .collect()
             )
-            scalar = err.agg(
-                F.sum(
-                    F.floor(
-                        F.col("err") * F.lit(FP_SCALE) + F.lit(0.5)
-                    ).cast("long")
-                ).alias("gb_int"),
-                # log-loss is a driver-side DIAGNOSTIC (never feeds the
-                # weights, never oracle-compared) — the only place JVM
-                # transcendentals remain, by design
-                F.sum(
-                    F.round(
-                        F.log1p(F.exp(-F.abs(F.col("margin"))))
-                        + F.when(
-                            ((F.col("margin") >= 0) & (F.col("_y") < 0.5))
-                            | ((F.col("margin") < 0) & (F.col("_y") >= 0.5)),
-                            F.abs(F.col("margin")),
-                        ).otherwise(F.lit(0.0)),
-                        6,
-                    )
-                ).alias("loss_sum"),
-            ).first()
-            err.unpersist()
+            loss_sum = 0.0
             for row in stats:
                 f = int(row.feature)
-                w[f] -= lr * (row.g_int / FP_SCALE) / n_docs
-            bias -= lr * (scalar.gb_int / FP_SCALE) / n_docs
-            losses.append(float(scalar.loss_sum) / n_docs)
+                if f == dim:
+                    bias -= lr * (row.g_int / FP_SCALE) / n_docs
+                    loss_sum = float(row.loss_sum)
+                else:
+                    w[f] -= lr * (row.g_int / FP_SCALE) / n_docs
+            losses.append(loss_sum / n_docs)
     finally:
         fx.unpersist()
     return LogisticModel(weights=w, bias=bias, dim=dim, losses=losses)
