@@ -652,7 +652,12 @@ def with_pday(df: DataFrame, grain_seconds: int = SECONDS_PER_DAY) -> DataFrame:
     )
 
 
-def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_partition_col: bool = False,
+) -> DataFrame:
     """Read a partitioned table, returning an empty DataFrame if absent.
 
     The schema is passed EXPLICITLY to the reader: no footer-inference
@@ -663,8 +668,29 @@ def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     A manifest-tracked table is read through its manifest's file list
     (``basePath`` keeps partition-value parsing): staged-but-uncommitted
     files and crash debris are INVISIBLE, and one manifest resolution
-    pins a consistent whole-table snapshot for the entire query."""
+    pins a consistent whole-table snapshot for the entire query.
+
+    ``with_partition_col=True`` keeps the ``pday`` partition column in
+    the result so callers can filter on it — a filter on the PARTITION
+    column prunes at the file index (whole directories skipped), which a
+    filter on ``floor(timestamp / grain)`` (a data column) never can.
+    The upsert path's replaced-day read depends on this.
+
+    The known-empty returns are tagged ``_smalltsdb_empty_relation`` so
+    callers with an existing-vs-new merge step (the upsert anti-join)
+    can skip it outright instead of shuffling the new side against a
+    provably empty relation."""
     manifest = read_manifest(path)
+    out_fields = [f.name for f in schema.fields] + (
+        [PARTITION_COLUMN] if with_partition_col else []
+    )
+    empty_schema = (
+        T.StructType(
+            list(schema.fields) + [T.StructField(PARTITION_COLUMN, T.LongType())]
+        )
+        if with_partition_col
+        else schema
+    )
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(PARTITION_COLUMN, T.LongType())]
     )
@@ -673,19 +699,23 @@ def read_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
             os.path.join(path, rel) for fs in manifest.values() for rel in fs
         ]
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], empty_schema)
+            df._smalltsdb_empty_relation = True
+            return df
         return (
             spark.read.schema(read_schema)
             .option("basePath", path)
             .parquet(*files)
-            .select(*[f.name for f in schema.fields])
+            .select(*out_fields)
         )
     if not _has_data(path):
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], empty_schema)
+        df._smalltsdb_empty_relation = True
+        return df
     return (
         spark.read.schema(read_schema)
         .parquet(path)
-        .select(*[f.name for f in schema.fields])
+        .select(*out_fields)
     )
 
 

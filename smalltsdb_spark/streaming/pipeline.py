@@ -187,12 +187,30 @@ def _upsert_agg_batch(batch: DataFrame, path: str, grain_seconds: int) -> None:
         ]
         if not affected:
             return
-        existing = storage.read_table(batch.sparkSession, path, AGG_SCHEMA)
-        kept = existing.filter(
-            F.floor(F.col("timestamp") / grain_seconds)
-            .cast("long")
-            .isin(affected)
-        ).join(batch, ["path", "timestamp"], "left_anti")
+        # read the replaced days through the PARTITION column (prunes at
+        # the file index; a floor(timestamp/grain) filter on the data
+        # column scans the whole table), and skip the anti-join outright
+        # on the first trigger's empty table — the same upsert shape as
+        # TablesTSDB._upsert_into
+        existing = storage.read_table(
+            batch.sparkSession, path, AGG_SCHEMA, with_partition_col=True
+        )
+        if getattr(existing, "_smalltsdb_empty_relation", False):
+            storage.overwrite_partitions(
+                batch,
+                path,
+                grain_seconds,
+                manifest=True,
+                gc_min_age=STREAM_GC_MIN_AGE,
+            )
+            return
+        kept = (
+            existing.filter(
+                F.col(storage.PARTITION_COLUMN).isin(affected)
+            )
+            .drop(storage.PARTITION_COLUMN)
+            .join(batch, ["path", "timestamp"], "left_anti")
+        )
         # gc_min_age: this commit path runs EVERY trigger (default 10 s),
         # so an ungated GC would delete a replaced file one trigger after
         # retirement — far short of the one-sync-cycle grace the batch

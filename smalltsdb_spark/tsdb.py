@@ -33,6 +33,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from smalltsdb_spark import storage
 from smalltsdb_spark.config import (
@@ -310,10 +311,8 @@ class BaseTSDB:
         validate_period(period, self.period_seconds)
         validate_stat(stat)
         start, end = (coerce_epoch(x) for x in interval)
-        base = (
-            self.period_table(period)
-            .filter(F.col("path") == path)
-            .filter(F.col("timestamp").between(start, end))
+        base = self._period_slice(period, start, end).filter(
+            F.col("path") == path
         )
         df = base.select("timestamp", stat)
         if include_partial:
@@ -331,6 +330,17 @@ class BaseTSDB:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def _period_slice(self, period: str, start: float, end: float) -> DataFrame:
+        """The period table restricted to ``timestamp ∈ [start, end]``
+        (inclusive, the reference's read semantics).  TablesTSDB
+        overrides this to ALSO restrict the partition column, so the
+        interval prunes whole ``pday=`` directories at the file index —
+        a filter on ``timestamp`` alone only reaches parquet row-group
+        statistics, never the listing."""
+        return self.period_table(period).filter(
+            F.col("timestamp").between(start, end)
+        )
 
     def query_timeout(self, timeout: float | None):
         """Bound a query's wall time (reference TODO tsdb.py:349
@@ -526,10 +536,24 @@ class BaseTSDB:
             )
         else:
             hist = hist.filter(F.col("path") == path).filter(
-                # conservative fine-bucket prefilter — prunes pday
-                # partitions of the persisted table before the merge
+                # conservative fine-bucket prefilter; refined within
+                # files by row-group stats
                 F.col("timestamp").between(start - seconds, end + seconds)
             )
+            if storage.PARTITION_COLUMN in hist.columns:
+                # the persisted table carries its partition column
+                # (TablesTSDB._histogram_table): the same prefilter on
+                # pday actually prunes whole directories at the file
+                # index — a timestamp (data-column) filter never can
+                import math
+
+                grain = self.grain_seconds
+                hist = hist.filter(
+                    F.col(storage.PARTITION_COLUMN).between(
+                        math.floor((start - seconds) / grain),
+                        math.floor((end + seconds) / grain),
+                    )
+                ).drop(storage.PARTITION_COLUMN)
         bounds = histogram_quantile_bounds(
             hist,
             seconds,
@@ -627,6 +651,32 @@ class TablesTSDB(BaseTSDB):
         validate_period(period, self.period_seconds)
         return storage.read_table(self.spark, self._period_path(period), AGG_SCHEMA)
 
+    def _period_slice(self, period: str, start: float, end: float) -> DataFrame:
+        """Interval read with PARTITION pruning: ``timestamp ∈ [start,
+        end]`` implies ``pday ∈ [floor(start/grain), floor(end/grain)]``
+        (pday is written as exactly that floor), so the range filter on
+        the partition column skips whole directories at the file index
+        before the timestamp filter refines within files."""
+        import math
+
+        validate_period(period, self.period_seconds)
+        grain = self.grain_seconds
+        return (
+            storage.read_table(
+                self.spark,
+                self._period_path(period),
+                AGG_SCHEMA,
+                with_partition_col=True,
+            )
+            .filter(
+                F.col(storage.PARTITION_COLUMN).between(
+                    math.floor(start / grain), math.floor(end / grain)
+                )
+            )
+            .drop(storage.PARTITION_COLUMN)
+            .filter(F.col("timestamp").between(start, end))
+        )
+
     def _histogram_table(self) -> DataFrame | None:
         """The persisted fine histogram (histograms=True): maintained by
         sync at the finest period under the same finality rule as the
@@ -639,8 +689,14 @@ class TablesTSDB(BaseTSDB):
         if not self.histograms:
             return None
         self._pin_hist_geometry(write=False)
+        # pday rides along so the bounds read's time prefilter can prune
+        # whole partitions at the file index (get_metric_bounds_df drops
+        # it after filtering)
         return storage.read_table(
-            self.spark, os.path.join(self.path, "histogram"), HIST_SCHEMA
+            self.spark,
+            os.path.join(self.path, "histogram"),
+            HIST_SCHEMA,
+            with_partition_col=True,
         )
 
     def _partial_table(self, period: str) -> DataFrame:
@@ -651,11 +707,35 @@ class TablesTSDB(BaseTSDB):
         never stores (reference tsdb.py:372-374).  Cost: one aggregation
         of the incoming tail; the path filter pushes below the
         aggregation (path is a grouping key), so a one-metric read scans
-        one metric's raw rows."""
+        one metric's raw rows.
+
+        The finality cut prunes the RAW scan too: ``fe`` is bucket-
+        aligned (intervals.final_end), so ``bucket ≥ fe ⟺ timestamp ≥
+        fe`` exactly — the pre-aggregation filter reaches the parquet
+        scan as a pushed predicate and its partition-column twin skips
+        every wholly-final ``pday=`` directory at the file index, where
+        the old post-aggregation filter scanned ALL of incoming to
+        compute buckets it then threw away."""
+        import math
+
         seconds = validate_period(period, self.period_seconds)
         fe = float(final_end(seconds, self.tail, self._now()))
+        tail_rows = (
+            storage.read_table(
+                self.spark,
+                self.incoming_path,
+                INCOMING_SCHEMA,
+                with_partition_col=True,
+            )
+            .filter(
+                F.col(storage.PARTITION_COLUMN)
+                >= math.floor(fe / self.grain_seconds)
+            )
+            .drop(storage.PARTITION_COLUMN)
+            .filter(F.col("timestamp") >= F.lit(fe))
+        )
         return aggregate(
-            self.incoming(), seconds, exact=self.exact_percentiles
+            tail_rows, seconds, exact=self.exact_percentiles
         ).filter(F.col("timestamp") >= F.lit(fe))
 
     # -- incremental sync ---------------------------------------------------
@@ -739,15 +819,33 @@ class TablesTSDB(BaseTSDB):
         if not affected:
             new_rows.unpersist()
             return
-        kept = (
-            existing.filter(
-                F.floor(F.col("timestamp") / grain).cast("long").isin(affected)
+        if getattr(existing, "_smalltsdb_empty_relation", False):
+            # fresh/empty table (the first-sync case): there is nothing
+            # to keep, so skip the anti-join — otherwise new_rows is
+            # shuffled by (path, timestamp) purely to anti-join a
+            # provably empty relation (AQE submits both join-child
+            # stages together, so the wasted exchange really runs)
+            out = new_rows
+        else:
+            # re-read the replaced days through the PARTITION column:
+            # pday ∈ affected prunes whole directories at the file
+            # index, where the old floor(timestamp/grain) filter (a
+            # data column) scanned the entire table every upsert
+            kept = (
+                storage.read_table(
+                    self.spark,
+                    path,
+                    T.StructType(existing.schema.fields),
+                    with_partition_col=True,
+                )
+                .filter(F.col(storage.PARTITION_COLUMN).isin(affected))
+                .drop(storage.PARTITION_COLUMN)
+                .join(new_rows, ["path", "timestamp"], "left_anti")
             )
-            .join(new_rows, ["path", "timestamp"], "left_anti")
-        )
+            out = kept.unionByName(new_rows)
         self._pin_grain()
         storage.overwrite_partitions(
-            kept.unionByName(new_rows),
+            out,
             path,
             grain,
             manifest=(self.commit_protocol == "manifest") or None,
@@ -959,8 +1057,19 @@ class TablesTSDB(BaseTSDB):
         cutoff = now - self.tail - max_period
         storage.drop_partitions_below(self.incoming_path, cutoff, grain)
         boundary_unit = int(cutoff // grain)
-        boundary = self.incoming().filter(
-            F.floor(F.col("timestamp") / grain).cast("long") == boundary_unit
+        # read the boundary slice through the PARTITION column: pday ==
+        # boundary_unit prunes to ONE partition at the file index — the
+        # old floor(timestamp/grain) filter (a data column) scanned the
+        # whole incoming table on every retention pass
+        boundary = (
+            storage.read_table(
+                self.spark,
+                self.incoming_path,
+                INCOMING_SCHEMA,
+                with_partition_col=True,
+            )
+            .filter(F.col(storage.PARTITION_COLUMN) == boundary_unit)
+            .drop(storage.PARTITION_COLUMN)
         )
         doomed = boundary.filter(F.col("timestamp") < cutoff)
         if doomed.limit(1).count():

@@ -765,3 +765,32 @@ def test_bounds_read_prunes_the_stream_owned_histogram(spark, tmp_path):
     from smalltsdb_spark import storage
 
     assert storage.is_streaming_sink(os.path.join(store, "histogram"))
+
+
+def test_interval_reads_prune_partitions_at_the_file_index(spark, tsdb_dir):
+    """r14: the interval read paths must restrict the PARTITION column,
+    not just ``timestamp`` — a data-column filter reaches row-group
+    statistics but never the file listing, so without the pday twin a
+    one-hour read of a year-long table still lists and opens every
+    ``pday=`` directory.  Pins get_metric_df (the period-table slice)
+    and the include_partial raw recompute (whose finality cut is
+    bucket-aligned, making ``timestamp >= fe`` exact on raw rows)."""
+    import re
+
+    db = TablesTSDB(spark, tsdb_dir, now=lambda: 100.0)
+    db.insert(GOLDEN_A_INPUT)
+    db.sync()
+    df = db.get_metric_df("one", "tensecond", "p90", (0, 50))
+    plan = physical_plan(df)
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("pday" in p for p in parts), plan
+
+    # the partial recompute prunes the raw incoming scan the same way
+    # AND pushes the finality-cut timestamp filter to the scan
+    dfp = db.get_metric_df(
+        "one", "tensecond", "p90", (0, 50), include_partial=True
+    )
+    plan_p = physical_plan(dfp)
+    parts_p = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan_p)
+    assert sum("pday" in p for p in parts_p) >= 2, plan_p
+    assert "GreaterThanOrEqual(timestamp," in " ".join(pushed_filters(dfp))

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from smalltsdb_spark.tsdb import TablesTSDB, TwoDatabasesTSDB
 
 
@@ -956,3 +958,83 @@ def test_concurrent_sync_propagates_worker_failure(
     assert db.incoming().count() == 1
     db.sync()
     assert db.get_metric("m", "tensecond", "n", (0, 100)) == [(0.0, 1.0)]
+
+
+def test_read_table_tags_known_empty_and_exposes_partition_col(spark, tmp_path):
+    """The upsert fast path (r14): a read of an absent/empty table is
+    tagged ``_smalltsdb_empty_relation`` so the upsert can skip the
+    anti-join outright, and ``with_partition_col=True`` keeps ``pday``
+    in the result so replaced-day reads can filter on the PARTITION
+    column (file-index pruning) instead of ``floor(timestamp/grain)``
+    (a data column, which scans every file)."""
+    from smalltsdb_spark import storage
+    from smalltsdb_spark.schemas import AGG_SCHEMA, INCOMING_SCHEMA
+
+    absent = str(tmp_path / "absent")
+    df = storage.read_table(spark, absent, AGG_SCHEMA)
+    assert getattr(df, "_smalltsdb_empty_relation", False)
+    assert df.columns == [f.name for f in AGG_SCHEMA.fields]
+    dfp = storage.read_table(spark, absent, AGG_SCHEMA, with_partition_col=True)
+    assert getattr(dfp, "_smalltsdb_empty_relation", False)
+    assert dfp.columns[-1] == storage.PARTITION_COLUMN
+
+    # a real table: the tag is absent and pday is readable + filterable
+    real = str(tmp_path / "real")
+    rows = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 90_000.0, 2.0)], INCOMING_SCHEMA
+    )
+    storage.append(rows, real)
+    got = storage.read_table(
+        spark, real, INCOMING_SCHEMA, with_partition_col=True
+    )
+    assert not getattr(got, "_smalltsdb_empty_relation", False)
+    days = sorted(
+        r[0] for r in got.select(storage.PARTITION_COLUMN).distinct().collect()
+    )
+    assert days == [0, 1]
+    pruned = got.filter(F.col(storage.PARTITION_COLUMN) == 1)
+    assert [tuple(r) for r in pruned.select("path", "value").collect()] == [
+        ("a", 2.0)
+    ]
+
+
+def test_second_sync_upsert_replaces_into_existing_days(spark, tsdb_dir):
+    """Behavioral pin for the r14 upsert rewrite (partition-pruned
+    replaced-day read + empty-table anti-join skip): a second sync that
+    completes a bucket an earlier sync already wrote must REPLACE the
+    bucket (not duplicate it), and the final table must equal the plain
+    aggregation of all rows — exercising both the fast path (first
+    sync, empty table) and the pruned anti-join (second sync, same
+    day)."""
+    from smalltsdb_spark.operators.aggregate import aggregate
+
+    clock = {"now": 25.0}
+    db = TablesTSDB(
+        spark, tsdb_dir, periods=[("tensecond", 10)], now=lambda: clock["now"]
+    )
+    rows1 = [("m", 1.0, 1.0), ("m", 12.0, 2.0)]
+    rows2 = [("m", 15.0, 4.0), ("m", 22.0, 8.0)]
+    db.insert(rows1)
+    db.sync()  # finality horizon floor(25-60/10) → nothing final yet is fine
+    clock["now"] = 100_000.0
+    db.insert(rows2)
+    db.sync()
+    db.sync()  # idempotent
+    got = sorted(
+        tuple(r)
+        for r in db.period_table("tensecond")
+        .select("path", "timestamp", "n", "sum")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in aggregate(
+            spark.createDataFrame(
+                rows1 + rows2, "path string, timestamp double, value double"
+            ),
+            10,
+        )
+        .select("path", "timestamp", "n", "sum")
+        .collect()
+    )
+    assert got == want
