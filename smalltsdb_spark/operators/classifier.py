@@ -47,13 +47,15 @@ of the defined training algorithm (mirrored exactly), not an
 approximation of it.
 
 Scale shape at 100 TB: the (doc, feature) relation is shuffled ONCE
-(hash-partitioned by doc at cache time); per iteration one broadcast
-(dim floats, ~2 MB at 2^18), one exchange-free pass over the cached
-relation (margin groupBy and the doc-keyed gradient join both reuse the
-cache partitioning), and one feature-keyed exchange of pre-aggregated
-partials (≤ dim+1 rows per partition).  The same cost class as one
-TF-IDF pass once, plus iters tiny model-sized rounds.  No per-row
-Python anywhere.
+(hash-partitioned by doc at cache time); per iteration the weight
+vector rides the plan as ONE constant-folded array literal (dim
+doubles — element_at lookup, no broadcast join to build), one
+exchange-free pass over the cached relation (margin groupBy and the
+doc-keyed gradient join both reuse the cache partitioning), one
+broadcast of the constant sigmoid table, and one feature-keyed
+exchange of pre-aggregated partials (≤ dim+1 rows per partition).
+The same cost class as one TF-IDF pass once, plus iters tiny
+model-sized rounds.  No per-row Python anywhere.
 """
 
 from __future__ import annotations
@@ -95,6 +97,27 @@ def quantize_margin(m: float) -> int:
     """The mirror's margin→grid map; the Spark side spells the identical
     exactly-rounded arithmetic in :func:`_scores`."""
     return max(-SIG_CLIP, min(SIG_CLIP, math.floor(m * SIG_SCALE + 0.5)))
+
+
+def _weights_literal(values: list[float]):
+    """The per-iteration weight vector as ONE array<double> literal
+    column — ``element_at(w, feature+1)`` replaces the per-iteration
+    broadcast hash join on ``feature`` (guide §2.4/§3.1: the join only
+    ever projected a constant-per-key value, so it is a lookup, not a
+    join).  Built from a single CSV string literal that Catalyst
+    CONSTANT-FOLDS once per plan: a py4j array literal costs ~0.2 ms per
+    element to construct driver-side (measured: 0.69 s for dim+1=4097),
+    while one ~80 KB string crosses py4j in microseconds and the JVM
+    parse happens once at optimization time.
+
+    Bit-exactness: ``repr`` emits the shortest round-trip decimal and
+    both CPython and the JVM parse decimal strings correctly rounded
+    (IEEE-754), so the looked-up doubles are bit-identical to the
+    joined ones — verified by the differential tests against the
+    pure-Python mirror and the unchanged generated-constant oracles."""
+    return F.split(
+        F.lit(",".join(repr(float(v)) for v in values)), F.lit(",")
+    ).cast("array<double>")
 
 
 def _sigmoid_table(spark) -> DataFrame:
@@ -284,29 +307,66 @@ def fit(
     w = [0.0] * dim
     bias = 0.0
     losses: list[float] = []
+    # loop-invariant expression trees, built once (each iteration's plan
+    # differs only in the weights literal and the bias literal — py4j
+    # column construction is driver wall time, ~0.3 s/iteration at dim
+    # 4096 when rebuilt in full)
+    _margin_sum = F.sum(
+        F.floor(F.col("x") * F.col("w") * F.lit(FP_SCALE) + F.lit(0.5)).cast(
+            "long"
+        )
+    ).alias("_m_int")
+    _y_first = F.first("label").cast("double").alias("_y")
+    mq = F.greatest(
+        F.least(
+            F.floor(F.col("margin") * F.lit(SIG_SCALE) + F.lit(0.5)).cast(
+                "long"
+            ),
+            F.lit(SIG_CLIP).cast("long"),
+        ),
+        F.lit(-SIG_CLIP).cast("long"),
+    )
+    _grad_sum = F.sum(
+        F.floor(
+            F.col("err") * F.col("x") * F.lit(FP_SCALE) + F.lit(0.5)
+        ).cast("long")
+    ).alias("g_int")
+    _loss_sum = F.sum(
+        F.when(
+            F.col("feature") == dim,
+            F.round(
+                F.log1p(F.exp(-F.abs(F.col("margin"))))
+                + F.when(
+                    ((F.col("margin") >= 0) & (F.col("_y") < 0.5))
+                    | ((F.col("margin") < 0) & (F.col("_y") >= 0.5)),
+                    F.abs(F.col("margin")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    ).alias("loss_sum")
     try:
         for _ in range(iters):
-            weights_df = spark.createDataFrame(
-                [(i, wi) for i, wi in enumerate(w)] + [(dim, 0.0)],
-                "feature long, w double",
-            )
             # per-doc margin with the label carried THROUGH the
             # aggregation (F.first over a per-doc-constant column —
             # deterministic), so no per-iteration re-scan/join of the
             # labels lineage; fx is hash-partitioned by id, so this
-            # groupBy has no Exchange
+            # groupBy has no Exchange.  The weight lookup is
+            # element_at on a constant-folded array literal — the old
+            # per-iteration broadcast(weights_df) build + hash join
+            # (one createDataFrame job + one BroadcastExchange per
+            # iteration) is GONE; x·element_at(w, f+1) multiplies the
+            # identical double the join used to provide (guide §2.4).
             margins = (
-                fx.join(F.broadcast(weights_df), "feature")
-                .groupBy(id_col)
-                .agg(
-                    F.sum(
-                        F.floor(
-                            F.col("x") * F.col("w") * F.lit(FP_SCALE)
-                            + F.lit(0.5)
-                        ).cast("long")
-                    ).alias("_m_int"),
-                    F.first("label").cast("double").alias("_y"),
+                fx.withColumn(
+                    "w",
+                    F.element_at(
+                        _weights_literal(w + [0.0]),
+                        (F.col("feature") + F.lit(1)).cast("int"),
+                    ),
                 )
+                .groupBy(id_col)
+                .agg(_margin_sum, _y_first)
                 .select(
                     id_col,
                     (
@@ -314,14 +374,6 @@ def fit(
                     ).alias("margin"),
                     "_y",
                 )
-            )
-            mq = F.greatest(
-                F.least(
-                    F.floor(F.col("margin") * F.lit(SIG_SCALE) + F.lit(0.5))
-                    .cast("long"),
-                    F.lit(SIG_CLIP).cast("long"),
-                ),
-                F.lit(-SIG_CLIP).cast("long"),
             )
             # err = sigma(margin) − label, per doc — margin is already
             # deterministic and sigma is a table lookup, so err is too;
@@ -348,34 +400,7 @@ def fit(
             stats = (
                 fx.join(err.hint("shuffle_hash"), id_col)
                 .groupBy("feature")
-                .agg(
-                    F.sum(
-                        F.floor(
-                            F.col("err") * F.col("x") * F.lit(FP_SCALE)
-                            + F.lit(0.5)
-                        ).cast("long")
-                    ).alias("g_int"),
-                    F.sum(
-                        F.when(
-                            F.col("feature") == dim,
-                            F.round(
-                                F.log1p(F.exp(-F.abs(F.col("margin"))))
-                                + F.when(
-                                    (
-                                        (F.col("margin") >= 0)
-                                        & (F.col("_y") < 0.5)
-                                    )
-                                    | (
-                                        (F.col("margin") < 0)
-                                        & (F.col("_y") >= 0.5)
-                                    ),
-                                    F.abs(F.col("margin")),
-                                ).otherwise(F.lit(0.0)),
-                                6,
-                            ),
-                        )
-                    ).alias("loss_sum"),
-                )
+                .agg(_grad_sum, _loss_sum)
                 .collect()
             )
             loss_sum = 0.0

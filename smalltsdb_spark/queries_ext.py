@@ -4535,7 +4535,13 @@ def _run_classifier(
         .cast("int")
         .alias("label"),
     )
-    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM)
+    # persist the hashed-feature relation: it feeds BOTH the training
+    # cache build (fit's fx) and the predict/score pass of the returned
+    # plan — uncached, each consumer re-runs the full tokenize/explode/
+    # groupBy featurize (the embed_text discipline, guide §1.2: fewer
+    # passes).  The cache is built inside the timed query from the
+    # parquet input every run.
+    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM).persist()
     model = classifier.fit(
         feats,
         labels,
@@ -4651,7 +4657,9 @@ def ext_curate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     )
-    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM)
+    # persist featurize for the same two-consumer reason as
+    # _run_classifier (fit's cache build + the returned predict plan)
+    feats = classifier.featurize(docs, "doc_id", "text", CLS_DIM).persist()
     model = classifier.fit(
         feats,
         labels,

@@ -903,6 +903,28 @@ def _overwrite_partitions_manifest(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def partition_has_files(path: str, unit: int) -> bool:
+    """True when partition ``pday=unit`` holds at least one VISIBLE
+    parquet file — a pure-Python (manifest-aware) existence probe so a
+    caller can skip submitting a Spark job whose scan is provably empty
+    (the retention boundary rewrite runs every sync; most syncs have no
+    boundary partition at all).  Conservative in the right direction:
+    absence proves no rows, presence falls through to the normal read."""
+    manifest = read_manifest(path)
+    if manifest is not None:
+        return bool(manifest.get(unit))
+    pdir = os.path.join(path, f"{PARTITION_COLUMN}={unit}")
+    if not os.path.isdir(pdir):
+        return False
+    for root, dirs, fs in os.walk(pdir):
+        dirs[:] = [d for d in dirs if not is_hidden_name(d)]
+        if any(
+            f.endswith(".parquet") and not is_hidden_name(f) for f in fs
+        ):
+            return True
+    return False
+
+
 def drop_partitions_below(
     path: str, cutoff_ts: float, grain_seconds: int = SECONDS_PER_DAY
 ) -> list[str]:

@@ -763,15 +763,22 @@ class TablesTSDB(BaseTSDB):
         rule).
         """
         fe = float(final_end(seconds, self.tail, now))
-        hwm = (
-            (
-                self.period_table_name_df(seconds)
-                if hwm_from is None
-                else hwm_from
-            )
-            .groupBy("path")
-            .agg(F.max("timestamp").alias("_last_final"))
+        src = (
+            self.period_table_name_df(seconds)
+            if hwm_from is None
+            else hwm_from
         )
+        if getattr(src, "_smalltsdb_empty_relation", False):
+            # fresh/empty HWM table (every first sync): a left join
+            # against a provably empty relation tags every row
+            # _last_final=null and the filter reduces to the coalesce
+            # fallback — so skip the per-period HWM aggregation +
+            # broadcast build outright (guide §2.4); the filters below
+            # are exactly what the join path evaluates to
+            return incoming.filter(F.col("timestamp") >= F.lit(0.0)).filter(
+                F.col("timestamp") < F.lit(fe)
+            )
+        hwm = src.groupBy("path").agg(F.max("timestamp").alias("_last_final"))
         return (
             incoming.join(F.broadcast(hwm), "path", "left")
             .filter(
@@ -949,9 +956,17 @@ class TablesTSDB(BaseTSDB):
                 existing = storage.read_table(
                     self.spark, hist_path, HIST_SCHEMA
                 )
-                if not existing.limit(1).count() and self.period_table(
-                    fine_name
-                ).limit(1).count():
+                # the empty-relation tag proves emptiness without a
+                # Spark job (fresh stores run this probe every sync)
+                _hist_empty = getattr(
+                    existing, "_smalltsdb_empty_relation", False
+                ) or not existing.limit(1).count()
+                _fine_tbl = (
+                    self.period_table(fine_name) if _hist_empty else None
+                )
+                if _hist_empty and not getattr(
+                    _fine_tbl, "_smalltsdb_empty_relation", False
+                ) and _fine_tbl.limit(1).count():
                     # histograms enabled on a store with pre-existing
                     # history: the histogram HWM starts from scratch,
                     # but incoming retention may already have dropped
@@ -1057,6 +1072,12 @@ class TablesTSDB(BaseTSDB):
         cutoff = now - self.tail - max_period
         storage.drop_partitions_below(self.incoming_path, cutoff, grain)
         boundary_unit = int(cutoff // grain)
+        # pure-Python existence probe first: most syncs have NO boundary
+        # partition (the cutoff falls before the data or the partition
+        # was just dropped whole), and absence proves there are no rows
+        # to delete — skip the boundary-scan Spark job outright
+        if not storage.partition_has_files(self.incoming_path, boundary_unit):
+            return
         # read the boundary slice through the PARTITION column: pday ==
         # boundary_unit prunes to ONE partition at the file index — the
         # old floor(timestamp/grain) filter (a data column) scanned the
