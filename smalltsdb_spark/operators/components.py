@@ -132,6 +132,38 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
+    # convergence probe: labels are MONOTONE NON-INCREASING, so a round
+    # changed some label iff the exact total label sum strictly
+    # decreased — one single-scan aggregate over the new checkpoint
+    # replaces the old two-checkpoint join + limit(1) probe (guide
+    # §2.4: the join carried both relations through a shuffle purely to
+    # detect inequality).  decimal(38,0) keeps the sum exact at any id
+    # magnitude (a long sum could overflow on 64-bit ids).  Integer id
+    # types only — for any other orderable id type (strings) the join
+    # probe remains the correct test.
+    from pyspark.sql import types as T
+
+    _numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+
+    def _changed(new_labels: DataFrame, old_labels: DataFrame) -> bool:
+        return bool(
+            new_labels.alias("n")
+            .join(old_labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+
+    prev_sum = _label_sum(labels) if _numeric_ids else None
+
     def _step(lbl: DataFrame) -> DataFrame:
         nbr = und.join(lbl, und.d == lbl.id).select(
             F.col("s").alias("id"), F.col("label")
@@ -155,18 +187,17 @@ def connected_components(
         # a no-op), and it halves the per-round job floor — checkpoint
         # materialization + probe job dominate wall time at small SF
         new_labels, new_ids = _checkpoint(_step(_step(labels)))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if _numeric_ids:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not _changed(new_labels, labels)
         # the convergence probe above was this round's last read of the
         # previous labels — release them before moving on
         _unpersist_rdds(sc, labels_ids)
         labels, labels_ids = new_labels, new_ids
-        if changed == 0:
+        if converged:
             break
     else:
         _unpersist_rdds(sc, und_ids | labels_ids)

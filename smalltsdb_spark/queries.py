@@ -282,7 +282,9 @@ def tsdb_get_metric_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.tsdb import TablesTSDB
 
     bucket_s = 3600.0
-    inc = events_as_incoming(spark, sf_dir)
+    # cached: min/max probe + staged half-writes re-scan the same
+    # relation (guide §1.2); built from parquet inside the timed query
+    inc = events_as_incoming(spark, sf_dir).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     # mid-bucket horizon: engine-vs-oracle boundary semantics can't
     # disagree (the tsdb_sync_idempotent pattern)
@@ -632,11 +634,14 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smalltsdb_spark.streaming.stateful import first_seen_stream
 
+    # cached: the min/max probe and the two staged half-writes are
+    # three full scans of the same small transformed relation (guide
+    # §1.2 — fewer passes); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).select(
         "path",
         "timestamp",
         (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
-    )
+    ).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     t_split = (t_min + t_max) / 2
 
@@ -703,11 +708,14 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tradeoff dial is the point of the watermark variant."""
     from smalltsdb_spark.schemas import INCOMING_SCHEMA
 
+    # cached: the min/max probe and the two staged half-writes are
+    # three full scans of the same small transformed relation (guide
+    # §1.2 — fewer passes); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).select(
         "path",
         "timestamp",
         (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
-    )
+    ).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     t_split = (t_min + t_max) / 2
 
@@ -772,7 +780,9 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.streaming import start_rollup
 
     bucket = 3600.0
-    inc = events_as_incoming(spark, sf_dir)
+    # cached: min/max probe + staged half-writes re-scan the same
+    # relation (guide §1.2); built from parquet inside the timed query
+    inc = events_as_incoming(spark, sf_dir).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     # mid-bucket split: watermark comparisons stay ~½ bucket away from any
     # bucket end, so engine-vs-oracle boundary semantics can't disagree
@@ -842,7 +852,9 @@ def stream_rollup_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.streaming import start_rollup_partials
 
     bucket = 3600.0
-    inc = events_as_incoming(spark, sf_dir)
+    # cached: min/max probe + staged half-writes re-scan the same
+    # relation (guide §1.2); built from parquet inside the timed query
+    inc = events_as_incoming(spark, sf_dir).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
 
@@ -920,7 +932,9 @@ def tsdb_sync_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.tsdb import TablesTSDB
 
     bucket = 3600.0
-    inc = events_as_incoming(spark, sf_dir)
+    # cached: min/max probe + staged half-writes re-scan the same
+    # relation (guide §1.2); built from parquet inside the timed query
+    inc = events_as_incoming(spark, sf_dir).cache()
     t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     # mid-bucket split: the finality horizon lands ~half a bucket from
     # any bucket end, so engine-vs-oracle boundary semantics can't
@@ -975,7 +989,7 @@ def tsdb_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from smalltsdb_spark.tsdb import TablesTSDB
 
-    inc = events_as_incoming(spark, sf_dir)
+    inc = events_as_incoming(spark, sf_dir).cache()  # two insert scans
     base = _scratch_dir("tsdb_compact_")
     db = TablesTSDB(spark, base, now=lambda: 0.0)
     # one row goes to exactly one batch (hash over ALL columns, so
@@ -1001,7 +1015,7 @@ def tsdb_two_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.schemas import SECONDS_PER_DAY
     from smalltsdb_spark.tsdb import TwoDatabasesTSDB
 
-    inc = events_as_incoming(spark, sf_dir)
+    inc = events_as_incoming(spark, sf_dir).cache()  # probe + insert
     t_max = inc.agg(F.max("timestamp")).first()[0]
     base = _scratch_dir("tsdb_twodb_")
     db = TwoDatabasesTSDB(
@@ -1463,7 +1477,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the batch oracle is provable.  Inner-join results stream out
     immediately (no finality wait — that lifecycle is
     stream_rollup_finality's)."""
-    ev = read_events(spark, sf_dir)
+    # cached: the min/max probe plus FOUR staged filter-writes all
+    # re-scan the same events transform (guide §1.2)
+    ev = read_events(spark, sf_dir).cache()
     t_min, t_max = ev.agg(F.min("ts_sec"), F.max("ts_sec")).first()
     t_split = (t_min + t_max) / 2
 

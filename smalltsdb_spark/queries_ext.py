@@ -5440,7 +5440,7 @@ def tsdb_rollup_cascade_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from smalltsdb_spark.queries import events_as_incoming
 
-    inc = events_as_incoming(spark, sf_dir)
+    inc = events_as_incoming(spark, sf_dir).cache()  # histogram + exact
     fine = value_histogram(inc, 60)
     bounds = histogram_quantile_bounds(fine, 3600, QUANTILES, fine_seconds=60)
     exact = aggregate(inc, 3600).select(
@@ -5496,7 +5496,7 @@ def tsdb_get_metric_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.queries import _scratch_dir, events_as_incoming
     from smalltsdb_spark.tsdb import TablesTSDB
 
-    inc = events_as_incoming(spark, sf_dir)
+    inc = events_as_incoming(spark, sf_dir).cache()  # insert + exact check
     base = _scratch_dir("tsdb_bounds_")
     db = TablesTSDB(
         spark, base, periods=[("tensecond", 10), ("onehour", 3600)],
@@ -5691,7 +5691,7 @@ def stream_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.streaming import start_histogram_rollup
     from smalltsdb_spark.tsdb import TablesTSDB
 
-    inc = events_as_incoming(spark, sf_dir)
+    inc = events_as_incoming(spark, sf_dir).cache()  # stage + exact check
     base = _scratch_dir("stream_hist_bounds_")
     src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
     clock = spark.createDataFrame(
@@ -5859,7 +5859,9 @@ def stream_histogram_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.streaming import start_histogram_rollup
     from smalltsdb_spark.tsdb import TablesTSDB
 
-    inc = events_as_incoming(spark, sf_dir)
+    # cached: min/max probe, staged stream half, batch insert half and
+    # the exact raw-scan p90 check are four scans of one relation
+    inc = events_as_incoming(spark, sf_dir).cache()
     lo, hi = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
     # phase cut on a fine-bucket boundary: stream owns [lo, cut),
     # batch owns [cut, hi] — no 60 s bucket straddles the writers
