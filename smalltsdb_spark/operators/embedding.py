@@ -87,13 +87,29 @@ def tfidf_features(
     classifier gradient; they re-enter the plan as a broadcast literal
     relation.  The remaining executor arithmetic (× + floor ÷) is
     IEEE-exactly-rounded, hence engine-exact."""
+    import pandas as pd
+
     spark = df.sparkSession
     tf = _tf if _tf is not None else featurize(df, id_col, text_col, n_features)
     n_docs = tf.select(id_col).distinct().count()
-    # featurize emits one row per (doc, feature), so count(*) is df
-    df_rows = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("_df")).collect()
+    # featurize emits one row per (doc, feature), so count(*) is df.
+    # Both directions of the feature-sized driver exchange ride Arrow
+    # (guide §6): toPandas instead of a row-pickled collect, and a
+    # pandas createDataFrame instead of a list-of-tuples one — same
+    # values (idf still computed in CPython, the transcendental
+    # contract), an order of magnitude less serialization at 32k rows.
+    df_pdf = (
+        tf.groupBy("feature").agg(F.count(F.lit(1)).alias("_df")).toPandas()
+    )
     idf = spark.createDataFrame(
-        [(int(r.feature), smoothed_idf(n_docs, int(r._df))) for r in df_rows],
+        pd.DataFrame(
+            {
+                "feature": df_pdf["feature"].astype("int64"),
+                "idf": [
+                    smoothed_idf(n_docs, int(c)) for c in df_pdf["_df"]
+                ],
+            }
+        ),
         "feature long, idf double",
     )
     return (

@@ -83,6 +83,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (guide §3.1/§9): let the planner pick a
+        # shuffled-hash join over sort-merge when its size conditions
+        # are met (no sort of either side — the banded dedup families'
+        # self-joins are the main beneficiaries), and let AQE rewrite a
+        # planned sort-merge to shuffled-hash at runtime when every
+        # post-shuffle partition is under the threshold.  Both knobs are
+        # size-GATED (static stats / measured partition bytes), so at
+        # 100 TB an oversized build side keeps the sort-merge plan —
+        # results are identical either way, only the operator changes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # MERGE-equivalent upsert path: overwrite only the partitions
