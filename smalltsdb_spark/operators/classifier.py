@@ -114,10 +114,51 @@ def _weights_literal(values: list[float]):
     both CPython and the JVM parse decimal strings correctly rounded
     (IEEE-754), so the looked-up doubles are bit-identical to the
     joined ones — verified by the differential tests against the
-    pure-Python mirror and the unchanged generated-constant oracles."""
+    pure-Python mirror and the unchanged generated-constant oracles.
+
+    Callers must gate on :data:`WEIGHTS_LITERAL_MAX` and finiteness
+    (``fit`` does): above ~16k elements the literal is dragged through
+    every optimizer rule per plan (the r14 V3 sigma measurement — a
+    ~2.6 MB literal LOSES to a broadcast join), and ``repr(inf/nan)``
+    strings cast to NULL on the JVM side where the join path carries
+    real ±Inf/NaN.  (Pattern passed as a plain string: the Column form
+    requires PySpark >= 4.0 while the package pin is >= 3.5.)"""
     return F.split(
-        F.lit(",".join(repr(float(v)) for v in values)), F.lit(",")
+        F.lit(",".join(repr(float(v)) for v in values)), ","
     ).cast("array<double>")
+
+
+#: above this weight-vector size the constant-folded CSV literal costs
+#: more than it saves (optimizer re-traversal per rule per iteration —
+#: the r14 V2/V3 data: a 131k-element / ~2.6 MB literal lost ~1.5 s per
+#: iteration to the equivalent broadcast join at dim 4096's data shape);
+#: fit() falls back to the broadcast-join weight attachment above it.
+WEIGHTS_LITERAL_MAX = 16_384
+
+
+def _with_weight(fx: DataFrame, w_full: list[float], spark) -> DataFrame:
+    """Attach the per-feature weight column ``w`` to the training
+    relation for one GD iteration: constant-folded array literal +
+    ``element_at`` for small finite vectors (guide §2.4 — the join only
+    projects a constant per key), broadcast hash join above
+    :data:`WEIGHTS_LITERAL_MAX` or when any weight is non-finite (the
+    literal path's two documented failure modes).  Both paths attach the
+    bit-identical double per feature, so training is invariant to the
+    switch (differential-tested)."""
+    if len(w_full) <= WEIGHTS_LITERAL_MAX and all(
+        math.isfinite(v) for v in w_full
+    ):
+        return fx.withColumn(
+            "w",
+            F.element_at(
+                _weights_literal(w_full),
+                (F.col("feature") + F.lit(1)).cast("int"),
+            ),
+        )
+    wdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w_full)], "feature long, w double"
+    )
+    return fx.join(F.broadcast(wdf), "feature")
 
 
 def _sigmoid_table(spark) -> DataFrame:
@@ -168,13 +209,24 @@ def featurize(
 
     ``x = count(gram occurrences hashing to feature) / n_grams(doc)``;
     documents with no grams are dropped (nothing to score).
-    """
+
+    Evaluation shape (r15, guide §1.2/§7.2): the token and gram ARRAYS
+    are materialized once per row in their own projections before
+    anything references them.  The previous single-select form evaluated
+    ``grams`` twice per row (``size`` + ``explode``), and every
+    evaluation re-ran the interpreted higher-order ``filter`` +
+    ``split`` capture ~8x per row inside one giant generated method
+    that never JIT-compiled — measured 625 core-s cold / 68-77 core-s
+    warm for the sf0.1 corpus vs 81 / 12-20 core-s for this form
+    (same 369 242 output rows, verified identical).  Values are
+    unchanged — only how often the same expressions execute."""
     toks = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
-    grams = F.concat(toks, word_ngrams(toks, 2))
-    ex = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.size(grams).alias("_n"),
-        F.explode(grams).alias("_g"),
+    base = spread(df).select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    grams = F.concat(F.col("_t"), word_ngrams(F.col("_t"), 2))
+    ex = base.select("_id", grams.alias("_gs")).select(
+        "_id",
+        F.size("_gs").alias("_n"),
+        F.explode("_gs").alias("_g"),
     )
     return (
         ex.groupBy(
@@ -352,19 +404,14 @@ def fit(
             # deterministic), so no per-iteration re-scan/join of the
             # labels lineage; fx is hash-partitioned by id, so this
             # groupBy has no Exchange.  The weight lookup is
-            # element_at on a constant-folded array literal — the old
-            # per-iteration broadcast(weights_df) build + hash join
-            # (one createDataFrame job + one BroadcastExchange per
-            # iteration) is GONE; x·element_at(w, f+1) multiplies the
-            # identical double the join used to provide (guide §2.4).
+            # element_at on a constant-folded array literal (gated —
+            # _with_weight falls back to the broadcast join above
+            # WEIGHTS_LITERAL_MAX or on non-finite weights); the old
+            # unconditional per-iteration broadcast(weights_df) build +
+            # hash join is gone on the literal path, and both paths
+            # multiply the identical double (guide §2.4).
             margins = (
-                fx.withColumn(
-                    "w",
-                    F.element_at(
-                        _weights_literal(w + [0.0]),
-                        (F.col("feature") + F.lit(1)).cast("int"),
-                    ),
-                )
+                _with_weight(fx, w + [0.0], spark)
                 .groupBy(id_col)
                 .agg(_margin_sum, _y_first)
                 .select(

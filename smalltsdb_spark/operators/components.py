@@ -189,7 +189,13 @@ def connected_components(
         new_labels, new_ids = _checkpoint(_step(_step(labels)))
         if _numeric_ids:
             new_sum = _label_sum(new_labels)
-            converged = new_sum == prev_sum
+            # a NULL sum (empty relation, or decimal(38,0) overflow
+            # under non-ANSI mode — ~1e19-magnitude ids) must not read
+            # as None == None convergence: fall back to the join probe
+            if new_sum is None or prev_sum is None:
+                converged = not _changed(new_labels, labels)
+            else:
+                converged = new_sum == prev_sum
             prev_sum = new_sum
         else:
             converged = not _changed(new_labels, labels)

@@ -145,3 +145,70 @@ def test_fit_refuses_empty_input(spark):
     labels = docs.select("doc_id", F.lit(1).alias("label"))
     with pytest.raises(ValueError, match="no labeled documents"):
         classifier.fit(feats, labels, "doc_id", 16, iters=1)
+
+
+def test_with_weight_literal_and_join_paths_identical(spark):
+    """The gated weight attachment (r15): both paths must attach the
+    bit-identical double per feature, and the gate must route to the
+    join above WEIGHTS_LITERAL_MAX or on any non-finite weight (the
+    literal's two documented failure modes — optimizer re-traversal of
+    a multi-MB literal, and repr(inf/nan) casting to NULL)."""
+    from pyspark.sql import functions as F
+
+    fx = spark.createDataFrame(
+        [(1, 0, 0.25), (1, 1, 0.5), (2, 2, 1.0)],
+        "doc_id long, feature long, x double",
+    )
+    w = [0.1, -0.30000000000000004, 5e-324]  # shortest-repr edge cases
+    lit_rows = {
+        (r.feature, r.w)
+        for r in classifier._with_weight(fx, w, spark).select("feature", "w").collect()
+    }
+    big = w + [0.0] * classifier.WEIGHTS_LITERAL_MAX  # force the join path
+    join_rows = {
+        (r.feature, r.w)
+        for r in classifier._with_weight(fx, big, spark).select("feature", "w").collect()
+    }
+    assert lit_rows == join_rows == {(0, 0.1), (1, -0.30000000000000004), (2, 5e-324)}
+    # plan shape: small+finite folds to a literal (no join);
+    # oversized or non-finite vectors take the broadcast join
+    small_plan = classifier._with_weight(fx, w, spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in small_plan
+    big_plan = classifier._with_weight(fx, big, spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in big_plan
+
+
+def test_with_weight_nonfinite_takes_join_and_keeps_inf(spark):
+    from pyspark.sql import functions as F
+
+    fx = spark.createDataFrame([(1, 0, 1.0)], "doc_id long, feature long, x double")
+    import math
+
+    out = classifier._with_weight(fx, [math.inf], spark).select("w").collect()
+    assert out[0].w == math.inf  # the literal path would yield NULL
+    plan = classifier._with_weight(fx, [math.inf], spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fit_beyond_literal_gate_matches_reference(spark):
+    """fit() at dim > WEIGHTS_LITERAL_MAX (join fallback path end to
+    end) still reproduces the pure-Python mirror bit-exactly."""
+    texts = ["alpha beta gamma", "zork quux blarg", "alpha beta", "zork zork"]
+    dim, iters, lr = classifier.WEIGHTS_LITERAL_MAX + 7, 2, 0.5
+    docs = _docs(spark, texts)
+    from pyspark.sql import functions as F
+
+    labels = docs.select(
+        "doc_id", (F.split("text", " ")[0] == "alpha").cast("int").alias("label")
+    )
+    feats = classifier.featurize(docs, "doc_id", "text", dim)
+    model = classifier.fit(feats, labels, "doc_id", dim, iters=iters, lr=lr)
+    ref = classifier.reference_fit_predict(
+        list(enumerate(texts)), dim,
+        lambda t: int(t.split(" ")[0] == "alpha"), iters=iters, lr=lr,
+    )
+    got = {
+        r.doc_id: r.score
+        for r in classifier.predict(feats, model, "doc_id").collect()
+    }
+    assert got == {d: s for d, (_l, s) in ref.items()}
