@@ -977,6 +977,7 @@ def remove_duplicated_spans_incremental(
     k: int = 50,
     min_count: int = 2,
     broadcast_increment: bool = False,
+    inc: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr span dedup for a daily increment against a persisted
     corpus shingle index (the production shape, mirroring
@@ -1016,9 +1017,18 @@ def remove_duplicated_spans_incremental(
     why the default is False).  For huge increments, store the index
     bucketed on ``h`` so the AQE shuffle is one-sided.  Persist the
     updated index via :func:`merge_shingle_index` on the increment's
-    own :func:`shingle_count_index`."""
+    own :func:`shingle_count_index`.
+
+    ``inc`` (r15) injects the increment's per-hash counts when the
+    caller already materialized them — the streaming handler persists
+    :func:`shingle_count_index` of the batch for its index delta, and
+    without this parameter the dedup re-shingled the batch and re-ran
+    the identical groupBy (guide §1.2).  Must be ``(h, _ic)`` equal to
+    ``shingle_count_index(new_docs)`` renamed; results are identical
+    either way (differential-tested)."""
     base, sh = _token_shingles(new_docs, id_col, text_col, k)
-    inc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_ic"))
+    if inc is None:
+        inc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_ic"))
     inc_build = F.broadcast(inc) if broadcast_increment else inc
     dup = (
         inc.filter(F.col("_ic") >= min_count)

@@ -439,6 +439,8 @@ def semantic_near_dup_pairs_incremental(
     id_col: str,
     vec_col: str,
     threshold: float = 0.4,
+    assigned_new: DataFrame | None = None,
+    corpus_prefiltered: bool = False,
 ) -> DataFrame:
     """Semantic near-dup pairs INVOLVING a new batch against a persisted
     SemDeDup index (VERDICT r10 item 3 — the missing incremental form):
@@ -469,14 +471,27 @@ def semantic_near_dup_pairs_incremental(
     pairs that only now became near-dups are NOT retro-reported — the
     one-sided incremental contract shared by every dedup family here.
     Same determinism as the full form: argmin tie-to-lowest-index
-    assignment, round-6 scores."""
-    assigned_new = ivf_assign(new_vecs, id_col, vec_col, C).withColumn(
-        "_new", F.lit(True)
-    )
-    touched = assigned_new.select("_list").distinct()
-    corpus_touched = corpus_index.join(
-        F.broadcast(touched), "_list"
-    ).withColumn("_new", F.lit(False))
+    assignment, round-6 scores.
+
+    r15 sharing hooks (results identical either way,
+    differential-tested): ``assigned_new`` injects the batch's
+    :func:`ivf_assign` relation when the caller already materialized it
+    (the streaming handler persists it for the index append — without
+    this the probe re-ran the batch GEMM); ``corpus_prefiltered=True``
+    asserts ``corpus_index`` is already restricted to the batch's
+    touched clusters (the handler reads exactly those partitions), so
+    the internal broadcast semi-join — a no-op on such input — is
+    skipped."""
+    if assigned_new is None:
+        assigned_new = ivf_assign(new_vecs, id_col, vec_col, C)
+    assigned_new = assigned_new.withColumn("_new", F.lit(True))
+    if corpus_prefiltered:
+        corpus_touched = corpus_index.withColumn("_new", F.lit(False))
+    else:
+        touched = assigned_new.select("_list").distinct()
+        corpus_touched = corpus_index.join(
+            F.broadcast(touched), "_list"
+        ).withColumn("_new", F.lit(False))
     both = assigned_new.unionByName(corpus_touched)
 
     def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -146,9 +146,40 @@ def make_semantic_dedup_batch_handler(
             pre_version, pre_files = manifests.resolve_version(
                 index_base, before=batch_id
             )
-            # ≤ n_centroids rows — the only driver-side collection
+            # index advance FIRST: APPEND the batch's assigned rows as
+            # one file per touched cluster partition — O(batch) written;
+            # attempt-unique on replay (shared protocol).  Writing the
+            # index before the probe lets the touched-cluster set come
+            # from the write's own directory listing instead of a
+            # distinct().collect() job (r15, guide §2.4 — one job per
+            # trigger removed; the write also materializes the persisted
+            # assignment the probe reuses).  A crash between this write
+            # and the manifest commit leaves an orphan attempt dir
+            # exactly as the old order could — unreferenced files stay
+            # invisible (manifests are the source of truth).
+            data_name = manifests.attempt_unique_dir(
+                index_base, f"data_b{batch_id}"
+            )
+            (
+                assigned.select(
+                    "neighbor_id",
+                    # pin the on-file element type so explicit-schema
+                    # reads never face a float/double footer mismatch
+                    F.col("_v").cast("array<float>").alias("_v"),
+                    "_n",
+                    F.col("_list").alias("_lst"),
+                    "_list",
+                )
+                .repartition("_list")
+                .write.mode("overwrite")
+                .partitionBy("_list")
+                .parquet(os.path.join(index_base, data_name))
+            )
+            data_dir = os.path.join(index_base, data_name)
             touched = sorted(
-                r._list for r in assigned.select("_list").distinct().collect()
+                int(d.split("=", 1)[1])
+                for d in os.listdir(data_dir)
+                if d.startswith("_list=")
             )
             corpus_touched = _read_index_files(
                 spark,
@@ -156,38 +187,18 @@ def make_semantic_dedup_batch_handler(
                 [f for l in touched for f in pre_files.get(l, [])],
             )
             # pairs involving this batch, against corpus ∪ batch — the
-            # incremental probe re-assigns the (small) batch itself; its
-            # internal touched-cluster semi-join is a no-op on the
-            # already-restricted corpus relation
+            # probe reuses the persisted batch assignment (no second
+            # GEMM) and skips its touched-cluster semi-join, a no-op on
+            # the already-restricted corpus relation (r15 sharing hooks)
             semantic_near_dup_pairs_incremental(
                 batch_df, corpus_touched, C, id_col, vec_col,
                 threshold=threshold,
+                assigned_new=assigned, corpus_prefiltered=True,
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
             new_files = dict(pre_files)
             if touched:
-                # index advance: APPEND the batch's assigned rows as one
-                # file per touched cluster partition — O(batch) written;
-                # attempt-unique on replay (shared protocol)
-                data_name = manifests.attempt_unique_dir(
-                    index_base, f"data_b{batch_id}"
-                )
-                (
-                    assigned.select(
-                        "neighbor_id",
-                        # pin the on-file element type so explicit-schema
-                        # reads never face a float/double footer mismatch
-                        F.col("_v").cast("array<float>").alias("_v"),
-                        "_n",
-                        F.col("_list").alias("_lst"),
-                        "_list",
-                    )
-                    .repartition("_list")
-                    .write.mode("overwrite")
-                    .partitionBy("_list")
-                    .parquet(os.path.join(index_base, data_name))
-                )
                 for l in touched:
                     new_files[l] = (
                         pre_files.get(l, []) + _list_files(data_name, l)

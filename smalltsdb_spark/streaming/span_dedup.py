@@ -186,9 +186,39 @@ def make_span_dedup_batch_handler(
         )
         try:
             pre_version, pre_files = _resolve_files(index_base, before=batch_id)
-            # ≤ n_prefixes rows — the only driver-side collection
+            # LSM append FIRST: the batch's delta counts land as ONE new
+            # file per touched partition — O(batch) written, the index
+            # is never rewritten here.  Writing the delta before the
+            # dedup lets the touched-prefix set come from the write's
+            # own directory listing instead of a distinct().collect()
+            # job (r15, guide §2.4 — one job per trigger removed; the
+            # write also materializes the persisted delta that the
+            # dedup below re-reads as its increment counts).  ADVICE
+            # r11: on an at-least-once REPLAY after v{b} committed, the
+            # first attempt's dir must not be overwritten in place
+            # (Spark overwrite deletes it, yanking files out from under
+            # an external reader still holding the stale v{b} list
+            # inside its grace window) — the replay writes under an
+            # attempt-unique name and GC reaps the superseded attempt's
+            # files under the normal grace window.  A crash between
+            # this write and the manifest commit leaves an orphan
+            # attempt dir exactly as the old order could — unreferenced
+            # files stay invisible (manifests are the source of truth).
+            data_name = manifests.attempt_unique_dir(
+                index_base, f"data_b{batch_id}"
+            )
+            (
+                delta.select("h", "c", "pfx")
+                .repartition("pfx")
+                .write.mode("overwrite")
+                .partitionBy("pfx")
+                .parquet(os.path.join(index_base, data_name))
+            )
+            data_dir = os.path.join(index_base, data_name)
             touched = sorted(
-                r.pfx for r in delta.select("pfx").distinct().collect()
+                int(d.split("=", 1)[1])
+                for d in os.listdir(data_dir)
+                if d.startswith("pfx=")
             )
             index_touched = (
                 _read_files(
@@ -200,35 +230,19 @@ def make_span_dedup_batch_handler(
                 .agg(F.sum("c").cast("long").alias("c"))
             )
             # every batch shingle's prefix is in `touched`, so the
-            # restricted index is exact for this batch's dedup
+            # restricted index is exact for this batch's dedup; the
+            # increment counts are the already-materialized delta (the
+            # dedup would otherwise re-shingle the batch and re-run the
+            # identical groupBy — guide §1.2, one pass instead of two)
             remove_duplicated_spans_incremental(
                 batch_df, index_touched, id_col, text_col,
                 k=k, min_count=min_count,
+                inc=delta.select("h", F.col("c").alias("_ic")),
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
             new_files = dict(pre_files)
             if touched:
-                # LSM append: the batch's delta counts land as ONE new
-                # file per touched partition — O(batch) written, the
-                # index is never rewritten here.  ADVICE r11: on an
-                # at-least-once REPLAY after v{b} committed, the first
-                # attempt's dir must not be overwritten in place (Spark
-                # overwrite deletes it, yanking files out from under an
-                # external reader still holding the stale v{b} list
-                # inside its grace window) — the replay writes under an
-                # attempt-unique name and GC reaps the superseded
-                # attempt's files under the normal grace window.
-                data_name = manifests.attempt_unique_dir(
-                    index_base, f"data_b{batch_id}"
-                )
-                (
-                    delta.select("h", "c", "pfx")
-                    .repartition("pfx")
-                    .write.mode("overwrite")
-                    .partitionBy("pfx")
-                    .parquet(os.path.join(index_base, data_name))
-                )
                 for p in touched:
                     new_files[p] = (
                         pre_files.get(p, []) + _list_pfx_files(data_name, p)

@@ -783,3 +783,44 @@ def test_contaminated_span_report_maximal_runs(spark):
     for d, _s, ln in got:
         reported[d] += ln
     assert all(reported.get(d, 0) == n for d, n in removed.items())
+
+
+def test_remove_duplicated_spans_incremental_precomputed_inc(spark, tmp_path):
+    """The r15 sharing hook: passing the caller's materialized
+    shingle_count_index as ``inc`` must leave the result identical to
+    the self-computed increment counts (the streaming handler feeds its
+    persisted index delta through this)."""
+    from pyspark.sql import functions as F
+
+    from smalltsdb_spark.operators.dedup import (
+        remove_duplicated_spans_incremental,
+        shingle_count_index,
+    )
+
+    k, mc = 3, 2
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "q r s t")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "x a b c y"), (11, "f g h i"), (12, "f g h j")],
+        "doc_id long, text string",
+    )
+    index = shingle_count_index(corpus, "doc_id", "text", k=k)
+    inc = shingle_count_index(batch, "doc_id", "text", k=k).select(
+        "h", F.col("c").alias("_ic")
+    )
+    rows = lambda df: {  # noqa: E731
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean) for r in df.collect()
+    }
+    without = rows(
+        remove_duplicated_spans_incremental(
+            batch, index, "doc_id", "text", k=k, min_count=mc
+        )
+    )
+    with_inc = rows(
+        remove_duplicated_spans_incremental(
+            batch, index, "doc_id", "text", k=k, min_count=mc, inc=inc
+        )
+    )
+    assert with_inc == without
+    assert without[10][1] > 0 and without[11][1] > 0

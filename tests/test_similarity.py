@@ -635,3 +635,33 @@ def test_semantic_index_refuses_manifest_managed_dirs(spark, tmp_path):
     plain = str(tmp_path / "plain_idx")
     similarity.semantic_index_append(vecs, plain, C, "vec_id", "embedding")
     assert similarity.semantic_index_load(spark, plain).count() == 1
+
+
+def test_semantic_incremental_sharing_hooks_identical(spark):
+    """The r15 sharing hooks: a precomputed ``assigned_new`` and a
+    pre-restricted corpus with ``corpus_prefiltered=True`` (what the
+    streaming handler passes) must produce the identical pair set to
+    the self-contained form."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    C = similarity.ivf_train(corpus, "vec_id", "embedding", n_centroids=8, seed=7)
+    index = similarity.ivf_assign(corpus, "vec_id", "embedding", C)
+    plain = {
+        (r.cluster, r.id_a, r.id_b, r.sim)
+        for r in similarity.semantic_near_dup_pairs_incremental(
+            batch, index, C, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assigned = similarity.ivf_assign(batch, "vec_id", "embedding", C)
+    touched = [r._list for r in assigned.select("_list").distinct().collect()]
+    restricted = index.filter(F.col("_list").isin(touched))
+    hooked = {
+        (r.cluster, r.id_a, r.id_b, r.sim)
+        for r in similarity.semantic_near_dup_pairs_incremental(
+            batch, restricted, C, "vec_id", "embedding", threshold=0.3,
+            assigned_new=assigned, corpus_prefiltered=True,
+        ).collect()
+    }
+    assert hooked == plain
+    assert plain, "fixture yields no pairs — weak test"
