@@ -1,8 +1,27 @@
+import os
+
 from pyspark.sql import DataFrame
 
 from smalltsdb_spark.operators.aggregate import aggregate, bucket
 
 __all__ = ["aggregate", "bucket", "spread"]
+
+#: bytes of (compressed, scanned) input per spread partition when the
+#: input is SMALL and its size is known.  Sizes partitions to DATA, not
+#: cores (guide §2.2): 128 KiB of compressed text/vectors is roughly
+#: 0.2-1 core-second of the tokenize/explode/GEMM work spread exists to
+#: parallelize, so partitions stay fat enough to amortize task launch
+#: while tiny relations stop fanning every downstream map stage out to
+#: one near-empty task per core (measured: the streaming handler rows'
+#: per-trigger jobs were dominated by 32-task map stages over kB-sized
+#: batches; at the other end the 0.6 MB sf0.1 documents corpus keeps
+#: ~5 partitions — its tokenize-heavy jobs stay parallel and flat on
+#: wall).  Env-overridable for experimentation; the 100 TB case never
+#: reaches this code path (the big-input fast path below proves enough
+#: scan partitions and passes through).
+SPREAD_TARGET_BYTES = int(
+    os.environ.get("SMALLTSDB_SPREAD_TARGET_BYTES", str(128 << 10))
+)
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -43,9 +62,18 @@ def spread(df: DataFrame) -> DataFrame:
     default_size = int(conf.defaultSizeInBytes())
     if default_size > plan_bytes >= parallelism * max_partition_bytes:
         return df
-    # small or unknown-size input: pay the RDD conversion to read the
-    # actual partition count (also covers plans whose bottom is a shuffle,
-    # where partitions = spark.sql.shuffle.partitions, not a file scan)
-    if df.rdd.getNumPartitions() >= parallelism:
+    # KNOWN-small input: size the fan-out by the data, not the core
+    # count — ceil(bytes / SPREAD_TARGET_BYTES), capped at parallelism
+    # (r15, guide §2.2).  Unknown-size inputs (stats at the sentinel)
+    # keep the full-parallelism fan-out: they are usually checkpointed
+    # mid-pipeline relations whose real size the stats cannot see.
+    if plan_bytes < default_size:
+        want = max(1, min(parallelism, -(-plan_bytes // SPREAD_TARGET_BYTES)))
+    else:
+        want = parallelism
+    # pay the RDD conversion to read the actual partition count (also
+    # covers plans whose bottom is a shuffle, where partitions =
+    # spark.sql.shuffle.partitions, not a file scan)
+    if df.rdd.getNumPartitions() >= want:
         return df
-    return df.repartition(parallelism)
+    return df.repartition(want)

@@ -109,9 +109,14 @@ def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
 def _spread(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Corpus side of a kernel: (_id, _v), spread across the cluster even
     when it arrives as one small file (the repartition shuffles only n
-    rows to parallelize n×m scoring work)."""
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    return corpus.repartition(parallelism).select(
+    rows to parallelize n×m scoring work).  r15: delegates to
+    operators.spread, which sizes the fan-out by input BYTES instead of
+    an unconditional repartition(cores) — a kB-sized batch stops paying
+    one near-empty Arrow task per core in every downstream GEMM stage
+    (guide §2.2), and big inputs pass through untouched as before."""
+    from smalltsdb_spark.operators import spread
+
+    return spread(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
 

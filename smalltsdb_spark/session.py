@@ -82,6 +82,21 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r15 (guide §2.2 — partitions track DATA): let AQE coalesce the
+        # shuffle that tops a .cache()/.persist() build, so a cached
+        # relation's partition count comes from its MEASURED bytes
+        # instead of freezing spark.sql.shuffle.partitions (= cores
+        # locally) into the cache.  Every multi-scanned cached relation
+        # here (classifier features/training cache, streaming handler
+        # deltas/assignments) was paying one near-empty task per core
+        # per downstream stage at bench scale; on a cluster the same
+        # caches coalesce to advisory-sized partitions.  Output values
+        # are partitioning-independent across this engine (the
+        # determinism contract), so only task counts change.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Join strategy (guide §3.1/§9): let the planner pick a
         # shuffled-hash join over sort-merge when its size conditions

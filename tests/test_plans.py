@@ -252,21 +252,40 @@ def test_bucketed_two_table_join_without_shuffle(spark):
 
 
 def test_spread_repartitions_unknown_stats_input(spark):
-    """spread() exists to give single-partition inputs cluster-wide
-    parallelism.  A localCheckpointed (LogicalRDD) input has NO file
-    statistics — its sizeInBytes is the defaultSizeInBytes sentinel
-    (Long.MaxValue), which must be treated as UNKNOWN, not huge: the
-    byte-based fast path returning it unrepartitioned would silently
-    serialize all downstream per-row work (r3 ADVICE, medium)."""
+    """spread() exists to give single-partition inputs parallelism.
+    An RDD-backed (LogicalRDD) input has NO statistics — its
+    sizeInBytes is the defaultSizeInBytes sentinel (Long.MaxValue),
+    which must be treated as UNKNOWN, not huge: the byte-based fast
+    path returning it unrepartitioned would silently serialize all
+    downstream per-row work (r3 ADVICE, medium).  Unknown size keeps
+    the full-parallelism fan-out."""
     from smalltsdb_spark.operators import spread
 
-    one = spark.range(1000).coalesce(1).localCheckpoint()
+    one = spark.createDataFrame(
+        spark.sparkContext.parallelize([(i,) for i in range(10)], 1),
+        "id long",
+    )
     assert one.rdd.getNumPartitions() == 1
     out = spread(one)
     assert (
         out.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_spread_sizes_small_known_input_by_bytes(spark):
+    """r15 (guide §2.2): a KNOWN-small input is fanned out by BYTES
+    (ceil(bytes / SPREAD_TARGET_BYTES), capped at parallelism), not
+    unconditionally to the core count — a kB-sized relation must not
+    pay one near-empty task per core in every downstream stage.  A
+    localCheckpointed range is ~8 kB with real propagated stats
+    (Spark 4 LogicalRDD carries the origin plan's stats), so spread
+    must leave its single partition alone."""
+    from smalltsdb_spark.operators import spread
+
+    one = spark.range(1000).coalesce(1).localCheckpoint()
+    assert one.rdd.getNumPartitions() == 1
+    assert spread(one) is one
 
 
 def test_spread_passes_through_wide_input(spark):
