@@ -285,25 +285,31 @@ def tsdb_get_metric_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: min/max probe + staged half-writes re-scan the same
     # relation (guide §1.2); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    # mid-bucket horizon: engine-vs-oracle boundary semantics can't
-    # disagree (the tsdb_sync_idempotent pattern)
-    t_split = (
-        math.floor((t_min + (t_max - t_min) / 2) / bucket_s) * bucket_s
-        + bucket_s / 2
-    )
-    base = _scratch_dir("tsdb_partial_")
-    clock = {"now": 0.0}
-    db = TablesTSDB(
-        spark, base, periods=[("onehour", 3600)], now=lambda: clock["now"]
-    )
-    db.insert(inc)
-    clock["now"] = t_split + db.tail  # finality horizon = t_split
-    db.sync()
-    out = db.get_metric_df(
-        "click", "onehour", "p90", (0.0, 4e9), include_partial=True
-    )
-    return out.select("timestamp", F.round("p90", 6).alias("p90"))
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        # mid-bucket horizon: engine-vs-oracle boundary semantics can't
+        # disagree (the tsdb_sync_idempotent pattern)
+        t_split = (
+            math.floor((t_min + (t_max - t_min) / 2) / bucket_s) * bucket_s
+            + bucket_s / 2
+        )
+        base = _scratch_dir("tsdb_partial_")
+        clock = {"now": 0.0}
+        db = TablesTSDB(
+            spark, base, periods=[("onehour", 3600)], now=lambda: clock["now"]
+        )
+        db.insert(inc)
+        clock["now"] = t_split + db.tail  # finality horizon = t_split
+        db.sync()
+        out = db.get_metric_df(
+            "click", "onehour", "p90", (0.0, 4e9), include_partial=True
+        )
+        return out.select("timestamp", F.round("p90", 6).alias("p90"))
+    finally:
+        inc.unpersist()
 
 
 @query(
@@ -642,46 +648,52 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
     ).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    t_split = (t_min + t_max) / 2
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        t_split = (t_min + t_max) / 2
 
-    base = _scratch_dir("stream_first_seen_")
-    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        base = _scratch_dir("stream_first_seen_")
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
 
-    def run_once():
-        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
-            q = (
-                first_seen_stream(
-                    spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
-                    key_cols=["path", "value"],
+        def run_once():
+            with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+                q = (
+                    first_seen_stream(
+                        spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+                        key_cols=["path", "value"],
+                    )
+                    .writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .option("path", out)
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .writeStream.format("parquet")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .option("path", out)
-                .trigger(availableNow=True)
-                .start()
-            )
-            assert q.awaitTermination(600), "stream drain did not finish"
+                assert q.awaitTermination(600), "stream drain did not finish"
 
-    from smalltsdb_spark.schemas import INCOMING_SCHEMA
+        from smalltsdb_spark.schemas import INCOMING_SCHEMA
 
-    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    run_once()
-    (
-        inc.filter(F.col("timestamp") >= t_split)
-        .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(src)
-    )
-    run_once()
+        inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        (
+            inc.filter(F.col("timestamp") >= t_split)
+            .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_once()
 
-    return spark.read.parquet(out).select(
-        "path", F.round("timestamp", 6).alias("timestamp"), "value"
-    )
+        return spark.read.parquet(out).select(
+            "path", F.round("timestamp", 6).alias("timestamp"), "value"
+        )
+    finally:
+        inc.unpersist()
 
 
 @query(
@@ -716,46 +728,52 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         (F.floor(F.col("value") / 10) * 10).cast("double").alias("value"),
     ).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    t_split = (t_min + t_max) / 2
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        t_split = (t_min + t_max) / 2
 
-    base = _scratch_dir("stream_dedup_wm_")
-    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        base = _scratch_dir("stream_dedup_wm_")
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
 
-    def run_once():
-        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
-            stream = (
-                spark.readStream.schema(INCOMING_SCHEMA)
-                .parquet(src)
-                .withColumn("ets", F.timestamp_seconds(F.col("timestamp")))
-                .withWatermark("ets", "100000 hours")
-                .dropDuplicatesWithinWatermark(["path", "value"])
-                .select("path", "value")
-            )
-            q = (
-                stream.writeStream.format("parquet")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .option("path", out)
-                .trigger(availableNow=True)
-                .start()
-            )
-            assert q.awaitTermination(600), "stream drain did not finish"
+        def run_once():
+            with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+                stream = (
+                    spark.readStream.schema(INCOMING_SCHEMA)
+                    .parquet(src)
+                    .withColumn("ets", F.timestamp_seconds(F.col("timestamp")))
+                    .withWatermark("ets", "100000 hours")
+                    .dropDuplicatesWithinWatermark(["path", "value"])
+                    .select("path", "value")
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .option("path", out)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(600), "stream drain did not finish"
 
-    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    run_once()
-    (
-        inc.filter(F.col("timestamp") >= t_split)
-        .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(src)
-    )
-    run_once()
+        inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        (
+            inc.filter(F.col("timestamp") >= t_split)
+            .unionByName(inc.filter(F.col("timestamp") < t_min + (t_max - t_min) / 4))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_once()
 
-    return spark.read.parquet(out).select("path", "value")
+        return spark.read.parquet(out).select("path", "value")
+    finally:
+        inc.unpersist()
 
 
 @query("stream_rollup_finality", _oracle_agg(3600))
@@ -783,49 +801,55 @@ def stream_rollup_finality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: min/max probe + staged half-writes re-scan the same
     # relation (guide §1.2); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    # mid-bucket split: watermark comparisons stay ~½ bucket away from any
-    # bucket end, so engine-vs-oracle boundary semantics can't disagree
-    t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
-    clock_ts = math.floor(t_max / bucket) * bucket + 2.5 * bucket
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        # mid-bucket split: watermark comparisons stay ~½ bucket away from any
+        # bucket end, so engine-vs-oracle boundary semantics can't disagree
+        t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
+        clock_ts = math.floor(t_max / bucket) * bucket + 2.5 * bucket
 
-    base = _scratch_dir("stream_finality_")
-    src, out, ckpt = f"{base}/src", f"{base}/onehour", f"{base}/ckpt"
+        base = _scratch_dir("stream_finality_")
+        src, out, ckpt = f"{base}/src", f"{base}/onehour", f"{base}/ckpt"
 
-    def run_once():
-        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
-            q = start_rollup(
-                spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
-                out,
-                ckpt,
-                int(bucket),
-                available_now=True,
-            )
-            assert q.awaitTermination(600), "stream drain did not finish"
+        def run_once():
+            with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+                q = start_rollup(
+                    spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+                    out,
+                    ckpt,
+                    int(bucket),
+                    available_now=True,
+                )
+                assert q.awaitTermination(600), "stream drain did not finish"
 
-    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    run_once()
+        inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
 
-    late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
-    clock = spark.createDataFrame([("_clock", clock_ts, 0.0)], INCOMING_SCHEMA)
-    (
-        inc.filter(F.col("timestamp") >= t_split)
-        .unionByName(late_copies)
-        .unionByName(clock)
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(src)
-    )
-    run_once()
+        late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
+        clock = spark.createDataFrame([("_clock", clock_ts, 0.0)], INCOMING_SCHEMA)
+        (
+            inc.filter(F.col("timestamp") >= t_split)
+            .unionByName(late_copies)
+            .unionByName(clock)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_once()
 
-    return _round_stats(
-        spark.read.parquet(out).select(
-            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
-        ),
-        _STATS,
-    )
+        return _round_stats(
+            spark.read.parquet(out).select(
+                "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+            ),
+            _STATS,
+        )
+    finally:
+        inc.unpersist()
 
 
 @query("stream_rollup_partials", _oracle_agg(3600))
@@ -855,47 +879,53 @@ def stream_rollup_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: min/max probe + staged half-writes re-scan the same
     # relation (guide §1.2); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        t_split = math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
 
-    base = _scratch_dir("stream_partials_")
-    src, out, ckpt = f"{base}/src", f"{base}/onehour_partial", f"{base}/ckpt"
+        base = _scratch_dir("stream_partials_")
+        src, out, ckpt = f"{base}/src", f"{base}/onehour_partial", f"{base}/ckpt"
 
-    def run_once():
-        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
-            q = start_rollup_partials(
-                spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
-                out,
-                ckpt,
-                int(bucket),
-                available_now=True,
-            )
-            assert q.awaitTermination(600), "stream drain did not finish"
+        def run_once():
+            with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+                q = start_rollup_partials(
+                    spark.readStream.schema(INCOMING_SCHEMA).parquet(src),
+                    out,
+                    ckpt,
+                    int(bucket),
+                    available_now=True,
+                )
+                assert q.awaitTermination(600), "stream drain did not finish"
 
-    inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    run_once()
+        inc.filter(F.col("timestamp") < t_split).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
 
-    late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
-    (
-        inc.filter(F.col("timestamp") >= t_split)
-        .unionByName(late_copies)
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(src)
-    )
-    run_once()
+        late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
+        (
+            inc.filter(F.col("timestamp") >= t_split)
+            .unionByName(late_copies)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_once()
 
-    from smalltsdb_spark import storage
-    from smalltsdb_spark.schemas import AGG_SCHEMA
+        from smalltsdb_spark import storage
+        from smalltsdb_spark.schemas import AGG_SCHEMA
 
-    return _round_stats(
-        storage.read_table(spark, out, AGG_SCHEMA).select(
-            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
-        ),
-        _STATS,
-    )
+        return _round_stats(
+            storage.read_table(spark, out, AGG_SCHEMA).select(
+                "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+            ),
+            _STATS,
+        )
+    finally:
+        inc.unpersist()
 
 
 @query("tsdb_sync_idempotent", _oracle_agg(3600))
@@ -935,39 +965,45 @@ def tsdb_sync_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: min/max probe + staged half-writes re-scan the same
     # relation (guide §1.2); built from parquet inside the timed query
     inc = events_as_incoming(spark, sf_dir).cache()
-    t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
-    # mid-bucket split: the finality horizon lands ~half a bucket from
-    # any bucket end, so engine-vs-oracle boundary semantics can't
-    # disagree (the stream_rollup_finality pattern)
-    t_split = (
-        math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
-    )
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = inc.agg(F.min("timestamp"), F.max("timestamp")).first()
+        # mid-bucket split: the finality horizon lands ~half a bucket from
+        # any bucket end, so engine-vs-oracle boundary semantics can't
+        # disagree (the stream_rollup_finality pattern)
+        t_split = (
+            math.floor((t_min + (t_max - t_min) / 2) / bucket) * bucket + bucket / 2
+        )
 
-    base = _scratch_dir("tsdb_sync_idem_")
-    clock = {"now": 0.0}
-    db = TablesTSDB(
-        spark,
-        base,
-        periods=[("onehour", 3600), ("oneday", 86400)],
-        now=lambda: clock["now"],
-    )
+        base = _scratch_dir("tsdb_sync_idem_")
+        clock = {"now": 0.0}
+        db = TablesTSDB(
+            spark,
+            base,
+            periods=[("onehour", 3600), ("oneday", 86400)],
+            now=lambda: clock["now"],
+        )
 
-    db.insert(inc.filter(F.col("timestamp") < t_split))
-    clock["now"] = t_split + db.tail  # finality horizon = straddling bucket start
-    db.sync()
+        db.insert(inc.filter(F.col("timestamp") < t_split))
+        clock["now"] = t_split + db.tail  # finality horizon = straddling bucket start
+        db.sync()
 
-    late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
-    db.insert(inc.filter(F.col("timestamp") >= t_split).unionByName(late_copies))
-    clock["now"] = t_max + db.tail + 2 * SECONDS_PER_DAY  # everything final
-    db.sync()
-    db.sync()  # idempotent no-op on emptied incoming
+        late_copies = inc.filter(F.col("timestamp") < t_min + 2 * bucket)
+        db.insert(inc.filter(F.col("timestamp") >= t_split).unionByName(late_copies))
+        clock["now"] = t_max + db.tail + 2 * SECONDS_PER_DAY  # everything final
+        db.sync()
+        db.sync()  # idempotent no-op on emptied incoming
 
-    return _round_stats(
-        db.period_table("onehour").select(
-            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
-        ),
-        _STATS,
-    )
+        return _round_stats(
+            db.period_table("onehour").select(
+                "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+            ),
+            _STATS,
+        )
+    finally:
+        inc.unpersist()
 
 
 @query("tsdb_compact_roundtrip", _oracle_agg(3600))
@@ -990,16 +1026,22 @@ def tsdb_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.tsdb import TablesTSDB
 
     inc = events_as_incoming(spark, sf_dir).cache()  # two insert scans
-    base = _scratch_dir("tsdb_compact_")
-    db = TablesTSDB(spark, base, now=lambda: 0.0)
-    # one row goes to exactly one batch (hash over ALL columns, so
-    # identical duplicate rows travel together and the union of the two
-    # batches is the original multiset)
-    bucket = F.pmod(F.abs(F.hash("path", "timestamp", "value")), F.lit(2))
-    for i in range(2):
-        db.insert(inc.filter(bucket == i))
-    db.compact()
-    return _round_stats(aggregate(db.incoming(), 3600), _STATS)
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        base = _scratch_dir("tsdb_compact_")
+        db = TablesTSDB(spark, base, now=lambda: 0.0)
+        # one row goes to exactly one batch (hash over ALL columns, so
+        # identical duplicate rows travel together and the union of the two
+        # batches is the original multiset)
+        bucket = F.pmod(F.abs(F.hash("path", "timestamp", "value")), F.lit(2))
+        for i in range(2):
+            db.insert(inc.filter(bucket == i))
+        db.compact()
+        return _round_stats(aggregate(db.incoming(), 3600), _STATS)
+    finally:
+        inc.unpersist()
 
 
 @query("tsdb_two_databases", _oracle_agg(3600))
@@ -1016,22 +1058,28 @@ def tsdb_two_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smalltsdb_spark.tsdb import TwoDatabasesTSDB
 
     inc = events_as_incoming(spark, sf_dir).cache()  # probe + insert
-    t_max = inc.agg(F.max("timestamp")).first()[0]
-    base = _scratch_dir("tsdb_twodb_")
-    db = TwoDatabasesTSDB(
-        spark,
-        f"{base}/agg",
-        periods=[("onehour", 3600)],
-        now=lambda: t_max + 60 + 2 * SECONDS_PER_DAY,
-    )
-    db.insert(inc)
-    db.sync()
-    return _round_stats(
-        db.period_table("onehour").select(
-            "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
-        ),
-        _STATS,
-    )
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_max = inc.agg(F.max("timestamp")).first()[0]
+        base = _scratch_dir("tsdb_twodb_")
+        db = TwoDatabasesTSDB(
+            spark,
+            f"{base}/agg",
+            periods=[("onehour", 3600)],
+            now=lambda: t_max + 60 + 2 * SECONDS_PER_DAY,
+        )
+        db.insert(inc)
+        db.sync()
+        return _round_stats(
+            db.period_table("onehour").select(
+                "path", "timestamp", "n", "min", "max", "avg", "sum", "p50", "p90", "p99"
+            ),
+            _STATS,
+        )
+    finally:
+        inc.unpersist()
 
 
 #: the deterministic self-metric name set one sync() with the default
@@ -1480,68 +1528,74 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the min/max probe plus FOUR staged filter-writes all
     # re-scan the same events transform (guide §1.2)
     ev = read_events(spark, sf_dir).cache()
-    t_min, t_max = ev.agg(F.min("ts_sec"), F.max("ts_sec")).first()
-    t_split = (t_min + t_max) / 2
+    # r15 (VERDICT r14 item 4): the cache feeds only in-function
+    # actions; release it before returning (the returned plan reads
+    # back from storage), even on error
+    try:
+        t_min, t_max = ev.agg(F.min("ts_sec"), F.max("ts_sec")).first()
+        t_split = (t_min + t_max) / 2
 
-    base = _scratch_dir("stream_interval_join_")
-    src_l, src_r = f"{base}/clicks", f"{base}/views"
-    out, ckpt = f"{base}/out", f"{base}/ckpt"
+        base = _scratch_dir("stream_interval_join_")
+        src_l, src_r = f"{base}/clicks", f"{base}/views"
+        out, ckpt = f"{base}/out", f"{base}/ckpt"
 
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.timestamp_seconds("ts_sec").alias("ts"),
-        F.col("value").alias("v_click"),
-        "ts_sec",
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("uid_r"),
-        F.timestamp_seconds("ts_sec").alias("ts_r"),
-        "ts_sec",
-    )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.timestamp_seconds("ts_sec").alias("ts"),
+            F.col("value").alias("v_click"),
+            "ts_sec",
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("uid_r"),
+            F.timestamp_seconds("ts_sec").alias("ts_r"),
+            "ts_sec",
+        )
 
-    def run_once():
-        with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
-            l = (
-                spark.readStream.schema("user_id long, ts timestamp, v_click double")
-                .parquet(src_l)
-                .withWatermark("ts", "40 days")
-            )
-            r = (
-                spark.readStream.schema("uid_r long, ts_r timestamp")
-                .parquet(src_r)
-                .withWatermark("ts_r", "40 days")
-            )
-            j = l.join(
-                r,
-                F.expr(
-                    "user_id = uid_r AND ts_r BETWEEN ts - INTERVAL 1 DAY AND ts"
-                ),
-            ).select(
-                "user_id",
-                F.round(F.col("ts").cast("double"), 6).alias("t_click"),
-                F.round("v_click", 6).alias("v_click"),
-                F.round(F.col("ts_r").cast("double"), 6).alias("t_view"),
-            )
-            q = (
-                j.writeStream.format("parquet")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .option("path", out)
-                .trigger(availableNow=True)
-                .start()
-            )
-            assert q.awaitTermination(600), "stream drain did not finish"
+        def run_once():
+            with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+                l = (
+                    spark.readStream.schema("user_id long, ts timestamp, v_click double")
+                    .parquet(src_l)
+                    .withWatermark("ts", "40 days")
+                )
+                r = (
+                    spark.readStream.schema("uid_r long, ts_r timestamp")
+                    .parquet(src_r)
+                    .withWatermark("ts_r", "40 days")
+                )
+                j = l.join(
+                    r,
+                    F.expr(
+                        "user_id = uid_r AND ts_r BETWEEN ts - INTERVAL 1 DAY AND ts"
+                    ),
+                ).select(
+                    "user_id",
+                    F.round(F.col("ts").cast("double"), 6).alias("t_click"),
+                    F.round("v_click", 6).alias("v_click"),
+                    F.round(F.col("ts_r").cast("double"), 6).alias("t_view"),
+                )
+                q = (
+                    j.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .option("path", out)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(600), "stream drain did not finish"
 
-    for lo, hi in [(t_min - 1, t_split), (t_split, t_max + 1)]:
-        clicks.filter(
-            (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
-        ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_l)
-        views.filter(
-            (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
-        ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_r)
-        run_once()
+        for lo, hi in [(t_min - 1, t_split), (t_split, t_max + 1)]:
+            clicks.filter(
+                (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
+            ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_l)
+            views.filter(
+                (F.col("ts_sec") >= lo) & (F.col("ts_sec") < hi)
+            ).drop("ts_sec").coalesce(1).write.mode("append").parquet(src_r)
+            run_once()
 
-    return spark.read.parquet(out)
+        return spark.read.parquet(out)
+    finally:
+        ev.unpersist()
 
 
 @query(

@@ -427,3 +427,23 @@ def test_cli_decommission_allow_damaged_log(tsdb_dir, capsys):
         t, SINK_QUARANTINE_DIR, "pday=0",
         "part-00001-bb.c000.snappy.parquet",
     ))
+
+
+def test_lifecycle_queries_release_their_caches(spark):
+    """r15 (VERDICT r14 item 4): the lifecycle rows' in-function caches
+    are released in a finally before the query returns — a caller
+    running many queries in one session must not accumulate cached
+    relations (the bench's isolate() no longer papers over it).  The
+    classifier/curation rows intentionally KEEP their featurize cache
+    (the returned plan reads it); everything else must leave the block
+    manager as it found it."""
+    from smalltsdb_spark.queries import QUERIES
+
+    sc = spark.sparkContext
+    for name in ("tsdb_get_metric_partial", "tsdb_two_databases",
+                 "tsdb_compact_roundtrip"):
+        before = {e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.count()  # evaluate the returned plan too
+        after = {e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+        assert after <= before, (name, after - before)
